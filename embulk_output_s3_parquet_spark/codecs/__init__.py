@@ -1,0 +1,88 @@
+"""Codec registry + the two public entry points: encode_array / decode_array.
+
+The registry mirrors the reference's closed set of config-selected
+``ParquetColumnType`` implementations (reference LogicalTypeProxy.scala:51-62)
+-- the engine's extension point is a name -> (encode, decode) pair.
+
+``encode_array`` strips nulls into a packed validity bitmap before the value
+codec runs (null path parity: reference ParquetFileWriteSupport.scala:181-182)
+and frames the payload as [validity][codec body]. ``decode_array`` is its
+exact inverse: bit-identical round-trip including null masks is the engine's
+core invariant (reference round-trip asserts:
+TestS3ParquetOutputPlugin.scala:61-83).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from . import bitpack, dictionary, forr, fsst, raw, rle, selector
+from .base import (
+    CodecUnsuitable,
+    drop_nulls_with_mask,
+    pack_sections,
+    reinsert_nulls,
+    type_from_name,
+    type_name,
+    unpack_sections,
+)
+
+CODECS = selector.CODECS
+AUTO = "auto"
+
+
+def _normalize(arr) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def encode_array(arr, codec: str = AUTO) -> tuple[bytes, dict]:
+    """Encode one column chunk -> (payload bytes, JSON-safe meta dict)."""
+    arr = _normalize(arr)
+    n = len(arr)
+    values, validity, null_count = drop_nulls_with_mask(arr)
+    stats: dict = {}
+    if codec == AUTO:
+        name, stats = selector.select(values)
+    else:
+        if codec not in CODECS:
+            raise ValueError(f"unknown codec {codec!r}; known: {sorted(CODECS)}")
+        name = codec
+    try:
+        body, cmeta = CODECS[name].encode(values)
+    except CodecUnsuitable:
+        name = "raw"
+        body, cmeta = raw.encode(values)
+    payload = pack_sections([validity, body])
+    meta = {
+        "c": name,
+        "t": type_name(arr.type),
+        "n": n,
+        "z": null_count,
+        "m": cmeta,
+    }
+    if stats.get("distinct") is not None:
+        meta["s"] = {k: v for k, v in stats.items() if k != "n"}
+    return payload, meta
+
+
+def decode_array(payload: bytes, meta: dict) -> pa.Array:
+    n, null_count = meta["n"], meta["z"]
+    validity, body = unpack_sections(payload)
+    values = CODECS[meta["c"]].decode(body, meta["m"], n - null_count, meta["t"])
+    if null_count == 0:
+        return values
+    if null_count == n:
+        return pa.nulls(n, type=type_from_name(meta["t"]))
+    return reinsert_nulls(values, validity, n)
+
+
+def meta_to_json(meta: dict) -> str:
+    return json.dumps(meta, separators=(",", ":"), sort_keys=True)
+
+
+def meta_from_json(s: str) -> dict:
+    return json.loads(s)

@@ -1,0 +1,235 @@
+"""Shared codec plumbing: payload framing, block compression, type mapping.
+
+Null handling mirrors the reference's null path (a null cell is simply not
+written, reference ParquetFileWriteSupport.scala:181-182): the framework
+strips nulls before the value codec runs and stores a packed validity
+bitmap, so every codec kernel only ever sees null-free arrays.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# payload framing: [u32 section_count][u64 len][bytes]...
+# ---------------------------------------------------------------------------
+
+
+def pack_sections(sections: list[bytes]) -> bytes:
+    out = [struct.pack("<I", len(sections))]
+    for s in sections:
+        out.append(struct.pack("<Q", len(s)))
+        out.append(s)
+    return b"".join(out)
+
+
+def unpack_sections(payload: bytes) -> list[bytes]:
+    (count,) = struct.unpack_from("<I", payload, 0)
+    off = 4
+    out = []
+    for _ in range(count):
+        (ln,) = struct.unpack_from("<Q", payload, off)
+        off += 8
+        out.append(payload[off : off + ln])
+        off += ln
+    return out
+
+
+# ---------------------------------------------------------------------------
+# block compression (zstd via pyarrow, raw passthrough when it doesn't help)
+# ---------------------------------------------------------------------------
+
+_ZSTD = pa.Codec("zstd", compression_level=3)
+
+
+def block_compress(raw: bytes) -> bytes:
+    """Frame: [u8 flag][u64 rawlen][body]; flag 0=stored, 1=zstd."""
+    if len(raw) == 0:
+        return struct.pack("<BQ", 0, 0)
+    comp = _ZSTD.compress(raw, asbytes=True)
+    if len(comp) < len(raw):
+        return struct.pack("<BQ", 1, len(raw)) + comp
+    return struct.pack("<BQ", 0, len(raw)) + bytes(raw)
+
+
+def block_decompress(buf: bytes) -> bytes:
+    flag, rawlen = struct.unpack_from("<BQ", buf, 0)
+    body = buf[9:]
+    if flag == 0:
+        return bytes(body)
+    return bytes(_ZSTD.decompress(body, decompressed_size=rawlen))
+
+
+# ---------------------------------------------------------------------------
+# arrow type <-> physical numpy mapping
+# ---------------------------------------------------------------------------
+
+# arrow types we encode as fixed-width integers (physical int view)
+_INT_PHYSICAL = {
+    pa.int8(): np.int8,
+    pa.int16(): np.int16,
+    pa.int32(): np.int32,
+    pa.int64(): np.int64,
+    pa.uint8(): np.uint8,
+    pa.uint16(): np.uint16,
+    pa.uint32(): np.uint32,
+    pa.uint64(): np.uint64,
+    pa.date32(): np.int32,
+    pa.date64(): np.int64,
+    pa.time32("ms"): np.int32,
+    pa.time64("us"): np.int64,
+    pa.time64("ns"): np.int64,
+}
+
+_FLOAT_PHYSICAL = {pa.float32(): np.float32, pa.float64(): np.float64}
+
+
+def type_name(t: pa.DataType) -> str:
+    return str(t)
+
+
+def type_from_name(name: str) -> pa.DataType:
+    simple = {
+        "bool": pa.bool_(),
+        "int8": pa.int8(),
+        "int16": pa.int16(),
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "uint8": pa.uint8(),
+        "uint16": pa.uint16(),
+        "uint32": pa.uint32(),
+        "uint64": pa.uint64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "large_string": pa.large_string(),
+        "binary": pa.binary(),
+        "large_binary": pa.large_binary(),
+        "date32[day]": pa.date32(),
+        "date64[ms]": pa.date64(),
+        "time32[ms]": pa.time32("ms"),
+        "time64[us]": pa.time64("us"),
+        "time64[ns]": pa.time64("ns"),
+    }
+    if name in simple:
+        return simple[name]
+    if name.startswith("timestamp["):
+        inner = name[len("timestamp[") : -1]
+        if ", tz=" in inner:
+            unit, tz = inner.split(", tz=")
+            return pa.timestamp(unit, tz=tz)
+        return pa.timestamp(inner)
+    if name.startswith("duration["):
+        return pa.duration(name[len("duration[") : -1])
+    raise ValueError(f"unsupported arrow type name: {name!r}")
+
+
+def is_intlike(t: pa.DataType) -> bool:
+    return (
+        t in _INT_PHYSICAL
+        or pa.types.is_timestamp(t)
+        or pa.types.is_duration(t)
+    )
+
+
+def is_stringlike(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def int_view(arr: pa.Array) -> np.ndarray:
+    """Null-free int-like arrow array -> int64 numpy view (copy-safe)."""
+    t = arr.type
+    if pa.types.is_timestamp(t) or pa.types.is_duration(t):
+        return arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    np_t = _INT_PHYSICAL[t]
+    return arr.to_numpy(zero_copy_only=False).astype(np_t).astype(np.int64)
+
+
+def from_int_view(vals: np.ndarray, t: pa.DataType) -> pa.Array:
+    if pa.types.is_timestamp(t) or pa.types.is_duration(t):
+        return pa.array(vals.astype(np.int64)).cast(t)
+    np_t = _INT_PHYSICAL[t]
+    return pa.array(vals.astype(np_t), type=t)
+
+
+def string_buffers(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    """Null-free string/binary array -> (lengths int64, concatenated data)."""
+    big = pa.large_binary() if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type) else pa.large_string()
+    a = arr.cast(big).combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr.cast(big)
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, np.int64), b""
+    offs = np.frombuffer(a.buffers()[1], dtype=np.int64, count=n + 1, offset=a.offset * 8)
+    data = a.buffers()[2]
+    body = data[offs[0] : offs[-1]].to_pybytes() if data is not None else b""
+    return np.diff(offs), body
+
+
+def strings_from_buffers(lens: np.ndarray, data: bytes, t: pa.DataType) -> pa.Array:
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    big_t = pa.large_binary() if pa.types.is_binary(t) or pa.types.is_large_binary(t) else pa.large_string()
+    a = pa.Array.from_buffers(
+        big_t, len(lens), [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)]
+    )
+    return a.cast(t)
+
+
+# ---------------------------------------------------------------------------
+# bit-pack kernel (LSB-first), the shared primitive under bitpack/FOR/dict/RLE
+# ---------------------------------------------------------------------------
+
+
+def bit_width(maxval: int) -> int:
+    return int(maxval).bit_length()
+
+
+def pack_uints(vals: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values < 2**width into width bits each (LSB-first)."""
+    if width == 0 or len(vals) == 0:
+        return b""
+    if width in (8, 16, 32, 64):
+        return vals.astype(f"<u{width // 8}").tobytes()
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits, axis=None).tobytes()
+
+
+def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
+    if width == 0 or n == 0:
+        return np.zeros(n, np.uint64)
+    if width in (8, 16, 32, 64):
+        return np.frombuffer(buf, f"<u{width // 8}", count=n).astype(np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8), count=n * width).reshape(n, width)
+    weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+
+
+class CodecUnsuitable(Exception):
+    """Raised by a codec when the chunk's type/shape isn't encodable by it."""
+
+
+def drop_nulls_with_mask(arr: pa.Array) -> tuple[pa.Array, bytes, int]:
+    """Return (null-free values, packed validity bitmap, null_count)."""
+    if arr.null_count == 0:
+        return arr, b"", 0
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    return arr.drop_null(), np.packbits(valid).tobytes(), arr.null_count
+
+
+def reinsert_nulls(values: pa.Array, validity: bytes, n: int) -> pa.Array:
+    valid = np.unpackbits(np.frombuffer(validity, np.uint8), count=n).astype(bool)
+    # gather: position i takes values[rank(i)] when valid else null
+    idx = np.cumsum(valid) - 1
+    idx[~valid] = 0
+    taken = values.take(pa.array(idx.astype(np.int64)))
+    return pc.if_else(pa.array(valid), taken, pa.scalar(None, type=values.type))

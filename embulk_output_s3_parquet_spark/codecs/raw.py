@@ -1,0 +1,69 @@
+"""RAW codec: type-faithful byte dump + zstd block compression.
+
+The universal fallback -- the analogue of the reference's static whole-file
+``compression_codec`` (reference PluginTask.scala:37-38,89-107) but applied
+per column chunk and only when no lightweight codec wins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .base import (
+    CodecUnsuitable,
+    block_compress,
+    block_decompress,
+    from_int_view,
+    int_view,
+    is_intlike,
+    is_stringlike,
+    pack_sections,
+    string_buffers,
+    strings_from_buffers,
+    type_from_name,
+    unpack_sections,
+)
+
+NAME = "raw"
+
+
+def encode(values: pa.Array) -> tuple[bytes, dict]:
+    t = values.type
+    meta: dict = {}
+    if pa.types.is_boolean(t):
+        bits = np.packbits(values.to_numpy(zero_copy_only=False).astype(np.uint8))
+        return pack_sections([block_compress(bits.tobytes())]), meta
+    if is_intlike(t):
+        return pack_sections([block_compress(int_view(values).tobytes())]), meta
+    if pa.types.is_floating(t):
+        body = values.to_numpy(zero_copy_only=False).tobytes()
+        return pack_sections([block_compress(body)]), meta
+    if is_stringlike(t):
+        lens, data = string_buffers(values)
+        return (
+            pack_sections(
+                [block_compress(lens.astype(np.int64).tobytes()), block_compress(data)]
+            ),
+            meta,
+        )
+    raise CodecUnsuitable(f"raw: unsupported type {t}")
+
+
+def decode(payload: bytes, meta: dict, n: int, tname: str) -> pa.Array:
+    t = type_from_name(tname)
+    secs = unpack_sections(payload)
+    if pa.types.is_boolean(t):
+        bits = np.unpackbits(
+            np.frombuffer(block_decompress(secs[0]), np.uint8), count=n
+        ).astype(bool)
+        return pa.array(bits, type=pa.bool_())
+    if is_intlike(t):
+        vals = np.frombuffer(block_decompress(secs[0]), np.int64, count=n)
+        return from_int_view(vals, t)
+    if pa.types.is_floating(t):
+        np_t = np.float32 if pa.types.is_float32(t) else np.float64
+        return pa.array(np.frombuffer(block_decompress(secs[0]), np_t, count=n), type=t)
+    lens = np.frombuffer(block_decompress(secs[0]), np.int64, count=n)
+    data = block_decompress(secs[1])
+    return strings_from_buffers(lens, data, t)

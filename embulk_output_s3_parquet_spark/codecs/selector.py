@@ -1,0 +1,105 @@
+"""Per-chunk codec auto-selection from sampled statistics + trial encodes.
+
+Replaces the reference's static whole-file ``compression_codec`` knob
+(reference PluginTask.scala:37-38): for every column chunk, sample rows,
+gate candidate codecs on cheap stats (cardinality, run ratio, value range),
+trial-encode the survivors on the sample, and pick the smallest output.
+Deterministic (head sample, stable tie-break by codec name order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import bitpack, dictionary, forr, fsst, raw, rle
+from .base import CodecUnsuitable, is_intlike, is_stringlike
+
+_SAMPLE_ROWS = 1024
+
+CODECS = {
+    "raw": raw,
+    "dict": dictionary,
+    "rle": rle,
+    "bitpack": bitpack,
+    "for": forr,
+    "fsst": fsst,
+}
+
+# stable preference when trial sizes tie (cheapest decode first)
+_ORDER = {"bitpack": 0, "for": 1, "rle": 2, "dict": 3, "fsst": 4, "raw": 5}
+
+
+def chunk_stats(values: pa.Array) -> dict:
+    """Cheap sampled stats driving candidate gating (logged into lineage)."""
+    n = len(values)
+    sample = values.slice(0, min(n, _SAMPLE_ROWS))
+    stats: dict = {"n": n}
+    if n == 0:
+        return stats
+    stats["distinct"] = pc.count_distinct(sample).as_py()
+    try:
+        np_vals = sample.to_numpy(zero_copy_only=False)
+        if np_vals.dtype != object and len(np_vals) > 1:
+            stats["runs"] = int(np.count_nonzero(np_vals[1:] != np_vals[:-1]) + 1)
+    except (pa.ArrowInvalid, TypeError):
+        pass
+    return stats
+
+
+def candidates(values: pa.Array, stats: dict) -> list[str]:
+    t = values.type
+    n = max(stats.get("n", 0), 1)
+    distinct = stats.get("distinct", n)
+    runs = stats.get("runs", n)
+    out: list[str] = []
+    if pa.types.is_boolean(t):
+        out = ["bitpack"] + (["rle"] if runs <= n // 2 else [])
+    elif is_intlike(t):
+        out = ["for"]
+        if runs <= n // 2:
+            out.append("rle")
+        if distinct <= max(64, n // 8):
+            out.append("dict")
+        out.append("raw")
+    elif pa.types.is_floating(t):
+        out = []
+        if runs <= n // 2:
+            out.append("rle")
+        if distinct <= max(64, n // 8):
+            out.append("dict")
+        out.append("raw")
+    elif is_stringlike(t):
+        out = []
+        if distinct <= max(64, n // 4):
+            out.append("dict")
+        if runs <= n // 2 or distinct <= 16:
+            out.append("rle")
+        out.append("fsst")
+        out.append("raw")
+    else:
+        out = ["raw"]
+    return out
+
+
+def select(values: pa.Array) -> tuple[str, dict]:
+    """Pick the cheapest codec for a null-free chunk via sampled trials."""
+    n = len(values)
+    stats = chunk_stats(values)
+    if n == 0:
+        return "raw", stats
+    cands = candidates(values, stats)
+    if len(cands) == 1:
+        return cands[0], stats
+    sample = values.slice(0, min(n, _SAMPLE_ROWS))
+    best, best_sz = None, None
+    for name in cands:
+        try:
+            body, _meta = CODECS[name].encode(sample)
+            sz = len(body)
+        except CodecUnsuitable:
+            continue
+        if best_sz is None or sz < best_sz or (sz == best_sz and _ORDER[name] < _ORDER[best]):
+            best, best_sz = name, sz
+    return best or "raw", stats

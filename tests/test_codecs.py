@@ -1,0 +1,152 @@
+"""Codec property grid (FIXTURES.md F5): every codec x dtype x distribution,
+exact encode->decode array equality including null masks -- the analogue of
+the reference's per-ParquetColumnType TableDrivenPropertyChecks grids
+(reference src/test/.../TestIntLogicalType.scala:19-34) with its
+boundary-value rows (IntLogicalType.scala:33-48 bounds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from embulk_output_s3_parquet_spark.codecs import (
+    CODECS,
+    decode_array,
+    encode_array,
+    meta_from_json,
+    meta_to_json,
+)
+from embulk_output_s3_parquet_spark.codecs import selector
+from embulk_output_s3_parquet_spark.codecs.base import CodecUnsuitable
+
+RNG = np.random.default_rng(42)
+
+
+def _int_chunks():
+    return {
+        "all_equal": pa.array([7] * 1000, pa.int64()),
+        "two_value": pa.array([1, 2] * 500, pa.int64()),
+        "sorted": pa.array(np.arange(1000), pa.int64()),
+        "uniform_hi": pa.array(RNG.integers(-(2**62), 2**62, 1000), pa.int64()),
+        "zipf_lowcard": pa.array((RNG.zipf(1.5, 1000) % 16).astype(np.int64)),
+        "all_null": pa.array([None] * 100, pa.int64()),
+        "empty": pa.array([], pa.int64()),
+        "single": pa.array([-42], pa.int64()),
+        "bounds64": pa.array([-(2**63), 2**63 - 1, 0, -1, 1], pa.int64()),
+        "with_nulls": pa.array([1, None, 3, None, 5] * 50, pa.int64()),
+    }
+
+
+def _string_chunks():
+    words = ["import", "def", "return", "self", "None", "    ", "\n", "données", ""]
+    return {
+        "all_equal": pa.array(["x" * 20] * 500),
+        "two_value": pa.array(["aa", "bb"] * 250),
+        "lowcard": pa.array([words[i % len(words)] for i in range(600)]),
+        "hicard": pa.array([f"id-{i:08x}-{i * 2654435761 % 2**32:x}" for i in range(500)]),
+        "sourcey": pa.array(
+            ["import os\nimport sys\n\ndef main():\n    return os.path.join(sys.argv[1])\n" * (i % 5 + 1) for i in range(300)]
+        ),
+        "all_null": pa.array([None] * 50, pa.string()),
+        "empty": pa.array([], pa.string()),
+        "single": pa.array(["solo"]),
+        "unicode": pa.array(["héllo wörld ✓", "日本語のテキスト", "emoji 🚀🔥", "\x01\x02 control"] * 25),
+        "with_nulls": pa.array(["a", None, "ccc", None] * 50),
+        "empties": pa.array(["", "", "x", ""] * 30),
+    }
+
+
+def _misc_chunks():
+    ts = pa.array(np.arange(0, 10**12, 10**9, dtype=np.int64)).cast(pa.timestamp("us"))
+    return {
+        "bool": pa.array([True, False, False, True] * 100),
+        "bool_nulls": pa.array([True, None, False] * 40),
+        "float_runs": pa.array([1.5] * 300 + [2.5] * 300, pa.float64()),
+        "float_rand": pa.array(RNG.normal(size=400)),
+        "float_nan": pa.array([float("nan"), 1.0, float("nan")] * 30, pa.float64()),
+        "float32": pa.array(RNG.normal(size=200).astype(np.float32), pa.float32()),
+        "timestamp_us": ts,
+        "date32": pa.array(np.arange(200, dtype=np.int32), pa.date32()),
+        "int32": pa.array(np.arange(-100, 100, dtype=np.int32), pa.int32()),
+        "int8_bounds": pa.array([-128, 127, 0] * 20, pa.int8()),
+        "binary": pa.array([b"\x00\xff\x80" * (i % 7) for i in range(200)], pa.binary()),
+    }
+
+
+ALL_CHUNKS = {
+    **{f"int/{k}": v for k, v in _int_chunks().items()},
+    **{f"str/{k}": v for k, v in _string_chunks().items()},
+    **{f"misc/{k}": v for k, v in _misc_chunks().items()},
+}
+
+
+def _assert_roundtrip(arr: pa.Array, codec: str):
+    payload, meta = encode_array(arr, codec)
+    meta = meta_from_json(meta_to_json(meta))  # meta must survive JSON
+    out = decode_array(payload, meta)
+    assert out.type == arr.type, (out.type, arr.type)
+    assert len(out) == len(arr)
+    assert out.equals(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr) or (
+        # NaN != NaN under equals; compare via pandas where needed
+        pa.types.is_floating(arr.type)
+        and np.array_equal(
+            arr.to_numpy(zero_copy_only=False),
+            out.to_numpy(zero_copy_only=False),
+            equal_nan=True,
+        )
+    )
+
+
+@pytest.mark.parametrize("chunk_name", sorted(ALL_CHUNKS))
+def test_auto_roundtrip(chunk_name):
+    _assert_roundtrip(ALL_CHUNKS[chunk_name], "auto")
+
+
+@pytest.mark.parametrize("codec", sorted(CODECS))
+@pytest.mark.parametrize("chunk_name", sorted(ALL_CHUNKS))
+def test_forced_roundtrip(codec, chunk_name):
+    """Forcing a codec either round-trips exactly or falls back to raw
+    (CodecUnsuitable is handled inside encode_array)."""
+    _assert_roundtrip(ALL_CHUNKS[chunk_name], codec)
+
+
+def test_selector_picks_designed_for():
+    """The selector picks the expected codec family on its designed-for
+    distribution (FIXTURES.md F5)."""
+    name, _ = selector.select(pa.array([5] * 5000, pa.int64()))
+    assert name in ("rle", "for")  # constant: both are ~0 bytes; tie ok
+    name, _ = selector.select(pa.array(["go"] * 2500 + ["rust"] * 2500))
+    assert name in ("rle", "dict")
+    # 64 distinct high-entropy tokens, shuffled: dict indices beat zstd matches
+    toks = ["".join(RNG.choice(list("abcdefghijklmnopqrstuvwxyz0123456789"), 32)) for _ in range(64)]
+    shuffled = [toks[i] for i in RNG.integers(0, 64, 4000)]
+    name, _ = selector.select(pa.array(shuffled))
+    assert name == "dict"
+    name, _ = selector.select(
+        pa.array((10**15 + RNG.integers(0, 2**24, 5000)).astype(np.int64))
+    )
+    assert name == "for"
+    name, _ = selector.select(pa.array([True, False] * 100))
+    assert name in ("bitpack", "rle")
+
+
+def test_compression_wins_on_sourcey_text():
+    arr = ALL_CHUNKS["str/sourcey"]
+    payload, meta = encode_array(arr, "auto")
+    raw_bytes = sum(len(s or "") for s in arr.to_pylist()) + 8 * len(arr)
+    assert len(payload) < raw_bytes * 0.5, (meta["c"], len(payload), raw_bytes)
+
+
+def test_fsst_actually_substitutes():
+    arr = pa.array(["for (int i = 0; i < n; i++) { total += data[i]; }"] * 200)
+    payload, meta = encode_array(arr, "fsst")
+    assert meta["c"] == "fsst"
+    assert meta["m"]["k"] > 0
+    assert decode_array(payload, meta).equals(arr)
+
+
+def test_unknown_codec_rejected():
+    with pytest.raises(ValueError, match="unknown codec"):
+        encode_array(pa.array([1, 2]), "lzo")
