@@ -1,0 +1,121 @@
+"""End-to-end encode/decode jobs: the engine's ``transaction()`` analogue.
+
+Control path mirrors the reference's driver-side lifecycle (reference
+S3ParquetOutputPlugin.scala:27-56): validate config -> build plan -> launch
+tasks -> collect task reports -> register catalog entry. Here: validate
+policy -> byte-balanced salted partition plan -> skip checkpointed parts
+(left_anti on the manifest) -> applyInArrow encode -> stage -> atomic commit
+with per-partition lineage.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.decode import decode_chunks
+from .operators.encode import encode_grouped
+from .plans.partitioning import assign_partitions
+from .plans.policy import CodecPolicy
+from .sources.tables import EncodedTable
+
+
+def _lineage_rows(encoded_on_disk: DataFrame, first_col: str, wall_s: float) -> dict[int, dict]:
+    per_part = (
+        encoded_on_disk.groupBy("part_id")
+        .agg(
+            F.sum(F.when(F.col("col") == first_col, F.col("n")).otherwise(0)).alias("rows"),
+            F.countDistinct("chunk_seq").alias("chunks"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sha2(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_seq", "col", "payload_sha"))
+                        ),
+                        lambda s: s.payload_sha,
+                    ),
+                ),
+                256,
+            ).alias("sha256_manifest"),
+            F.sort_array(F.collect_set("codec")).alias("codecs"),
+        )
+        .collect()
+    )
+    return {
+        int(r["part_id"]): {
+            "rows": int(r["rows"]),
+            "chunks": int(r["chunks"]),
+            "raw_bytes": int(r["raw_bytes"]),
+            "enc_bytes": int(r["enc_bytes"]),
+            "sha256_manifest": r["sha256_manifest"],
+            "codecs": list(r["codecs"]),
+            "wall_s": round(wall_s, 3),
+        }
+        for r in per_part
+    }
+
+
+def encode_job(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    policy: CodecPolicy | None = None,
+    if_exists: str = "skip",
+    max_parts: int | None = None,
+) -> EncodedTable:
+    """Encode ``df`` into an EncodedTable; resumes from the manifest.
+
+    ``max_parts`` bounds how many incomplete partitions this wave commits --
+    used by the kill/resume tests to simulate a job dying mid-run.
+    """
+    policy = policy or CodecPolicy()
+    policy.validate(df.schema)
+    t0 = time.time()
+
+    dfp, plan = assign_partitions(df, target_bytes=policy.target_partition_bytes)
+    table = EncodedTable.create(table_path, df.schema, policy, if_exists=if_exists)
+    table.clean_staging()
+
+    done = table.completed_parts()
+    if done:
+        done_df = spark.createDataFrame([(p,) for p in sorted(done)], "part_id int")
+        dfp = dfp.join(F.broadcast(done_df), "part_id", "left_anti")
+    if max_parts is not None:
+        todo = sorted(set(range(plan.n_parts)) - done)[:max_parts]
+        keep = spark.createDataFrame([(p,) for p in todo], "part_id int")
+        dfp = dfp.join(F.broadcast(keep), "part_id", "left_semi")
+
+    encoded = encode_grouped(dfp, policy)
+    staging = table.new_staging()
+    encoded.write.partitionBy("part_id").parquet(staging, compression="none")
+
+    import os
+
+    wrote_parts = any(n.startswith("part_id=") for n in os.listdir(staging))
+    if not wrote_parts:
+        table.commit_staging(staging, {})
+        return table
+    on_disk = spark.read.parquet(staging)
+    lineage = _lineage_rows(on_disk, df.schema.fields[0].name, time.time() - t0)
+    table.commit_staging(staging, lineage)
+    return table
+
+
+def decode_job(spark: SparkSession, table_path: str) -> DataFrame:
+    table = EncodedTable(table_path)
+    return decode_chunks(table.read_encoded(spark), table.schema())
+
+
+def table_metrics(table: EncodedTable) -> dict:
+    lin = table.lineage()
+    return {
+        "parts": len(lin),
+        "rows": sum(v["rows"] for v in lin.values()),
+        "raw_bytes": sum(v["raw_bytes"] for v in lin.values()),
+        "enc_bytes": sum(v["enc_bytes"] for v in lin.values()),
+    }

@@ -1,0 +1,52 @@
+"""Decode operator: encoded-chunk rows -> original DataFrame, bit-identical.
+
+The inverse data path; correctness contract mirrors the reference's
+round-trip tests, which read the written file back with a *different* reader
+and assert cell-by-cell equality against the input (reference
+TestS3ParquetOutputPlugin.scala:61-83, EmbulkPluginTestHelper.scala:222-245).
+Chunks are reassembled by (part_id, chunk_seq) via ``applyInArrow``; each
+column decodes through the codec registry using its recorded meta.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.pandas.types import to_arrow_schema
+
+from ..codecs import decode_array, meta_from_json
+
+
+def decode_chunks(encoded: DataFrame, out_schema: T.StructType) -> DataFrame:
+    """Group encoded rows by chunk and rebuild original rows."""
+    arrow_schema = to_arrow_schema(out_schema)
+    names = [f.name for f in out_schema.fields]
+
+    def dec(table: pa.Table) -> pa.Table:
+        metas = table.column("meta").to_pylist()
+        cols = table.column("col").to_pylist()
+        payloads = table.column("payload").to_pylist()
+        by_name = {}
+        for c, m, p in zip(cols, metas, payloads):
+            by_name[c] = decode_array(p, meta_from_json(m))
+        arrays = []
+        for name, field in zip(names, arrow_schema):
+            arr = by_name[name]
+            if arr.type != field.type:
+                arr = arr.cast(field.type)
+            arrays.append(arr)
+        return pa.table(dict(zip(names, arrays)), schema=arrow_schema)
+
+    return encoded.groupBy("part_id", "chunk_seq").applyInArrow(dec, schema=out_schema)
+
+
+def roundtrip(df: DataFrame, policy=None) -> DataFrame:
+    """encode -> decode in one plan (no table IO); used by correctness
+    queries: the driver's oracle compares this against ``SELECT *``."""
+    from ..plans.policy import CodecPolicy
+    from .encode import encode_map
+
+    policy = policy or CodecPolicy()
+    encoded = encode_map(df, policy)
+    return decode_chunks(encoded, df.schema)

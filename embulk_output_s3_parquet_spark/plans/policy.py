@@ -1,0 +1,69 @@
+"""Codec policy: per-column / per-type codec choice with fail-fast validation.
+
+Mirrors the reference's config surface: ``column_options`` (by column name)
+and ``type_options`` (by input type) resolved with precedence
+column option > type option > default (reference
+ParquetFileWriteSupport.scala:110-117), and its eager validation that
+rejects unknown columns/types/codecs before any data moves (reference
+PluginTask.scala:77-127, ParquetFileWriteSupport.scala:69-105; tested by
+TestS3ParquetOutputPluginConfigException.scala:9-46).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from ..codecs import AUTO, CODECS
+
+
+class ConfigException(ValueError):
+    """Invalid codec policy -- raised at plan build, before job launch."""
+
+
+_ENCODABLE = (
+    T.BooleanType, T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType, T.BinaryType,
+    T.TimestampType, T.TimestampNTZType, T.DateType,
+)
+
+
+@dataclass
+class CodecPolicy:
+    default: str = AUTO
+    column_options: dict[str, str] = field(default_factory=dict)
+    type_options: dict[str, str] = field(default_factory=dict)
+    chunk_rows: int = 32768
+    target_partition_bytes: int = 64 * 1024 * 1024
+
+    def validate(self, schema: T.StructType) -> None:
+        known = set(CODECS) | {AUTO}
+        names = {f.name for f in schema.fields}
+        for col, codec in self.column_options.items():
+            if col not in names:
+                raise ConfigException(f"column_options: unknown column {col!r}")
+            if codec not in known:
+                raise ConfigException(f"column_options[{col}]: unknown codec {codec!r}")
+        for tname, codec in self.type_options.items():
+            if codec not in known:
+                raise ConfigException(f"type_options[{tname}]: unknown codec {codec!r}")
+        if self.default not in known:
+            raise ConfigException(f"default: unknown codec {self.default!r}")
+        if self.chunk_rows < 1:
+            raise ConfigException("chunk_rows must be >= 1")
+        if self.target_partition_bytes < 1 << 16:
+            raise ConfigException("target_partition_bytes must be >= 64KiB")
+        for f in schema.fields:
+            if not isinstance(f.dataType, _ENCODABLE):
+                raise ConfigException(
+                    f"column {f.name!r}: type {f.dataType.simpleString()} not encodable"
+                )
+
+    def resolve(self, col: str, dtype: T.DataType) -> str:
+        if col in self.column_options:
+            return self.column_options[col]
+        tname = dtype.simpleString()
+        if tname in self.type_options:
+            return self.type_options[tname]
+        return self.default

@@ -1,0 +1,83 @@
+"""spark-submit entry point: encode a corpus into an EncodedTable and verify.
+
+Usage (north_rule packaging):
+    python scripts/make_pyfiles.py   # builds dist/engine.zip
+    spark-submit --master local[8] --py-files dist/engine.zip \
+        scripts/run_encode.py --rows 20000 --out /tmp/enc_table [--verify]
+
+Re-running the same command resumes from the manifest checkpoint: completed
+partitions are skipped (the reference cannot do this, README.md:11).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20000)
+    ap.add_argument("--input-parquet", help="encode this parquet instead of the synthetic corpus")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--chunk-rows", type=int, default=32768)
+    ap.add_argument("--target-part-mb", type=int, default=64)
+    ap.add_argument("--codec", default="auto", help="default codec policy")
+    ap.add_argument("--column-option", action="append", default=[], metavar="COL=CODEC")
+    ap.add_argument("--if-exists", default="skip", choices=["error", "skip", "delete"])
+    ap.add_argument("--max-parts", type=int, default=None, help="commit at most N partitions (kill simulation)")
+    ap.add_argument("--verify", action="store_true", help="decode + per-row sha256 equality check")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from embulk_output_s3_parquet_spark.corpus import repos_df
+    from embulk_output_s3_parquet_spark.jobs import decode_job, encode_job, table_metrics
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    col_opts = dict(kv.split("=", 1) for kv in args.column_option)
+    policy = CodecPolicy(
+        default=args.codec,
+        column_options=col_opts,
+        chunk_rows=args.chunk_rows,
+        target_partition_bytes=args.target_part_mb * 1024 * 1024,
+    )
+    df = (
+        spark.read.parquet(args.input_parquet)
+        if args.input_parquet
+        else repos_df(spark, args.rows)
+    )
+
+    t0 = time.time()
+    table = encode_job(spark, df, args.out, policy, if_exists=args.if_exists, max_parts=args.max_parts)
+    wall = time.time() - t0
+    m = table_metrics(table)
+    m.update(wall_s=round(wall, 2), gbps=round(m["raw_bytes"] / max(wall, 1e-9) / 1e9, 4))
+
+    if args.verify:
+        decoded = decode_job(spark, args.out)
+        key = ["repo", "path", "commit"]
+        sha = lambda c: F.coalesce(F.sha2(F.col(c), 256), F.lit("NULL"))
+        mismatches = (
+            df.select(*key, sha("content").alias("a"))
+            .join(decoded.select(*key, sha("content").alias("b")), key, "full_outer")
+            .filter(F.col("a").isNull() | F.col("b").isNull() | (F.col("a") != F.col("b")))
+            .count()
+        )
+        m["verify_mismatches"] = mismatches
+        if mismatches:
+            print(json.dumps(m))
+            return 1
+    print(json.dumps(m))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

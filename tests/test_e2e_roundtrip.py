@@ -1,0 +1,136 @@
+"""End-to-end engine tests (SURVEY.md section 5 plan):
+
+* corpus encode->decode: per-row sha256(content) equality + all five columns
+  bit-identical (north_rule invariant; generalizes the reference's
+  cell-equality round-trip asserts, TestS3ParquetOutputPlugin.scala:61-83)
+* compressed size <= Spark Parquet+Snappy baseline (BASELINE.md)
+* kill/resume: completed partitions are not re-encoded (manifest checkpoint;
+  the reference explicitly lacks resume, README.md:11)
+* catalog if_exists semantics + fail-fast config errors (reference
+  TestS3ParquetOutputPluginConfigException.scala:9-46)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_s3_parquet_spark.corpus import repos_df, six_types_df
+from embulk_output_s3_parquet_spark.jobs import decode_job, encode_job, table_metrics
+from embulk_output_s3_parquet_spark.operators.decode import roundtrip
+from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy, ConfigException
+from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+ROWS = 2000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = repos_df(spark, ROWS).cache()
+    df.count()
+    return df
+
+
+def _policy(**kw):
+    kw.setdefault("target_partition_bytes", 256 * 1024)
+    kw.setdefault("chunk_rows", 1024)
+    return CodecPolicy(**kw)
+
+
+def test_corpus_roundtrip_sha256(spark, corpus, tmp_path):
+    path = str(tmp_path / "enc")
+    encode_job(spark, corpus, path, _policy(), if_exists="error")
+    decoded = decode_job(spark, path)
+
+    key = ["repo", "path", "commit"]
+    sha = lambda c: F.when(F.col(c).isNull(), "NULL").otherwise(F.sha2(F.col(c), 256))
+    left = corpus.select(*key, sha("content").alias("sha_in"), F.col("lang").alias("lang_in"))
+    right = decoded.select(*key, sha("content").alias("sha_out"), F.col("lang").alias("lang_out"))
+    joined = left.join(right, key, "full_outer")
+    assert joined.count() == ROWS
+    bad = joined.filter(
+        (F.col("sha_in") != F.col("sha_out"))
+        | F.col("sha_in").isNull()
+        | F.col("sha_out").isNull()
+        | (F.coalesce(F.col("lang_in"), F.lit("N")) != F.coalesce(F.col("lang_out"), F.lit("N")))
+    )
+    assert bad.count() == 0, bad.take(5)
+
+
+def test_size_beats_snappy_parquet(spark, corpus, tmp_path):
+    base = str(tmp_path / "base")
+    corpus.write.option("compression", "snappy").parquet(base)
+    base_bytes = sum(os.path.getsize(p) for p in glob.glob(base + "/*.parquet"))
+
+    path = str(tmp_path / "enc")
+    table = encode_job(spark, corpus, path, _policy(), if_exists="error")
+    m = table_metrics(table)
+    assert m["rows"] == ROWS
+    assert m["enc_bytes"] <= base_bytes, (m["enc_bytes"], base_bytes)
+
+
+def test_kill_and_resume(spark, corpus, tmp_path):
+    path = str(tmp_path / "enc")
+    t = encode_job(spark, corpus, path, _policy(), if_exists="error", max_parts=2)
+    done1 = t.completed_parts()
+    assert 0 < len(done1)
+    lin1 = t.lineage()
+    # file mtimes of committed parts must survive the resume untouched
+    mtimes1 = {
+        p: os.path.getmtime(os.path.join(t.data_dir, f"part_id={p}"))
+        for p in done1
+    }
+
+    t2 = encode_job(spark, corpus, path, _policy(), if_exists="skip")
+    done2 = t2.completed_parts()
+    assert done1 < done2
+    for p in done1:
+        assert t2.lineage()[p]["sha256_manifest"] == lin1[p]["sha256_manifest"]
+        assert os.path.getmtime(os.path.join(t.data_dir, f"part_id={p}")) == mtimes1[p]
+
+    decoded = decode_job(spark, path)
+    assert decoded.count() == ROWS
+    # resuming a complete table is a no-op
+    t3 = encode_job(spark, corpus, path, _policy(), if_exists="skip")
+    assert t3.completed_parts() == done2
+
+
+def test_if_exists_semantics(spark, corpus, tmp_path):
+    path = str(tmp_path / "enc")
+    encode_job(spark, corpus.limit(100), path, _policy(), if_exists="error")
+    with pytest.raises(ConfigException, match="already exists"):
+        encode_job(spark, corpus.limit(100), path, _policy(), if_exists="error")
+    # delete recreates from scratch
+    t = encode_job(spark, corpus.limit(50), path, _policy(), if_exists="delete")
+    assert table_metrics(t)["rows"] == 50
+
+
+def test_config_errors_fail_fast(spark, corpus):
+    with pytest.raises(ConfigException, match="unknown column"):
+        encode_job(spark, corpus, "/tmp/x", _policy(column_options={"nope": "rle"}))
+    with pytest.raises(ConfigException, match="unknown codec"):
+        encode_job(spark, corpus, "/tmp/x", _policy(column_options={"lang": "lzo"}))
+    with pytest.raises(ConfigException, match="not encodable"):
+        roundtrip(corpus.select(F.array(F.col("lang")).alias("a")))
+
+
+def test_forced_column_policy_respected(spark, corpus, tmp_path):
+    path = str(tmp_path / "enc")
+    pol = _policy(column_options={"lang": "dict", "content": "fsst"})
+    encode_job(spark, corpus, path, pol, if_exists="error")
+    enc = EncodedTable(path).read_encoded(spark)
+    lang_codecs = {r["codec"] for r in enc.filter(F.col("col") == "lang").select("codec").distinct().collect()}
+    content_codecs = {r["codec"] for r in enc.filter(F.col("col") == "content").select("codec").distinct().collect()}
+    assert lang_codecs == {"dict"}
+    assert content_codecs <= {"fsst", "raw"}  # raw = chunk with no free code bytes
+    assert decode_job(spark, path).count() == ROWS
+
+
+def test_six_types_golden_roundtrip(spark):
+    df = six_types_df(spark)
+    out = roundtrip(df).orderBy("c1").collect()
+    src = df.orderBy("c1").collect()
+    assert out == src
