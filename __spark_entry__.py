@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: embulk_output_s3_parquet_spark -- a per-column lightweight-
+compression engine (SURVEY.md section 2) plus the training-data-pipeline
+operators (dedup / similarity / text analysis / multimodal plumbing).
+
+Query families:
+* rt_*        -- encode->decode round-trips (the engine's core invariant;
+                 oracle = SELECT the original table: values must hash equal)
+* cast_*      -- the reference's typed cast matrix C5-C18 (SURVEY.md 2.2)
+* q*_/agg_*   -- relational showcases (pricing summary, broadcast join)
+* doc_*/dedup_* -- text analysis + dedup over documents
+* ann_*/emb_* -- similarity search over embeddings
+* enc_*/mm_*/lsh_*/simhash_* -- engine stats & non-SQL-expressible ops
+                 (no oracle entry -> driver's rows-only check)
 """
 
 from __future__ import annotations
@@ -12,27 +20,597 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode the documents table, decode it back, and report
+    per-(column, codec) chunk stats with verified bit-identity."""
+    from embulk_output_s3_parquet_spark.operators.decode import decode_chunks
+    from embulk_output_s3_parquet_spark.operators.encode import encode_map
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    docs = _t(spark, SF_DEFAULT, "documents")
+    policy = CodecPolicy(chunk_rows=4096)
+    encoded = encode_map(docs, policy).cache()
+    decoded = decode_chunks(encoded, docs.schema)
+    matches = (
+        docs.select("doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("a"))
+        .join(
+            decoded.select("doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("b")),
+            "doc_id",
+        )
+        .filter(F.col("a") == F.col("b"))
+        .count()
+    )
+    stats = (
+        encoded.groupBy("col", "codec")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .withColumn("sha_matches", F.lit(matches))
+        .orderBy("col", "codec")
+    )
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# round-trips (engine core; oracle = original table)
+# ---------------------------------------------------------------------------
+
+
+def _rt(table: str, ts_cols: tuple[str, ...] = ()):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from embulk_output_s3_parquet_spark.operators.decode import roundtrip
+        from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+        df = _t(spark, sf_dir, table)
+        out = roundtrip(df, CodecPolicy(chunk_rows=8192))
+        for c in ts_cols:
+            out = out.withColumn(c, F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
+        return out
+
+    return run
+
+
+def _rt_oracle(table: str, cols: list[str], ts_cols: tuple[str, ...] = ()) -> str:
+    sel = ", ".join(
+        f"strftime({c}, '%Y-%m-%d %H:%M:%S') AS {c}" if c in ts_cols else c
+        for c in cols
+    )
+    return f"SELECT {sel} FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# cast layer (SURVEY.md 2.2)
+# ---------------------------------------------------------------------------
+
+
+def _casts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions import casts as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        C.checked_int(F.col("l_orderkey"), 32).alias("ok_i32"),
+        C.bool_to_int(F.col("l_returnflag") == "R", 32).alias("retflag_i"),
+        C.double_to_int_halfup(F.col("l_extendedprice"), 64).alias("price_i64"),
+        C.string_to_int_halfup(F.col("l_quantity").cast("string"), 64).alias("qty_from_str"),
+        C.decimal_to_string(F.col("l_extendedprice"), 12, 2).alias("price_dec_str"),
+    )
+
+
+_CASTS_LINEITEM_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_orderkey AS INTEGER) AS ok_i32,
+       CAST(l_returnflag = 'R' AS INTEGER) AS retflag_i,
+       CAST(round(l_extendedprice) AS BIGINT) AS price_i64,
+       CAST(round(CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) AS BIGINT) AS qty_from_str,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str
+FROM lineitem
+"""
+
+
+def _casts_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions import casts as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        C.format_timestamp(F.col("l_shipdate")).alias("ship_txt"),
+        C.timestamp_to_epoch(F.col("l_shipdate"), "millis").alias("ship_ms"),
+        C.timestamp_to_epoch(F.col("l_shipdate"), "micros").alias("ship_us"),
+        C.timestamp_to_epoch_days(F.col("l_shipdate")).alias("ship_days"),
+        C.timestamp_to_time_of_day(F.col("l_shipdate"), "micros").alias("ship_tod_us"),
+    )
+
+
+_CASTS_TIMESTAMP_SQL = """
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_txt,
+       epoch_ms(l_shipdate) AS ship_ms,
+       epoch_us(l_shipdate) AS ship_us,
+       CAST(epoch_us(l_shipdate) // 86400000000 AS INTEGER) AS ship_days,
+       epoch_us(l_shipdate) - epoch_us(date_trunc('day', l_shipdate)) AS ship_tod_us
+FROM lineitem
+"""
+
+
+def _json_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.to_json(F.struct("o_orderkey", "o_orderstatus")).alias("j"),
+    )
+
+
+_JSON_RENDER_SQL = """
+SELECT o_orderkey,
+       to_json(struct_pack(o_orderkey := o_orderkey, o_orderstatus := o_orderstatus)) AS j
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational showcases
+# ---------------------------------------------------------------------------
+
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join showcase: small dims broadcast, one shuffle agg."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"), "revenue")
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def _agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AGG_EVENTS_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id) AS users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.token_count(F.col("text")).alias("n_tokens"))
+
+
+_DOC_TOKENS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    cc = X.char_classes(F.col("text"))
+    return d.select(
+        "doc_id",
+        cc["n_chars"].alias("n_chars_c"),
+        cc["alpha_ratio"].alias("alpha_ratio"),
+        cc["digit_ratio"].alias("digit_ratio"),
+        cc["space_ratio"].alias("space_ratio"),
+        X.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_DOC_STATS_SQL = r"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+    length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS space,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS stops
+  FROM documents
+)
+SELECT doc_id, n AS n_chars_c,
+  round(alpha / greatest(CAST(n AS DOUBLE), 1.0), 6) AS alpha_ratio,
+  round(digit / greatest(CAST(n AS DOUBLE), 1.0), 6) AS digit_ratio,
+  round(space / greatest(CAST(n AS DOUBLE), 1.0), 6) AS space_ratio,
+  round(stops / greatest(CAST(toks AS DOUBLE), 1.0), 6) AS stop_ratio,
+  round(0.4 * (CASE WHEN n BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.3 END)
+      + 0.4 * round(alpha / greatest(CAST(n AS DOUBLE), 1.0), 6)
+      + 0.2 * least(round(stops / greatest(CAST(toks AS DOUBLE), 1.0), 6) * 5, 1.0), 6) AS quality
+FROM b
+"""
+
+
+def _doc_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_guess"))
+
+
+_DOC_LANG_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS se,
+    len(regexp_extract_all(lower(text), '\b(der|und|die|das|ist)\b')) AS sd,
+    len(regexp_extract_all(lower(text), '\b(el|los|que|una|es)\b')) AS ss,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS sf,
+    len(regexp_extract_all(lower(text), '\b(de|shi|zai|le|he)\b')) AS sz
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(se, sd, ss, sf, sz) = 0 THEN 'und'
+       WHEN se >= sd AND se >= ss AND se >= sf AND se >= sz THEN 'en'
+       WHEN sd >= ss AND sd >= sf AND sd >= sz THEN 'de'
+       WHEN ss >= sf AND ss >= sz THEN 'es'
+       WHEN sf >= sz THEN 'fr'
+       ELSE 'zh' END AS lang_guess
+FROM s
+"""
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+_DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup over documents
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions.dedup import sha_exact_dedup
+
+    return sha_exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def _dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions.dedup import keep_first_dedup
+
+    return keep_first_dedup(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "n_chars")
+
+
+_DEDUP_KEEP_FIRST_SQL = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2, k=5)
+
+
+_NGRAM_JACCARD_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS s
+  FROM norm WHERE len(t) >= 5
+), ex AS (
+  SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(count(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING round(CAST(count(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.2
+"""
+
+
+def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents")).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions.similarity import cosine_topk
+
+    q = _query_vec(spark, sf_dir)
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), q, k=10)
+
+
+_ANN_TOPK_SQL = """
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions.similarity import lsh_topk
+
+    q = _query_vec(spark, sf_dir)
+    planes = _fixed_planes(dim=len(q), n=4)
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), q, planes, k=10)
+
+
+def _fixed_planes(dim: int, n: int) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return [list(map(float, rng.normal(size=dim))) for _ in range(n)]
+
+
+def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+_EMB_NEAR_DUPS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# engine stats + multimodal (non-SQL-expressible -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.operators.encode import encode_map
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = encode_map(docs, CodecPolicy(chunk_rows=4096))
+    return (
+        enc.groupBy("col", "codec")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum("n").alias("rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .orderBy("col", "codec")
+    )
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions.multimodal import (
+        attach_media,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(attach_media(docs, "text", "doc_id")).orderBy("media_id")
+
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions.multimodal import attach_media, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_media(docs, "text", "doc_id"), every_ms=500).orderBy(
+        "media_id", "frame_ms"
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
+
+_RT_TABLES = {
+    "rt_documents": ("documents", ["doc_id", "text", "lang", "source", "n_chars"], ()),
+    "rt_lineitem": (
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+         "l_shipdate"],
+        ("l_shipdate",),
+    ),
+    "rt_orders": (
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+         "o_orderpriority"],
+        ("o_orderdate",),
+    ),
+    "rt_events": (
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ("ts",),
+    ),
+    "rt_customer": (
+        "customer",
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        (),
+    ),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _rt(tbl, ts) for name, (tbl, _cols, ts) in _RT_TABLES.items()
+    }
+    q.update(
+        {
+            "cast_matrix_lineitem": _casts_lineitem,
+            "cast_timestamps": _casts_timestamp,
+            "json_render": _json_render,
+            "q1_pricing_summary": _q1,
+            "q3_top_revenue": _q3,
+            "agg_events_by_type": _agg_events,
+            "doc_token_counts": _doc_tokens,
+            "doc_char_stats": _doc_stats,
+            "doc_lang_id": _doc_lang,
+            "doc_fingerprint": _doc_fingerprint,
+            "dedup_exact_sha": _dedup_exact,
+            "dedup_keep_first": _dedup_keep_first,
+            "ngram_jaccard_pairs": _ngram_jaccard,
+            "minhash_lsh_candidates": _minhash_lsh,
+            "simhash64": _simhash,
+            "ann_cosine_topk": _ann_topk,
+            "ann_lsh_topk": _ann_lsh,
+            "embedding_near_dups": _emb_near_dups,
+            "encode_stats_documents": _encode_stats,
+            "multimodal_features": _mm_features,
+            "multimodal_frame_sampling": _mm_frames,
+        }
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        name: _rt_oracle(tbl, cols, ts) for name, (tbl, cols, ts) in _RT_TABLES.items()
+    }
+    o.update(
+        {
+            "cast_matrix_lineitem": _CASTS_LINEITEM_SQL,
+            "cast_timestamps": _CASTS_TIMESTAMP_SQL,
+            "json_render": _JSON_RENDER_SQL,
+            "q1_pricing_summary": _Q1_SQL,
+            "q3_top_revenue": _Q3_SQL,
+            "agg_events_by_type": _AGG_EVENTS_SQL,
+            "doc_token_counts": _DOC_TOKENS_SQL,
+            "doc_char_stats": _DOC_STATS_SQL,
+            "doc_lang_id": _DOC_LANG_SQL,
+            "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+            "dedup_exact_sha": _DEDUP_EXACT_SQL,
+            "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
+            "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+            "ann_cosine_topk": _ANN_TOPK_SQL,
+            "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
+        }
+    )
+    return o

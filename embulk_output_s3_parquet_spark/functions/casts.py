@@ -66,7 +66,7 @@ def double_to_int_halfup(col: Column, bits: int = 64, signed: bool = True) -> Co
 def string_to_int_halfup(col: Column, bits: int = 64, signed: bool = True) -> Column:
     """C10: exact decimal parse, HALF_UP, range check; parse failure raises
     (IntLogicalType.scala:109-114)."""
-    dec = col.cast("decimal(38,0)")
+    dec = col.try_cast("decimal(38,0)")
     parsed = F.when(
         col.isNull() | dec.isNotNull(), dec
     ).otherwise(F.raise_error(F.concat(F.lit("cannot parse as number: "), col)))
@@ -81,7 +81,10 @@ def format_timestamp(col: Column, fmt: str = "yyyy-MM-dd HH:mm:ss", tz: str | No
 
 
 def timestamp_to_epoch(col: Column, unit: str = "millis") -> Column:
-    """C11: TIMESTAMP(unit) int64 (TimestampLogicalType.scala:66-82)."""
+    """C11: TIMESTAMP(unit) int64 (TimestampLogicalType.scala:66-82).
+    TIMESTAMP_NTZ inputs (parquet default) are interpreted in the session
+    zone (UTC) via an explicit cast -- unix_* require TIMESTAMP."""
+    col = col.cast("timestamp")
     if unit == "millis":
         return F.unix_millis(col)
     if unit == "micros":
@@ -94,7 +97,7 @@ def timestamp_to_epoch(col: Column, unit: str = "millis") -> Column:
 def timestamp_to_time_of_day(col: Column, unit: str = "micros", tz: str = "UTC") -> Column:
     """C12: wall-clock time-of-day in zone as int (TimeLogicalType.scala:73-105).
     No Spark TIME type -> micros/millis/nanos since local midnight."""
-    local = F.from_utc_timestamp(col, tz)
+    local = F.from_utc_timestamp(col.cast("timestamp"), tz)
     micros = F.unix_micros(local) - F.unix_micros(F.date_trunc("day", local))
     if unit == "millis":
         return (micros / 1000).cast("int")
@@ -108,7 +111,7 @@ def timestamp_to_time_of_day(col: Column, unit: str = "micros", tz: str = "UTC")
 def timestamp_to_epoch_days(col: Column) -> Column:
     """C13: whole days since epoch, truncation toward zero for pre-1970
     (DateLogicalType.scala:48-62 uses Duration.toDays = trunc)."""
-    secs = F.unix_micros(col) / F.lit(1_000_000)
+    secs = F.unix_micros(col.cast("timestamp")) / F.lit(1_000_000)
     return (secs / 86400).cast("bigint").cast("int")
 
 

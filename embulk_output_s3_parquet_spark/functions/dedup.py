@@ -1,0 +1,178 @@
+"""Deduplication operators over a documents table (task brief):
+
+* exact (sha256 hash-groupBy)
+* n-gram Jaccard exact near-dup (inverted-index join -- never a cross join)
+* MinHash + LSH banding (scale path: candidate pairs via band-bucket join)
+* SimHash (64-bit, per-bit majority vote)
+
+All DataFrame-native: shingling via ``F.transform`` over a ``sequence``,
+hashing via ``xxhash64`` -- no Python UDFs. At 100 TB the shapes that matter:
+the inverted-index join explodes doc x shingle (bounded by ``max_shingles``
+per doc) and shuffles on shingle; MinHash LSH shuffles only (doc, band)
+pairs, which is why it's the scale path for low thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sha_exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one surviving id per distinct text (sha256 group key)."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_sha"), F.col(id_col))
+        .groupBy("text_sha")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def keep_first_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Window variant: rank within duplicate group, keep rn=1 rows."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def word_shingles(text_col: str, k: int = 5, max_shingles: int = 256):
+    """Distinct k-word shingles as an array column (bounded per doc)."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.slice(F.array_distinct(F.when(n >= k, sh).otherwise(F.array())), 1, max_shingles)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via inverted-index self-join on shingles.
+
+    |intersection| from the join group count; |union| = |A|+|B|-|inter|.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    ).withColumn("nsh", F.size("sh")).filter(F.col("nsh") > 0)
+    inv = docs.select("id", "nsh", F.explode("sh").alias("shingle"))
+    a = inv.select(
+        F.col("id").alias("id_a"), F.col("nsh").alias("na"), "shingle"
+    )
+    b = inv.select(
+        F.col("id").alias("id_b"), F.col("nsh").alias("nb"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, salt_i). Pure expressions; one row per doc."""
+    docs = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.filter(F.size("sh") > 0).select("id", sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+    Shuffle volume = docs x bands, independent of pair count."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bid).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bid * rows_per_band + j].cast("string")
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bid in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over token hashes, all in
+    aggregate expressions (explode tokens -> per-bit sums -> reassemble)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*bit_votes)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select("id", sim.alias("simhash"))

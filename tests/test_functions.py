@@ -1,0 +1,141 @@
+"""Unit tests for the training-data-pipeline operators: text analysis,
+dedup (exact / jaccard / minhash-LSH / simhash), similarity search, and the
+multimodal plumbing (stubbed decode, real batching)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_s3_parquet_spark.functions import dedup as D
+from embulk_output_s3_parquet_spark.functions import multimodal as M
+from embulk_output_s3_parquet_spark.functions import similarity as S
+from embulk_output_s3_parquet_spark.functions import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again", "en"),  # near dup
+        (3, "der hund und die katze das ist gut und schon wieder der hund", "de"),
+        (4, "", None),
+        (5, "completely different text about spark catalyst optimizer internals", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_token_count(spark, docs):
+    out = {r["doc_id"]: r["n"] for r in docs.select("doc_id", X.token_count(F.col("text")).alias("n")).collect()}
+    assert out[0] == 12
+    assert out[4] == 0
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["l"] for r in docs.select("doc_id", X.lang_id(F.col("text")).alias("l")).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[4] == "und"
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "other")], "id long, t string"
+    )
+    fps = [r["f"] for r in df.select(X.fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_exact_dedup(spark, docs):
+    out = D.sha_exact_dedup(docs)
+    assert out.count() == 5  # 6 docs, one exact dup pair
+    dup = out.filter(F.col("dup_count") == 2).first()
+    assert dup["keep_id"] == 0
+    kept = D.keep_first_dedup(docs)
+    assert kept.count() == 5
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, k=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got  # exact dup -> jaccard 1.0
+    assert (0, 2) in got or (1, 2) in got  # near dup
+    assert all(p[1] != 5 for p in got)  # unrelated doc never pairs
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(0, 1)] == 1.0
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(spark, docs):
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(docs, num_hashes=32, bands=16, k=3).collect()
+    }
+    assert (0, 1) in cands  # identical docs always collide in every band
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    out = {r["id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    assert out[0] == out[1]  # identical
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[5]).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + rng.normal(scale=0.01, size=8)]),  # near dup
+        (2, [float(x) for x in rng.normal(size=8)]),
+        (3, [float(x) for x in -base]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_cosine_topk(spark, vecs):
+    q = [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+    out = S.cosine_topk(vecs, q, k=2)
+    rows = out.collect()
+    assert [r["vec_id"] for r in rows] == [0, 1]
+    assert rows[0]["sim"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_embedding_near_dups(spark, vecs):
+    pairs = S.embedding_near_dup_pairs(vecs, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_lsh_topk_finds_same_bucket_neighbor(spark, vecs):
+    q = [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+    planes = [[1.0] * 8, [1.0, -1.0] * 4]
+    rows = S.lsh_topk(vecs, q, planes, k=4).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert 0 in ids  # query's own bucket contains itself
+
+
+def test_multimodal_features_and_stub(spark, docs):
+    media = M.attach_media(docs, "text", "doc_id")
+    feats = M.extract_features(media).collect()
+    assert len(feats) == docs.count()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog again and again")
+    assert by_id[0]["sha256"] == by_id[1]["sha256"]  # same text -> same media sha
+    assert by_id[4]["n_bytes"] == 0
+    # the stub decode raises without the explicit fake flag
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"bytes")
+    img = M.decode_image(b"bytes", deterministic_fake=True)
+    assert img.ndim == 3 and img.shape[2] == 3
+
+
+def test_frame_sampling(spark, docs):
+    media = M.attach_media(docs, "text", "doc_id")
+    frames = M.sample_frames(media, every_ms=100)
+    vids = media.filter("kind = 'video'").select("media_id", "meta_ms").collect()
+    expect = sum(max((r["meta_ms"] - 1) // 100 + 1, 1) for r in vids)
+    assert frames.count() == expect
