@@ -1,0 +1,150 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline engine paths at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., ...extra}
+
+Headline paths:
+  encode_documents / decode_documents -- the engine core on real text
+  encode_corpus                       -- engine on the synthetic source-code
+                                         corpus (cached parquet, gen excluded)
+  parquet_snappy_baseline             -- the reference-equivalent writer
+                                         (BASELINE.md): time + bytes to beat
+  q1/q3/dedup/ann                     -- relational + pipeline operators
+
+Extra keys report compression ratio vs the snappy baseline and encode
+throughput; scaling across core counts is measured by scripts/scaling_bench.py
+(results recorded in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _dir_size(path: str) -> int:
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(path, "**"), recursive=True)
+        if os.path.isfile(p)
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    corpus_rows = int(os.environ.get("BENCH_CORPUS_ROWS", "100000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from embulk_output_s3_parquet_spark.corpus import repos_df
+    from embulk_output_s3_parquet_spark.operators.decode import decode_chunks
+    from embulk_output_s3_parquet_spark.operators.encode import encode_map
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+    from embulk_output_s3_parquet_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=cores)
+    timings: dict[str, float] = {}
+    extra: dict = {"cores": cores}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    policy = CodecPolicy(chunk_rows=32768)
+
+    # --- engine core on documents ------------------------------------------
+    enc_docs = None
+
+    def run_encode_docs():
+        nonlocal enc_docs
+        enc_docs = encode_map(docs, policy).cache()
+        return enc_docs.agg(
+            F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+        ).first()
+
+    stats = timed("encode_documents", run_encode_docs)
+    extra["documents_raw_bytes"] = int(stats["raw"])
+    extra["documents_enc_bytes"] = int(stats["enc"])
+
+    timed(
+        "decode_documents",
+        lambda: decode_chunks(enc_docs, docs.schema).count(),
+    )
+
+    # --- engine on the synthetic source-code corpus -------------------------
+    corpus_path = f"/tmp/bench_corpus_{corpus_rows}.parquet"
+    if not os.path.exists(corpus_path):
+        repos_df(spark, corpus_rows, partitions=cores * 2).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    def run_encode_corpus():
+        enc = encode_map(corpus, policy)
+        return enc.agg(
+            F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+        ).first()
+
+    cstats = timed("encode_corpus", run_encode_corpus)
+    extra["corpus_rows"] = corpus_rows
+    extra["corpus_raw_bytes"] = int(cstats["raw"])
+    extra["corpus_enc_bytes"] = int(cstats["enc"])
+    extra["corpus_encode_gbps"] = round(
+        cstats["raw"] / timings["encode_corpus"] / 1e9, 4
+    )
+
+    # --- reference-equivalent baseline (BASELINE.md) -------------------------
+    snappy_dir = "/tmp/bench_snappy_corpus"
+    shutil.rmtree(snappy_dir, ignore_errors=True)
+    timed(
+        "parquet_snappy_baseline",
+        lambda: corpus.write.option("compression", "snappy").parquet(snappy_dir),
+    )
+    extra["corpus_snappy_bytes"] = _dir_size(snappy_dir)
+    extra["ratio_vs_snappy"] = round(
+        extra["corpus_enc_bytes"] / max(extra["corpus_snappy_bytes"], 1), 4
+    )
+
+    # --- relational + pipeline operators ------------------------------------
+    qs = entrymod.queries()
+    for name in (
+        "rt_lineitem",
+        "q1_pricing_summary",
+        "q3_top_revenue",
+        "dedup_exact_sha",
+        "minhash_lsh_candidates",
+        "ann_cosine_topk",
+        "doc_char_stats",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,9 +35,22 @@ from .base import (
 NAME = "fsst"
 
 _SYM_LENGTHS = (2, 3, 4, 6, 8)
-_TRAIN_BYTES = 32768
-_MAX_SYMBOLS = 48
+_TRAIN_BYTES = 16384
+_MAX_SYMBOLS = 32
 _MIN_GAIN = 32
+
+
+def _free_bytes(data: bytes, want: int) -> list[int]:
+    """Byte values absent from ``data`` (highest first), via C-speed memchr
+    probes -- a full histogram of a 100MB chunk costs seconds, ``find`` of a
+    missing byte costs one linear scan and present bytes return early."""
+    out: list[int] = []
+    for b in range(255, -1, -1):
+        if data.find(b) == -1:
+            out.append(b)
+            if len(out) >= want:
+                break
+    return out
 
 
 def _train(sample: bytes, max_symbols: int) -> list[bytes]:
@@ -72,8 +85,7 @@ def encode(values: pa.Array) -> tuple[bytes, dict]:
             pack_sections([block_compress(lens.tobytes()), block_compress(b""), b""]),
             {"k": 0},
         )
-    hist = np.bincount(np.frombuffer(data, np.uint8), minlength=256)
-    free = [i for i in range(255, -1, -1) if hist[i] == 0]
+    free = _free_bytes(data, _MAX_SYMBOLS)
     if not free:
         raise CodecUnsuitable("fsst: no free code bytes in chunk")
     symbols = _train(data[:_TRAIN_BYTES], min(len(free), _MAX_SYMBOLS))

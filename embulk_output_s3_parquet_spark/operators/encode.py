@@ -67,19 +67,43 @@ def _resolve_policy(schema: T.StructType, policy: CodecPolicy) -> dict[str, str]
     }
 
 
+_RESELECT_EVERY = 8
+
+
 def _encode_slices(
-    part_id: int, table: pa.Table, colmap: dict[str, str], chunk_rows: int, seq0: int = 0
+    part_id: int,
+    table: pa.Table,
+    colmap: dict[str, str],
+    chunk_rows: int,
+    seq0: int = 0,
+    sticky: dict[str, str] | None = None,
 ) -> pa.Table:
+    """Encode a table as column chunks.
+
+    ``sticky`` caches the auto-selector's last choice per column across
+    chunks (re-sampled every _RESELECT_EVERY chunks): within a planned
+    partition the data distribution is homogeneous (the partitioner groups
+    by lang/repo), so re-running sampled trials per chunk pays pure
+    overhead. Pass a fresh dict per task."""
     cols: dict[str, list] = {name: [] for name in _ENC_ARROW.names}
     n_rows = table.num_rows
     seq = seq0
+    sticky = sticky if sticky is not None else {}
     for off in range(0, max(n_rows, 1), chunk_rows):
         chunk = table.slice(off, chunk_rows)
         if chunk.num_rows == 0 and n_rows > 0:
             break
         for name, codec in colmap.items():
             arr = chunk.column(name)
-            payload, meta = encode_array(arr, codec)
+            use = codec
+            if codec == "auto":
+                prev, uses = sticky.get(name, (None, 0))
+                if prev is not None and uses % _RESELECT_EVERY != 0:
+                    use = prev
+                payload, meta = encode_array(arr, use)
+                sticky[name] = (meta["c"] if use == "auto" else prev, uses + 1)
+            else:
+                payload, meta = encode_array(arr, codec)
             cols["part_id"].append(part_id)
             cols["chunk_seq"].append(seq)
             cols["col"].append(name)
@@ -121,9 +145,10 @@ def encode_map(df: DataFrame, policy: CodecPolicy) -> DataFrame:
     def enc(batches):
         pid = TaskContext.get().partitionId()
         seq = 0
+        sticky: dict[str, str] = {}
         for batch in batches:
             t = pa.Table.from_batches([batch])
-            out = _encode_slices(pid, t, colmap, chunk_rows, seq0=seq)
+            out = _encode_slices(pid, t, colmap, chunk_rows, seq0=seq, sticky=sticky)
             seq += max(1, -(-t.num_rows // chunk_rows))
             yield from out.to_batches()
 

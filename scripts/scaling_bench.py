@@ -1,0 +1,118 @@
+"""Two-parallelism scaling benchmark (north_rule: >=0.8 efficiency N->4N).
+
+No real cluster in this sandbox, so per driver instruction the same
+spark-submit --py-files job runs at local[8] and local[32] on identical
+input; scaling efficiency = (T_8 / T_32) / 4.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python scripts/scaling_bench.py [--rows 200000] [--levels 8,32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _gen_corpus(rows: int) -> str:
+    path = f"/tmp/bench_corpus_{rows}.parquet"
+    if os.path.exists(path):
+        return path
+    sys.path.insert(0, ROOT)
+    from embulk_output_s3_parquet_spark.corpus import repos_df
+    from embulk_output_s3_parquet_spark.session import get_spark
+
+    spark = get_spark(app="corpusgen", cores=32)
+    repos_df(spark, rows, partitions=64).write.parquet(path)
+    spark.stop()
+    return path
+
+
+def _run_level(cores: int, corpus: str, rows: int) -> dict:
+    out_dir = f"/tmp/scale_enc_{cores}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    zip_path = os.path.join(ROOT, "dist", "engine.zip")
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", zip_path,
+        os.path.join(ROOT, "scripts", "run_encode.py"),
+        "--input-parquet", corpus,
+        "--out", out_dir,
+        "--if-exists", "delete",
+        "--target-part-mb", "16",
+    ]
+    t0 = time.time()
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    wall_total = time.time() - t0
+    line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
+    m = json.loads(line)
+    m["cores"] = cores
+    m["wall_total_s"] = round(wall_total, 2)  # incl. JVM startup; wall_s = job only
+    return m
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=200000)
+    ap.add_argument("--levels", default="8,32")
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
+    assert len(levels) == 2 and levels[1] > levels[0]
+
+    subprocess.run([sys.executable, os.path.join(ROOT, "scripts", "make_pyfiles.py")], check=True)
+    corpus = _gen_corpus(args.rows)
+
+    results = [_run_level(c, corpus, args.rows) for c in levels]
+    t_lo, t_hi = results[0]["wall_s"], results[1]["wall_s"]
+    factor = levels[1] / levels[0]
+    eff = (t_lo / t_hi) / factor
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "levels": levels,
+        "rows": args.rows,
+        "raw_bytes": results[0]["raw_bytes"],
+        "wall_s": {str(levels[0]): t_lo, str(levels[1]): t_hi},
+        "gbps": {
+            str(levels[0]): round(results[0]["raw_bytes"] / t_lo / 1e9, 4),
+            str(levels[1]): round(results[1]["raw_bytes"] / t_hi / 1e9, 4),
+        },
+        "enc_bytes": results[1]["enc_bytes"],
+        "pass_0p8": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured engine numbers\n\n"
+            "Protocol (BASELINE.md): same `spark-submit --py-files dist/engine.zip "
+            "scripts/run_encode.py` job on identical cached corpus parquet at two "
+            "parallelism levels (N and 4N cores stand in for N and 4N executors).\n\n"
+            f"- corpus rows: {args.rows} (deterministic seed 42), "
+            f"raw bytes: {results[0]['raw_bytes']:,}\n"
+            f"- encoded bytes: {results[1]['enc_bytes']:,}\n"
+            f"- local[{levels[0]}]: wall {t_lo}s, "
+            f"{summary['gbps'][str(levels[0])]} GB/s input\n"
+            f"- local[{levels[1]}]: wall {t_hi}s, "
+            f"{summary['gbps'][str(levels[1])]} GB/s input\n"
+            f"- scaling efficiency (T{levels[0]}/T{levels[1]})/{int(factor)} = "
+            f"**{eff:.3f}** (target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
