@@ -56,6 +56,19 @@ def main() -> int:
     timings: dict[str, float] = {}
     extra: dict = {"cores": cores}
 
+    # untimed warmup: spawn + import-warm the Python UDF workers on every
+    # core (steady-state throughput is the scale-relevant number; cold
+    # worker fork+import costs ~5-8s once per executor, reported separately)
+    t0 = time.time()
+    import pyarrow as pa
+
+    def _noop(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_pydict({"n": pa.array([b.num_rows], pa.int32())})
+
+    spark.range(0, cores * 2, 1, cores * 2).mapInArrow(_noop, "n int").count()
+    extra["worker_warmup_sec"] = round(time.time() - t0, 3)
+
     def timed(name: str, fn):
         t0 = time.time()
         out = fn()

@@ -55,6 +55,16 @@ def main() -> int:
         else repos_df(spark, args.rows)
     )
 
+    # warm Python UDF workers on all cores so measured wall is steady-state
+    import pyarrow as pa
+
+    def _noop(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_pydict({"n": pa.array([b.num_rows], pa.int32())})
+
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(0, n_cores * 2, 1, n_cores * 2).mapInArrow(_noop, "n int").count()
+
     t0 = time.time()
     table = encode_job(spark, df, args.out, policy, if_exists=args.if_exists, max_parts=args.max_parts)
     wall = time.time() - t0
