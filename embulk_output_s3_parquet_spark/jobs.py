@@ -67,17 +67,23 @@ def encode_job(
     policy: CodecPolicy | None = None,
     if_exists: str = "skip",
     max_parts: int | None = None,
+    part_base: int = 0,
 ) -> EncodedTable:
     """Encode ``df`` into an EncodedTable; resumes from the manifest.
 
     ``max_parts`` bounds how many incomplete partitions this wave commits --
     used by the kill/resume tests to simulate a job dying mid-run.
+    ``part_base`` offsets assigned part_ids (streaming micro-batches pass
+    batch_id * stride so replayed batches re-map to the same ids ->
+    manifest skip makes the sink exactly-once).
     """
     policy = policy or CodecPolicy()
     policy.validate(df.schema)
     t0 = time.time()
 
     dfp, plan = assign_partitions(df, target_bytes=policy.target_partition_bytes)
+    if part_base:
+        dfp = dfp.withColumn("part_id", (F.col("part_id") + F.lit(part_base)).cast("int"))
     table = EncodedTable.create(table_path, df.schema, policy, if_exists=if_exists)
     table.clean_staging()
 
@@ -86,7 +92,7 @@ def encode_job(
         done_df = spark.createDataFrame([(p,) for p in sorted(done)], "part_id int")
         dfp = dfp.join(F.broadcast(done_df), "part_id", "left_anti")
     if max_parts is not None:
-        todo = sorted(set(range(plan.n_parts)) - done)[:max_parts]
+        todo = sorted(set(range(part_base, part_base + plan.n_parts)) - done)[:max_parts]
         keep = spark.createDataFrame([(p,) for p in todo], "part_id int")
         dfp = dfp.join(F.broadcast(keep), "part_id", "left_semi")
 
