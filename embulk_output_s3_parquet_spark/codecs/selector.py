@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import bitpack, dictionary, forr, fsst, raw, rle
+from . import bitpack, delta, dictionary, forr, fsst, raw, rle
 from .base import CodecUnsuitable, is_intlike, is_stringlike
 
 _SAMPLE_ROWS = 1024
@@ -24,11 +24,12 @@ CODECS = {
     "rle": rle,
     "bitpack": bitpack,
     "for": forr,
+    "delta": delta,
     "fsst": fsst,
 }
 
 # stable preference when trial sizes tie (cheapest decode first)
-_ORDER = {"bitpack": 0, "for": 1, "rle": 2, "dict": 3, "fsst": 4, "raw": 5}
+_ORDER = {"bitpack": 0, "for": 1, "delta": 2, "rle": 3, "dict": 4, "fsst": 5, "raw": 6}
 
 # encode-cost multiplier: a codec must beat the alternatives by this factor
 # on the sample to win. fsst's symbol substitution costs ~60x a zstd pass
@@ -65,7 +66,7 @@ def candidates(values: pa.Array, stats: dict) -> list[str]:
     if pa.types.is_boolean(t):
         out = ["bitpack"] + (["rle"] if runs <= n // 2 else [])
     elif is_intlike(t):
-        out = ["for"]
+        out = ["for", "delta"]
         if runs <= n // 2:
             out.append("rle")
         if distinct <= max(64, n // 8):

@@ -112,6 +112,43 @@ class EncodedTable:
     def lineage(self) -> dict[int, dict]:
         return {int(k): v for k, v in self.manifest()["parts"].items()}
 
+    def catalog_schema(self, overrides: dict[str, str] | None = None) -> list[dict]:
+        """Hive/Glue-style column descriptors with per-column overrides --
+        the analogue of the reference's Glue schema derivation
+        (CatalogRegistrator.scala:180-191, type algebra GlueDataType.scala:5-57)."""
+        type_map = {
+            "boolean": "BOOLEAN", "tinyint": "TINYINT", "smallint": "SMALLINT",
+            "int": "INT", "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+            "string": "STRING", "binary": "BINARY", "date": "DATE",
+            "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+        }
+        overrides = overrides or {}
+        out = []
+        for f in self.schema().fields:
+            simple = f.dataType.simpleString()
+            if f.name not in overrides and simple.startswith("decimal"):
+                glue = simple.upper()
+            else:
+                glue = overrides.get(f.name) or type_map.get(simple)
+            if glue is None:
+                raise ConfigException(f"no catalog type for column {f.name!r}: {simple}")
+            out.append({"name": f.name, "type": glue, "nullable": f.nullable})
+        return out
+
+    def describe(self) -> dict:
+        """Catalog-entry view: schema + properties + lineage summary."""
+        m = self.manifest()
+        parts = m["parts"].values()
+        return {
+            "location": self.path,
+            "columns": self.catalog_schema(),
+            "properties": m["properties"],
+            "parts": len(parts),
+            "rows": sum(p["rows"] for p in parts),
+            "raw_bytes": sum(p["raw_bytes"] for p in parts),
+            "enc_bytes": sum(p["enc_bytes"] for p in parts),
+        }
+
     # -- commit protocol ----------------------------------------------------
 
     def new_staging(self) -> str:

@@ -150,3 +150,18 @@ def test_fsst_actually_substitutes():
 def test_unknown_codec_rejected():
     with pytest.raises(ValueError, match="unknown codec"):
         encode_array(pa.array([1, 2]), "lzo")
+
+
+def test_delta_wins_on_sorted():
+    arr = pa.array((np.arange(5000) * 3 + 10**15).astype(np.int64))
+    name, _ = selector.select(arr)
+    assert name == "delta"
+    payload, meta = encode_array(arr, "delta")
+    assert decode_array(payload, meta).equals(arr)
+    assert len(payload) < 5000  # ~constant deltas pack to almost nothing
+
+
+def test_delta_extremes_roundtrip():
+    arr = pa.array([-(2**63), 2**63 - 1, 0, -1, 2**62, -(2**62)], pa.int64())
+    payload, meta = encode_array(arr, "delta")
+    assert decode_array(payload, meta).equals(arr)

@@ -134,3 +134,19 @@ def test_six_types_golden_roundtrip(spark):
     out = roundtrip(df).orderBy("c1").collect()
     src = df.orderBy("c1").collect()
     assert out == src
+
+
+def test_catalog_schema(spark, corpus, tmp_path):
+    """S10 parity: Hive/Glue-style schema derivation with overrides
+    (reference CatalogRegistrator.scala:180-191)."""
+    path = str(tmp_path / "enc")
+    t = encode_job(spark, corpus.limit(50), path, _policy(), if_exists="error")
+    cols = {c["name"]: c["type"] for c in t.catalog_schema()}
+    assert cols == {
+        "repo": "STRING", "path": "STRING", "commit": "STRING",
+        "lang": "STRING", "content": "STRING",
+    }
+    over = t.catalog_schema(overrides={"content": "BINARY"})
+    assert dict((c["name"], c["type"]) for c in over)["content"] == "BINARY"
+    d = t.describe()
+    assert d["rows"] == 50 and d["parts"] >= 1 and d["enc_bytes"] > 0
