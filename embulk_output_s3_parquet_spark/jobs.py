@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.decode import decode_chunks
-from .operators.encode import encode_grouped
+from .operators.encode import encode_grouped, encode_local
 from .plans.partitioning import assign_partitions
 from .plans.policy import CodecPolicy
 from .sources.tables import EncodedTable
@@ -68,6 +68,7 @@ def encode_job(
     if_exists: str = "skip",
     max_parts: int | None = None,
     part_base: int = 0,
+    shuffle_mode: str = "chunks",
 ) -> EncodedTable:
     """Encode ``df`` into an EncodedTable; resumes from the manifest.
 
@@ -76,6 +77,11 @@ def encode_job(
     ``part_base`` offsets assigned part_ids (streaming micro-batches pass
     batch_id * stride so replayed batches re-map to the same ids ->
     manifest skip makes the sink exactly-once).
+
+    ``shuffle_mode``: "chunks" (default) encodes part-aligned segments in
+    place and shuffles only the encoded chunks to their part files (~10x
+    less shuffle volume); "rows" shuffles raw rows to co-locate each part
+    in one task (larger chunks, better compression locality).
     """
     policy = policy or CodecPolicy()
     policy.validate(df.schema)
@@ -96,7 +102,11 @@ def encode_job(
         keep = spark.createDataFrame([(p,) for p in todo], "part_id int")
         dfp = dfp.join(F.broadcast(keep), "part_id", "left_semi")
 
-    encoded = encode_grouped(dfp, policy)
+    if shuffle_mode == "rows":
+        encoded = encode_grouped(dfp, policy)
+    else:
+        # shuffle AFTER encoding: only compressed chunks move to part files
+        encoded = encode_local(dfp, policy).repartition("part_id")
     staging = table.new_staging()
     encoded.write.partitionBy("part_id").parquet(staging, compression="none")
 

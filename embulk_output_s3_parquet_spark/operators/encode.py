@@ -30,8 +30,8 @@ from ..plans.policy import CodecPolicy
 
 ENCODED_SCHEMA = T.StructType(
     [
-        T.StructField("part_id", T.IntegerType(), False),
-        T.StructField("chunk_seq", T.IntegerType(), False),
+        T.StructField("part_id", T.LongType(), False),
+        T.StructField("chunk_seq", T.LongType(), False),
         T.StructField("col", T.StringType(), False),
         T.StructField("codec", T.StringType(), False),
         T.StructField("n", T.IntegerType(), False),
@@ -45,8 +45,8 @@ ENCODED_SCHEMA = T.StructType(
 
 _ENC_ARROW = pa.schema(
     [
-        ("part_id", pa.int32()),
-        ("chunk_seq", pa.int32()),
+        ("part_id", pa.int64()),
+        ("chunk_seq", pa.int64()),
         ("col", pa.string()),
         ("codec", pa.string()),
         ("n", pa.int32()),
@@ -134,6 +134,83 @@ def encode_grouped(df_with_part: DataFrame, policy: CodecPolicy) -> DataFrame:
         return _encode_slices(part_id, data, colmap, chunk_rows)
 
     return df_with_part.groupBy("part_id").applyInArrow(enc, schema=ENCODED_SCHEMA)
+
+
+def encode_local(df_with_part: DataFrame, policy: CodecPolicy) -> DataFrame:
+    """Shuffle-free encode of a partition-planned DataFrame.
+
+    Instead of shuffling RAW rows to co-locate each planned part
+    (``encode_grouped``), rows are sorted by ``part_id`` *within* each scan
+    partition and encoded as part-aligned segments -- every chunk still
+    belongs to exactly one part_id, but the only thing that ever crosses the
+    network afterwards is the encoded chunks (~10x smaller). At 100 TB this
+    turns the job's dominant shuffle from raw bytes into compressed bytes;
+    on the single-box bench it removes the disk-bound raw shuffle entirely.
+
+    chunk_seq is made globally unique per task via a 2^20 namespace, so a
+    part assembled from many tasks never collides."""
+    schema = T.StructType([f for f in df_with_part.schema.fields if f.name != "part_id"])
+    policy.validate(schema)
+    colmap = _resolve_policy(df_with_part.schema, policy)
+    chunk_rows = policy.chunk_rows
+
+    import numpy as np
+
+    def enc(batches):
+        task = TaskContext.get().partitionId()
+        base = task << 20
+        seq = 0
+        sticky: dict[str, str] = {}
+        # per-part accumulation across Arrow batches: a scan partition
+        # intersects many planned parts, so without buffering every batch
+        # boundary would fragment chunks (measured: 2x chunk count, +4%
+        # encoded bytes). Buffered rows are bounded by the scan partition.
+        pending: dict[int, list[pa.Table]] = {}
+        pending_rows: dict[int, int] = {}
+
+        def flush(pid: int, tail_too: bool):
+            nonlocal seq
+            table = pa.concat_tables(pending[pid])
+            full = (table.num_rows // chunk_rows) * chunk_rows
+            cut = table.num_rows if tail_too else full
+            if cut:
+                out = _encode_slices(
+                    pid, table.slice(0, cut), colmap, chunk_rows,
+                    seq0=base + seq, sticky=sticky,
+                )
+                seq += max(1, -(-cut // chunk_rows))
+                rest = table.slice(cut)
+                if rest.num_rows:
+                    pending[pid] = [rest]
+                    pending_rows[pid] = rest.num_rows
+                else:
+                    del pending[pid], pending_rows[pid]
+                return out
+            return None
+
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            pids = t.column("part_id").to_numpy(zero_copy_only=False)
+            data = t.drop_columns(["part_id"])
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(pids[1:] != pids[:-1]) + 1, [len(pids)])
+            )
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                pid = int(pids[s])
+                pending.setdefault(pid, []).append(data.slice(int(s), int(e - s)))
+                pending_rows[pid] = pending_rows.get(pid, 0) + int(e - s)
+                if pending_rows[pid] >= chunk_rows:
+                    out = flush(pid, tail_too=False)
+                    if out is not None:
+                        yield from out.to_batches()
+        for pid in sorted(pending):
+            out = flush(pid, tail_too=True)
+            if out is not None:
+                yield from out.to_batches()
+
+    return df_with_part.sortWithinPartitions("part_id").mapInArrow(
+        enc, schema=ENCODED_SCHEMA
+    )
 
 
 def encode_map(df: DataFrame, policy: CodecPolicy) -> DataFrame:
