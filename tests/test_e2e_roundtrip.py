@@ -150,3 +150,29 @@ def test_catalog_schema(spark, corpus, tmp_path):
     assert dict((c["name"], c["type"]) for c in over)["content"] == "BINARY"
     d = t.describe()
     assert d["rows"] == 50 and d["parts"] >= 1 and d["enc_bytes"] > 0
+
+
+def test_independent_reader_roundtrip(spark, corpus, tmp_path):
+    """Second-reader verification (reference's parquet-avro trick,
+    EmbulkPluginTestHelper.scala:222-245): decode the encoded table with
+    pyarrow + codec kernels only -- no Spark -- and match per-row sha256."""
+    import hashlib
+
+    from embulk_output_s3_parquet_spark.sources.pyreader import read_table
+
+    path = str(tmp_path / "enc")
+    encode_job(spark, corpus, path, _policy(), if_exists="error")
+    t = read_table(path)
+    assert t.num_rows == ROWS
+
+    def sha_map(rows):
+        return {
+            (r["repo"], r["path"], r["commit"]): hashlib.sha256(
+                (r["content"] or "\x00NULL").encode()
+            ).hexdigest()
+            for r in rows
+        }
+
+    got = sha_map(t.to_pylist())
+    want = sha_map((r.asDict() for r in corpus.collect()))
+    assert got == want
