@@ -250,6 +250,85 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+def _semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def _window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+_WINDOW_TOPK_SQL = """
+SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS price FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def _set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return cust.union(supp).distinct()
+
+
+_SET_UNION_SQL = """
+SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier
+"""
+
+
+def _rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis over documents
 # ---------------------------------------------------------------------------
@@ -570,6 +649,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q1_pricing_summary": _q1,
             "q3_top_revenue": _q3,
             "agg_events_by_type": _agg_events,
+            "anti_join_customers": _anti_join,
+            "semi_join_parts": _semi_join,
+            "window_topk_orders": _window_topk,
+            "set_union_nations": _set_union,
+            "rollup_lineitem": _rollup_counts,
             "doc_token_counts": _doc_tokens,
             "doc_char_stats": _doc_stats,
             "doc_lang_id": _doc_lang,
@@ -602,6 +686,11 @@ def oracle_sql() -> dict[str, str]:
             "q1_pricing_summary": _Q1_SQL,
             "q3_top_revenue": _Q3_SQL,
             "agg_events_by_type": _AGG_EVENTS_SQL,
+            "anti_join_customers": _ANTI_JOIN_SQL,
+            "semi_join_parts": _SEMI_JOIN_SQL,
+            "window_topk_orders": _WINDOW_TOPK_SQL,
+            "set_union_nations": _SET_UNION_SQL,
+            "rollup_lineitem": _ROLLUP_SQL,
             "doc_token_counts": _DOC_TOKENS_SQL,
             "doc_char_stats": _DOC_STATS_SQL,
             "doc_lang_id": _DOC_LANG_SQL,
