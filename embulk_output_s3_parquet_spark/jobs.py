@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .operators.decode import decode_chunks
 from .operators.encode import encode_grouped, encode_local
-from .plans.partitioning import assign_partitions
+from .plans.partitioning import assign_partitions, assign_partitions_generic
 from .plans.policy import CodecPolicy
 from .sources.tables import EncodedTable
 
@@ -87,7 +87,14 @@ def encode_job(
     policy.validate(df.schema)
     t0 = time.time()
 
-    dfp, plan = assign_partitions(df, target_bytes=policy.target_partition_bytes)
+    corpus_cols = {"lang", "repo", "path", "commit", "content"}
+    if corpus_cols <= set(df.columns):
+        dfp, plan = assign_partitions(df, target_bytes=policy.target_partition_bytes)
+    else:
+        # arbitrary table: surrogate bounded-cardinality group keys
+        dfp, plan = assign_partitions_generic(
+            df, target_bytes=policy.target_partition_bytes
+        )
     if part_base:
         dfp = dfp.withColumn("part_id", (F.col("part_id") + F.lit(part_base)).cast("int"))
     table = EncodedTable.create(table_path, df.schema, policy, if_exists=if_exists)

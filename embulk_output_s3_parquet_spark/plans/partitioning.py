@@ -42,12 +42,17 @@ def assign_partitions(
     group_keys: tuple[str, str] = ("lang", "repo"),
     salt_keys: tuple[str, ...] = ("path", "commit"),
     weight_col: str = "content",
+    weight_expr=None,
 ) -> tuple[DataFrame, PartitionPlan]:
     """Return (df + part_id column, plan). Deterministic for a given input."""
     k1, k2 = group_keys
-    g1 = F.coalesce(F.col(k1), F.lit("\x00null"))
-    g2 = F.coalesce(F.col(k2), F.lit("\x00null"))
-    weight = F.coalesce(F.length(F.col(weight_col)).cast("long"), F.lit(0)) + F.lit(64)
+    g1 = F.coalesce(F.col(k1).cast("string"), F.lit("\x00null"))
+    g2 = F.coalesce(F.col(k2).cast("string"), F.lit("\x00null"))
+    weight = (
+        weight_expr
+        if weight_expr is not None
+        else F.coalesce(F.length(F.col(weight_col)).cast("long"), F.lit(0)) + F.lit(64)
+    )
 
     sizes = (
         df.select(g1.alias(k1), g2.alias(k2), weight.alias("w"))
@@ -92,7 +97,7 @@ def assign_partitions(
         k1, k2, "gbytes", "start_part", "splits"
     )
 
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_keys]), F.col("splits")).cast("int")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_keys]), F.col("splits").cast("long")).cast("int")
     # broadcast the (lang, repo) plan when it's small; beyond ~2M groups let
     # AQE pick a shuffled join (broadcasting 10^8 groups would OOM executors)
     plan_side = groups.withColumnRenamed(k1, "__g1").withColumnRenamed(k2, "__g2")
@@ -102,7 +107,35 @@ def assign_partitions(
         plan_side, on=["__g1", "__g2"], how="left"
     )
     out = (
-        joined.withColumn("part_id", (F.col("start_part") + salt).cast("int"))
+        joined.withColumn("part_id", (F.col("start_part") + salt).cast("long"))
         .drop("__g1", "__g2", "gbytes", "start_part", "splits")
     )
     return out, PartitionPlan(n_parts=n_parts, groups=groups)
+
+
+def assign_partitions_generic(
+    df: DataFrame, target_bytes: int = 64 * 1024 * 1024
+) -> tuple[DataFrame, PartitionPlan]:
+    """Partition planning for tables WITHOUT the corpus key columns.
+
+    Surrogate group keys are bounded-cardinality hashes of the row (so the
+    group table stays collectable at any scale) and the byte weight is the
+    octet length of all columns rendered to text -- still deterministic,
+    byte-balanced, and salt-split on hot surrogate groups."""
+    cols = [F.col(c) for c in df.columns]
+    weight = sum(
+        (F.coalesce(F.octet_length(c.cast("string")), F.lit(0)) for c in cols),
+        F.lit(16),
+    )
+    aug = (
+        df.withColumn("__sgk1", F.pmod(F.xxhash64(cols[0]), F.lit(16)).cast("string"))
+        .withColumn("__sgk2", F.pmod(F.xxhash64(*cols), F.lit(4096)).cast("string"))
+    )
+    out, plan = assign_partitions(
+        aug,
+        target_bytes=target_bytes,
+        group_keys=("__sgk1", "__sgk2"),
+        salt_keys=tuple(df.columns),
+        weight_expr=weight.cast("long"),
+    )
+    return out.drop("__sgk1", "__sgk2"), plan

@@ -176,3 +176,17 @@ def test_independent_reader_roundtrip(spark, corpus, tmp_path):
     got = sha_map(t.to_pylist())
     want = sha_map((r.asDict() for r in corpus.collect()))
     assert got == want
+
+
+def test_generic_table_encode_job(spark, tmp_path):
+    """encode_job on a table WITHOUT corpus columns (surrogate partition
+    plan): full round-trip on lineitem incl. timestamps and resume."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "enc_li")
+    t = encode_job(spark, li, path, _policy(), if_exists="error", max_parts=2)
+    assert len(t.completed_parts()) <= 2
+    t2 = encode_job(spark, li, path, _policy(), if_exists="skip")
+    decoded = decode_job(spark, path)
+    a = li.orderBy("l_orderkey", "l_linenumber").toPandas()
+    b = decoded.orderBy("l_orderkey", "l_linenumber").toPandas()
+    assert a.equals(b)
