@@ -75,9 +75,26 @@ def string_to_int_halfup(col: Column, bits: int = 64, signed: bool = True) -> Co
 
 def format_timestamp(col: Column, fmt: str = "yyyy-MM-dd HH:mm:ss", tz: str | None = None) -> Column:
     """C5: default timestamp output is formatted text
-    (DefaultColumnType.scala:70-74; default format README.md:22-26)."""
-    c = F.from_utc_timestamp(col, tz) if tz else col
-    return F.date_format(c, fmt)
+    (DefaultColumnType.scala:70-74; default format README.md:22-26).
+
+    The ``xx`` offset token is rendered for the *target* zone (DST-aware per
+    instant): ``date_format`` always prints the session zone's offset, so the
+    zone shift from ``from_utc_timestamp`` is measured and formatted
+    explicitly."""
+    col = col.cast("timestamp")
+    if not tz:
+        return F.date_format(col, fmt)
+    shifted = F.from_utc_timestamp(col, tz)
+    if "xx" not in fmt:
+        return F.date_format(shifted, fmt)
+    base = F.date_format(shifted, fmt.replace("xx", "").rstrip())
+    off = (F.unix_seconds(shifted.cast("timestamp")) - F.unix_seconds(col)).cast("long")
+    sign = F.when(off < 0, "-").otherwise("+")
+    hh = F.lpad((F.abs(off) / 3600).cast("int").cast("string"), 2, "0")
+    mm = F.lpad(((F.abs(off) % 3600) / 60).cast("int").cast("string"), 2, "0")
+    offset_str = F.concat(sign, hh, mm)
+    sep = " " if fmt.rstrip("x").endswith(" ") else ""
+    return F.concat(base, F.lit(sep), offset_str)
 
 
 def timestamp_to_epoch(col: Column, unit: str = "millis") -> Column:

@@ -27,6 +27,12 @@ def main() -> int:
     ap.add_argument("--target-part-mb", type=int, default=64)
     ap.add_argument("--codec", default="auto", help="default codec policy")
     ap.add_argument("--column-option", action="append", default=[], metavar="COL=CODEC")
+    ap.add_argument(
+        "--embulk-config",
+        help="YAML/JSON file with an embulk-style out: section (column_options/"
+        "type_options with logical_type etc.); the cast plan is applied "
+        "before encoding",
+    )
     ap.add_argument("--if-exists", default="skip", choices=["error", "skip", "delete"])
     ap.add_argument("--max-parts", type=int, default=None, help="commit at most N partitions (kill simulation)")
     ap.add_argument("--verify", action="store_true", help="decode + per-row sha256 equality check")
@@ -54,6 +60,17 @@ def main() -> int:
         if args.input_parquet
         else repos_df(spark, args.rows)
     )
+
+    if args.embulk_config:
+        import yaml
+
+        from embulk_output_s3_parquet_spark.plans.embulk_config import load_output_config
+
+        with open(args.embulk_config) as fh:
+            cfg = yaml.safe_load(fh)
+        cfg = cfg.get("out", cfg)
+        plan = load_output_config(cfg, df.schema)
+        df = plan.apply(df)
 
     # warm Python UDF workers on all cores so measured wall is steady-state
     import pyarrow as pa
