@@ -103,13 +103,20 @@ def main() -> int:
         repos_df(spark, corpus_rows, partitions=cores * 2).write.parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
 
+    enc_corpus = None
+
     def run_encode_corpus():
-        enc = encode_map(corpus, policy)
-        return enc.agg(
+        nonlocal enc_corpus
+        enc_corpus = encode_map(corpus, policy).cache()
+        return enc_corpus.agg(
             F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
         ).first()
 
     cstats = timed("encode_corpus", run_encode_corpus)
+    timed("decode_corpus", lambda: decode_chunks(enc_corpus, corpus.schema).count())
+    extra["corpus_decode_gbps"] = round(
+        cstats["raw"] / timings["decode_corpus"] / 1e9, 4
+    )
     extra["corpus_rows"] = corpus_rows
     extra["corpus_raw_bytes"] = int(cstats["raw"])
     extra["corpus_enc_bytes"] = int(cstats["enc"])
