@@ -129,9 +129,11 @@ def encode_job(
     return table
 
 
-def decode_job(spark: SparkSession, table_path: str) -> DataFrame:
+def decode_job(
+    spark: SparkSession, table_path: str, columns: list[str] | None = None
+) -> DataFrame:
     table = EncodedTable(table_path)
-    return decode_chunks(table.read_encoded(spark), table.schema())
+    return decode_chunks(table.read_encoded(spark), table.schema(), columns=columns)
 
 
 def table_metrics(table: EncodedTable) -> dict:

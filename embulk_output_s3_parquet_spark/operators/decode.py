@@ -18,8 +18,25 @@ from pyspark.sql.pandas.types import to_arrow_schema
 from ..codecs import decode_array, meta_from_json
 
 
-def decode_chunks(encoded: DataFrame, out_schema: T.StructType) -> DataFrame:
-    """Group encoded rows by chunk and rebuild original rows."""
+def decode_chunks(
+    encoded: DataFrame,
+    out_schema: T.StructType,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Group encoded rows by chunk and rebuild original rows.
+
+    ``columns`` prunes the decode to a projection: the filter on the chunk
+    table's ``col`` column pushes down to the parquet scan, so unrequested
+    columns' payloads are never read -- the encoded format's equivalent of
+    columnar projection pushdown."""
+    if columns is not None:
+        missing = set(columns) - {f.name for f in out_schema.fields}
+        if missing:
+            raise ValueError(f"unknown columns: {sorted(missing)}")
+        out_schema = T.StructType([f for f in out_schema.fields if f.name in columns])
+        from pyspark.sql import functions as F
+
+        encoded = encoded.filter(F.col("col").isin(list(columns)))
     arrow_schema = to_arrow_schema(out_schema)
     names = [f.name for f in out_schema.fields]
 

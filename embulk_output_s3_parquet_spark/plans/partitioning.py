@@ -90,10 +90,14 @@ def assign_partitions(
         n_groups += row["ng"]
     n_parts = max(base, 1)
 
-    base_map = F.create_map(
-        *[x for lang, b in sorted(bases.items()) for x in (F.lit(lang), F.lit(b))]
-    )
-    groups = sizes.withColumn("start_part", base_map[F.col(k1)] + F.col("start_bin")).select(
+    if bases:
+        base_map = F.create_map(
+            *[x for lang, b in sorted(bases.items()) for x in (F.lit(lang), F.lit(b))]
+        )
+        start_part = base_map[F.col(k1)] + F.col("start_bin")
+    else:  # empty input: no groups at all
+        start_part = F.col("start_bin")
+    groups = sizes.withColumn("start_part", start_part).select(
         k1, k2, "gbytes", "start_part", "splits"
     )
 

@@ -190,3 +190,19 @@ def test_generic_table_encode_job(spark, tmp_path):
     a = li.orderBy("l_orderkey", "l_linenumber").toPandas()
     b = decoded.orderBy("l_orderkey", "l_linenumber").toPandas()
     assert a.equals(b)
+
+
+def test_column_pruned_decode(spark, corpus, tmp_path):
+    """Projection pushdown on the encoded table: decoding 2 of 5 columns
+    reads only those chunk rows (filter on 'col' reaches the parquet scan)."""
+    path = str(tmp_path / "enc")
+    encode_job(spark, corpus, path, _policy(), if_exists="error")
+    pruned = decode_job(spark, path, columns=["repo", "lang"])
+    assert pruned.columns == ["repo", "lang"]
+    assert pruned.count() == ROWS
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "col" in plan  # filter present in the physical plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        decode_job(spark, path, columns=["nope"])

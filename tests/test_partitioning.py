@@ -81,3 +81,19 @@ def test_null_group_keys_are_assigned(spark):
     )
     out, plan = assign_partitions(df, target_bytes=TARGET)
     assert out.filter(F.col("part_id").isNull()).count() == 0
+
+
+def test_empty_input_plan(spark, tmp_path):
+    """Empty DataFrame: plan builds, job commits nothing, no crash."""
+    from embulk_output_s3_parquet_spark.jobs import encode_job
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    t = encode_job(
+        spark, empty, str(tmp_path / "e"),
+        CodecPolicy(chunk_rows=128, target_partition_bytes=1 << 20),
+        if_exists="delete",
+    )
+    assert t.completed_parts() == set()
