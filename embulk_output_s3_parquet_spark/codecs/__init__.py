@@ -18,7 +18,7 @@ import json
 
 import pyarrow as pa
 
-from . import bitpack, delta, dictionary, forr, fsst, raw, rle, selector
+from . import alp, bitpack, delta, dictionary, forr, fsst, raw, rle, selector
 from .base import (
     CodecUnsuitable,
     drop_nulls_with_mask,

@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import bitpack, delta, dictionary, forr, fsst, raw, rle
+from . import alp, bitpack, delta, dictionary, forr, fsst, raw, rle
 from .base import CodecUnsuitable, is_intlike, is_stringlike
 
 _SAMPLE_ROWS = 1024
@@ -25,11 +25,15 @@ CODECS = {
     "bitpack": bitpack,
     "for": forr,
     "delta": delta,
+    "alp": alp,
     "fsst": fsst,
 }
 
 # stable preference when trial sizes tie (cheapest decode first)
-_ORDER = {"bitpack": 0, "for": 1, "delta": 2, "rle": 3, "dict": 4, "fsst": 5, "raw": 6}
+_ORDER = {
+    "bitpack": 0, "for": 1, "delta": 2, "alp": 3, "rle": 4, "dict": 5,
+    "fsst": 6, "raw": 7,
+}
 
 # encode-cost multiplier: a codec must beat the alternatives by this factor
 # on the sample to win. fsst's symbol substitution costs ~60x a zstd pass
@@ -73,7 +77,7 @@ def candidates(values: pa.Array, stats: dict) -> list[str]:
             out.append("dict")
         out.append("raw")
     elif pa.types.is_floating(t):
-        out = []
+        out = ["alp"] if pa.types.is_float64(t) else []
         if runs <= n // 2:
             out.append("rle")
         if distinct <= max(64, n // 8):

@@ -165,3 +165,35 @@ def test_delta_extremes_roundtrip():
     arr = pa.array([-(2**63), 2**63 - 1, 0, -1, 2**62, -(2**62)], pa.int64())
     payload, meta = encode_array(arr, "delta")
     assert decode_array(payload, meta).equals(arr)
+
+
+def test_alp_decimal_doubles():
+    prices = pa.array(np.round(RNG.uniform(1, 100000, 5000), 2))
+    name, _ = selector.select(prices)
+    assert name == "alp"
+    payload, meta = encode_array(prices, "alp")
+    out = decode_array(payload, meta)
+    assert out.equals(prices)  # bit-identical
+    # vs raw+zstd: ALP should be dramatically smaller on 2dp decimals
+    raw_payload, _ = encode_array(prices, "raw")
+    assert len(payload) < len(raw_payload) * 0.7
+
+
+def test_alp_rejects_random_mantissas():
+    x = pa.array(RNG.normal(size=2000))
+    payload, meta = encode_array(x, "alp")
+    assert meta["c"] == "raw"  # fell back
+    assert decode_array(payload, meta).equals(x)
+
+
+def test_alp_nan_and_negatives():
+    x = pa.array([float("nan"), 1.25, -3.5] * 20, pa.float64())
+    payload, meta = encode_array(x, "alp")  # NaN -> not decimal-like -> raw
+    out = decode_array(payload, meta)
+    assert np.array_equal(
+        x.to_numpy(zero_copy_only=False), out.to_numpy(zero_copy_only=False), equal_nan=True
+    )
+    neg = pa.array([-1.05, -2.50, 3.75] * 100, pa.float64())
+    p2, m2 = encode_array(neg, "alp")
+    assert m2["c"] == "alp"
+    assert decode_array(p2, m2).equals(neg)
