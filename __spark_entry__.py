@@ -250,6 +250,42 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q1_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query over the ENCODED format: encode lineitem, column-pruned decode
+    (only the 4 columns Q1 needs), then the aggregation -- results must
+    match the oracle run on the plain table, proving the encoded table is
+    queryable, not just archivable."""
+    from embulk_output_s3_parquet_spark.operators.decode import decode_chunks
+    from embulk_output_s3_parquet_spark.operators.encode import encode_map
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    li = _t(spark, sf_dir, "lineitem")
+    encoded = encode_map(li, CodecPolicy(chunk_rows=8192))
+    pruned = decode_chunks(
+        encoded, li.schema,
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return (
+        pruned.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_OVER_ENCODED_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
@@ -647,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cast_timestamps": _casts_timestamp,
             "json_render": _json_render,
             "q1_pricing_summary": _q1,
+            "q1_over_encoded": _q1_over_encoded,
             "q3_top_revenue": _q3,
             "agg_events_by_type": _agg_events,
             "anti_join_customers": _anti_join,
@@ -684,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
             "cast_timestamps": _CASTS_TIMESTAMP_SQL,
             "json_render": _JSON_RENDER_SQL,
             "q1_pricing_summary": _Q1_SQL,
+            "q1_over_encoded": _Q1_OVER_ENCODED_SQL,
             "q3_top_revenue": _Q3_SQL,
             "agg_events_by_type": _AGG_EVENTS_SQL,
             "anti_join_customers": _ANTI_JOIN_SQL,
