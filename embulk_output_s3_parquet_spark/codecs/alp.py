@@ -44,7 +44,9 @@ def _fit_exponent(x: np.ndarray) -> tuple[int, np.ndarray] | None:
         if np.any(np.abs(y) >= 2**62):
             return None
         ints = y.astype(np.int64)
-        if np.array_equal(ints / scale, x):
+        # BITWISE equality: -0.0 == 0.0 numerically but decodes to +0.0,
+        # which would break the engine's bit-identity invariant
+        if np.array_equal((ints / scale).view(np.uint64), x.view(np.uint64)):
             return e, ints
     return None
 
