@@ -581,6 +581,18 @@ def _fixed_planes(dim: int, n: int) -> list[list[float]]:
     return [list(map(float, rng.normal(size=dim))) for _ in range(n)]
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_output_s3_parquet_spark.functions.similarity import (
+        ivf_centroids_from_sample,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids_from_sample(emb, n_cells=16)
+    q = _query_vec(spark, sf_dir)
+    return ivf_topk(emb, q, cents, k=10, nprobe=4)
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_output_s3_parquet_spark.functions.similarity import embedding_near_dup_pairs
 
@@ -702,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "simhash64": _simhash,
             "ann_cosine_topk": _ann_topk,
             "ann_lsh_topk": _ann_lsh,
+            "ann_ivf_topk": _ann_ivf,
             "embedding_near_dups": _emb_near_dups,
             "encode_stats_documents": _encode_stats,
             "multimodal_features": _mm_features,

@@ -91,6 +91,65 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (argmax dot product -- centroids are expected L2-normalized-ish).
+
+    Centroids are literal arrays, so assignment is pure JVM expressions; at
+    scale the cluster id becomes a partition/cluster key and queries probe
+    only `nprobe` cells."""
+    v = F.col(vec_col).cast("array<double>")
+    best_id = F.lit(0)
+    best_dot = dot(v, F.array(*[F.lit(float(x)) for x in centroids[0]]))
+    for i, c in enumerate(centroids[1:], start=1):
+        d = dot(v, F.array(*[F.lit(float(x)) for x in c]))
+        best_id = F.when(d > best_dot, F.lit(i)).otherwise(best_id)
+        best_dot = F.greatest(d, best_dot)
+    return df.withColumn("ivf_cell", best_id.cast("int"))
+
+
+def ivf_centroids_from_sample(
+    df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """Deterministic coarse centroids: the first n_cells vectors by id
+    (a seeded-sample stand-in for k-means; the Spark-side plumbing --
+    assignment, cell pruning -- is identical either way)."""
+    rows = (
+        df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only vectors in the query's `nprobe` nearest cells."""
+    import numpy as np
+
+    q = np.asarray(query)
+    dots = [float(np.dot(q, np.asarray(c))) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: -dots[i])[:nprobe]
+    assigned = ivf_assign(df, centroids, vec_col)
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    sim = F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 4)
+    return (
+        assigned.filter(F.col("ivf_cell").isin(probe))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

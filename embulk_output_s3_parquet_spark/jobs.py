@@ -136,6 +136,30 @@ def decode_job(
     return decode_chunks(table.read_encoded(spark), table.schema(), columns=columns)
 
 
+def lineage_df(spark: SparkSession, table: EncodedTable) -> DataFrame:
+    """Per-partition lineage as a DataFrame -- the queryable TaskReport
+    analogue (reference S3ParquetPageOutput.scala:61-67 reports
+    bucket/key/etag per task; here rows/bytes/codecs/sha256/wall per part)."""
+    rows = [
+        {
+            "part_id": pid,
+            "rows": v["rows"],
+            "chunks": v["chunks"],
+            "raw_bytes": v["raw_bytes"],
+            "enc_bytes": v["enc_bytes"],
+            "sha256_manifest": v["sha256_manifest"],
+            "codecs": v["codecs"],
+            "wall_s": v["wall_s"],
+        }
+        for pid, v in sorted(table.lineage().items())
+    ]
+    schema = (
+        "part_id long, rows long, chunks long, raw_bytes long, enc_bytes long, "
+        "sha256_manifest string, codecs array<string>, wall_s double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def table_metrics(table: EncodedTable) -> dict:
     lin = table.lineage()
     return {

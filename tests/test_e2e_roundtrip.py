@@ -206,3 +206,27 @@ def test_column_pruned_decode(spark, corpus, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown columns"):
         decode_job(spark, path, columns=["nope"])
+
+
+def test_rows_mode_matches_chunks_mode(spark, corpus, tmp_path):
+    """Both shuffle modes (raw-row co-location vs chunk shuffle) produce
+    decodable, bit-identical tables with the same total rows."""
+    p1, p2 = str(tmp_path / "chunks"), str(tmp_path / "rows")
+    encode_job(spark, corpus, p1, _policy(), if_exists="error", shuffle_mode="chunks")
+    encode_job(spark, corpus, p2, _policy(), if_exists="error", shuffle_mode="rows")
+    key = ["repo", "path", "commit"]
+    a = decode_job(spark, p1).select(*key, F.sha2(F.coalesce("content", F.lit("N")), 256).alias("s"))
+    b = decode_job(spark, p2).select(*key, F.sha2(F.coalesce("content", F.lit("N")), 256).alias("s"))
+    assert a.count() == b.count() == ROWS
+    assert a.join(b, key).filter(a.s != b.s).count() == 0
+
+
+def test_lineage_df(spark, corpus, tmp_path):
+    from embulk_output_s3_parquet_spark.jobs import lineage_df
+
+    path = str(tmp_path / "enc")
+    t = encode_job(spark, corpus, path, _policy(), if_exists="error")
+    lin = lineage_df(spark, t)
+    agg = lin.agg(F.sum("rows").alias("r"), F.sum("enc_bytes").alias("e")).first()
+    assert agg["r"] == ROWS and agg["e"] > 0
+    assert lin.filter(F.length("sha256_manifest") != 64).count() == 0

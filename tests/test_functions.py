@@ -139,3 +139,13 @@ def test_frame_sampling(spark, docs):
     vids = media.filter("kind = 'video'").select("media_id", "meta_ms").collect()
     expect = sum(max((r["meta_ms"] - 1) // 100 + 1, 1) for r in vids)
     assert frames.count() == expect
+
+
+def test_ivf_topk(spark, vecs):
+    cents = S.ivf_centroids_from_sample(vecs, n_cells=2)
+    assert len(cents) == 2
+    q = [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+    rows = S.ivf_topk(vecs, q, cents, k=3, nprobe=2).collect()
+    assert rows[0]["vec_id"] == 0  # exact match survives cell pruning
+    one_cell = S.ivf_topk(vecs, q, cents, k=4, nprobe=1).count()
+    assert one_cell <= 4
