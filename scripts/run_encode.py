@@ -55,11 +55,25 @@ def main() -> int:
         chunk_rows=args.chunk_rows,
         target_partition_bytes=args.target_part_mb * 1024 * 1024,
     )
-    df = (
-        spark.read.parquet(args.input_parquet)
-        if args.input_parquet
-        else repos_df(spark, args.rows)
-    )
+    if args.input_parquet:
+        # size input splits so every core gets >=3 waves of tasks -- the
+        # 128MB default reads a sub-GB corpus as a handful of partitions
+        # and the last wave dominates wall time
+        import glob
+        import os
+
+        n_cores = spark.sparkContext.defaultParallelism
+        total = sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(args.input_parquet, "**"), recursive=True)
+            if os.path.isfile(p)
+        )
+        split = min(max(total // (n_cores * 3), 4 << 20), 128 << 20)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
+        df = spark.read.parquet(args.input_parquet)
+    else:
+        df = repos_df(spark, args.rows)
 
     if args.embulk_config:
         import yaml

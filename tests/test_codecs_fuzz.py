@@ -79,3 +79,25 @@ def test_fuzz_bool(vals):
     arr = pa.array(vals, pa.bool_())
     for codec in ("auto", "bitpack", "rle", "raw"):
         _roundtrip(arr, codec)
+
+
+timestamps = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62)),
+    max_size=200,
+)
+
+
+@settings(**_SETTINGS)
+@given(timestamps)
+def test_fuzz_timestamps_us(vals):
+    arr = pa.array(vals, pa.int64()).cast(pa.timestamp("us"))
+    for codec in ("auto", "for", "delta", "raw"):
+        _roundtrip(arr, codec)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.integers(min_value=-10**8, max_value=10**8)), max_size=200))
+def test_fuzz_date32(vals):
+    arr = pa.array(vals, pa.int32()).cast(pa.date32())
+    for codec in ("auto", "for", "rle", "raw"):
+        _roundtrip(arr, codec)

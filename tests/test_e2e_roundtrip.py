@@ -230,3 +230,13 @@ def test_lineage_df(spark, corpus, tmp_path):
     agg = lin.agg(F.sum("rows").alias("r"), F.sum("enc_bytes").alias("e")).first()
     assert agg["r"] == ROWS and agg["e"] > 0
     assert lin.filter(F.length("sha256_manifest") != 64).count() == 0
+
+
+def test_pyreader_column_pruning(spark, corpus, tmp_path):
+    from embulk_output_s3_parquet_spark.sources.pyreader import read_table
+
+    path = str(tmp_path / "enc")
+    encode_job(spark, corpus, path, _policy(), if_exists="error")
+    t = read_table(path, columns=["repo", "lang"])
+    assert t.column_names == ["repo", "lang"]
+    assert t.num_rows == ROWS
