@@ -55,12 +55,15 @@ def main() -> int:
         chunk_rows=args.chunk_rows,
         target_partition_bytes=args.target_part_mb * 1024 * 1024,
     )
-    if args.input_parquet:
+    import os
+
+    if args.input_parquet and not os.environ.get("SPARK_GRAFT_FIXED_SPLITS"):
         # size input splits so every core gets >=3 waves of tasks -- the
         # 128MB default reads a sub-GB corpus as a handful of partitions
-        # and the last wave dominates wall time
+        # and the last wave dominates wall time. SPARK_GRAFT_FIXED_SPLITS
+        # disables this so scaling runs use identical config at all levels
+        # (strong-scaling protocol).
         import glob
-        import os
 
         n_cores = spark.sparkContext.defaultParallelism
         total = sum(
@@ -71,6 +74,8 @@ def main() -> int:
         split = min(max(total // (n_cores * 3), 4 << 20), 128 << 20)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
+        df = spark.read.parquet(args.input_parquet)
+    elif args.input_parquet:
         df = spark.read.parquet(args.input_parquet)
     else:
         df = repos_df(spark, args.rows)

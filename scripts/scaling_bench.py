@@ -66,7 +66,8 @@ def _run_level(cores: int, corpus: str, rows: int) -> dict:
         "--target-part-mb", "64",
     ]
     t0 = time.time()
-    res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    env = dict(os.environ, SPARK_GRAFT_FIXED_SPLITS="1")  # same config at N and 4N
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     wall_total = time.time() - t0
     json_lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
     if not json_lines:
