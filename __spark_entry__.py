@@ -682,6 +682,18 @@ _RT_TABLES = {
         ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
         (),
     ),
+    "rt_region": ("region", ["r_regionkey", "r_name"], ()),
+    "rt_nation": ("nation", ["n_nationkey", "n_name", "n_regionkey"], ()),
+    "rt_supplier": (
+        "supplier",
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        (),
+    ),
+    "rt_part": (
+        "part",
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+        (),
+    ),
 }
 
 

@@ -53,3 +53,45 @@ def test_stream_encode_exactly_once(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+@pytest.mark.timeout(600)
+def test_stream_restart_no_duplicates(spark, tmp_path):
+    """Restarting the stream with the same checkpoint after new files arrive
+    processes only the new batch; earlier parts stay committed untouched."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    first = repos_df(spark, 400, partitions=2).cache()
+    first.write.parquet(str(src_dir / "w1"))
+
+    schema = first.schema
+    table_path = str(tmp_path / "enc")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 4
+        ).parquet(str(src_dir) + "/*")
+        q = encode_stream(
+            stream, table_path, ckpt,
+            policy=CodecPolicy(chunk_rows=256, target_partition_bytes=128 * 1024),
+        )
+        q.awaitTermination(300)
+
+    drain()
+    t = EncodedTable(table_path)
+    parts1 = t.completed_parts()
+    rows1 = decode_job(spark, table_path).count()
+    assert rows1 == 400
+
+    from pyspark.sql import functions as F2
+
+    second = repos_df(spark, 700, partitions=2).where(F2.xxhash64("commit") % 2 == 0)
+    n2 = second.count()
+    second.write.parquet(str(src_dir / "w2"))
+
+    drain()  # restart with same checkpoint
+    t2 = EncodedTable(table_path)
+    assert parts1 <= t2.completed_parts()
+    total = decode_job(spark, table_path).count()
+    assert total == 400 + n2
