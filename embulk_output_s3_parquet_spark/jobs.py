@@ -87,14 +87,7 @@ def encode_job(
     policy.validate(df.schema)
     t0 = time.time()
 
-    corpus_cols = {"lang", "repo", "path", "commit", "content"}
-    if corpus_cols <= set(df.columns):
-        dfp, plan = assign_partitions(df, target_bytes=policy.target_partition_bytes)
-    else:
-        # arbitrary table: surrogate bounded-cardinality group keys
-        dfp, plan = assign_partitions_generic(
-            df, target_bytes=policy.target_partition_bytes
-        )
+    dfp, plan = _plan(df, policy)
     if part_base:
         dfp = dfp.withColumn("part_id", (F.col("part_id") + F.lit(part_base)).cast("int"))
     table = EncodedTable.create(table_path, df.schema, policy, if_exists=if_exists)
@@ -134,6 +127,64 @@ def decode_job(
 ) -> DataFrame:
     table = EncodedTable(table_path)
     return decode_chunks(table.read_encoded(spark), table.schema(), columns=columns)
+
+
+def compact_job(
+    spark: SparkSession, table_path: str, policy: CodecPolicy | None = None
+) -> EncodedTable:
+    """Rewrite an EncodedTable into freshly planned, byte-balanced parts.
+
+    Streaming micro-batches and resumed waves leave many small parts;
+    compaction decodes the committed data, re-plans partitions at the
+    current target size, encodes into staging, then atomically swaps the
+    manifest to the new part set and removes the old dirs -- the
+    maintenance-compaction analogue of Iceberg's rewrite_data_files."""
+    import os
+    import shutil
+
+    table = EncodedTable(table_path)
+    old_parts = table.completed_parts()
+    policy = policy or table.policy()
+    df = decode_chunks(table.read_encoded(spark), table.schema())
+
+    dfp, plan = _plan(df, policy)
+    encoded = encode_local(dfp, policy).repartition("part_id")
+    staging = table.new_staging()
+    t0 = time.time()
+    encoded.write.partitionBy("part_id").parquet(staging, compression="none")
+    on_disk = spark.read.parquet(staging)
+    lineage = _lineage_rows(on_disk, table.schema().fields[0].name, time.time() - t0)
+
+    # swap: move new dirs in under temporary names, write a manifest that
+    # references ONLY the new parts, then drop the old dirs
+    m = table.manifest()
+    m["parts"] = {}
+    offset = max(old_parts, default=-1) + 1
+    remap: dict[int, int] = {}
+    for name in sorted(os.listdir(staging)):
+        if not name.startswith("part_id="):
+            continue
+        pid = int(name.split("=", 1)[1])
+        new_pid = pid + offset
+        remap[pid] = new_pid
+        dst = os.path.join(table.data_dir, f"part_id={new_pid}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(os.path.join(staging, name), dst)
+    for pid, row in lineage.items():
+        m["parts"][str(remap[pid])] = row
+    table._write_manifest(m)
+    shutil.rmtree(staging, ignore_errors=True)
+    for pid in old_parts:
+        shutil.rmtree(os.path.join(table.data_dir, f"part_id={pid}"), ignore_errors=True)
+    return table
+
+
+def _plan(df: DataFrame, policy: CodecPolicy):
+    corpus_cols = {"lang", "repo", "path", "commit", "content"}
+    if corpus_cols <= set(df.columns):
+        return assign_partitions(df, target_bytes=policy.target_partition_bytes)
+    return assign_partitions_generic(df, target_bytes=policy.target_partition_bytes)
 
 
 def lineage_df(spark: SparkSession, table: EncodedTable) -> DataFrame:

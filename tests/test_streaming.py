@@ -95,3 +95,49 @@ def test_stream_restart_no_duplicates(spark, tmp_path):
     assert parts1 <= t2.completed_parts()
     total = decode_job(spark, table_path).count()
     assert total == 400 + n2
+
+
+@pytest.mark.timeout(600)
+def test_compaction_after_streaming(spark, tmp_path):
+    """Micro-batches leave many small parts; compact_job rewrites them into
+    freshly planned parts with identical content."""
+    from pyspark.sql import functions as F
+
+    from embulk_output_s3_parquet_spark.jobs import compact_job
+
+    src_dir = str(tmp_path / "src")
+    corpus = repos_df(spark, 900, partitions=6).cache()
+    corpus.write.parquet(src_dir)
+    table_path = str(tmp_path / "enc")
+    q = encode_stream(
+        spark.readStream.schema(corpus.schema).option("maxFilesPerTrigger", 1).parquet(src_dir),
+        table_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        policy=CodecPolicy(chunk_rows=128, target_partition_bytes=64 * 1024),
+    )
+    q.awaitTermination(300)
+    before = len(EncodedTable(table_path).completed_parts())
+    assert before > 4  # several micro-batches x several parts
+
+    t = compact_job(
+        spark, table_path, CodecPolicy(chunk_rows=1024, target_partition_bytes=1 << 20)
+    )
+    after = len(t.completed_parts())
+    assert after < before
+
+    decoded = decode_job(spark, table_path)
+    assert decoded.count() == 900
+    key = ["repo", "path", "commit"]
+    sha = lambda c: F.coalesce(F.sha2(F.col(c), 256), F.lit("N"))
+    bad = (
+        corpus.select(*key, sha("content").alias("a"))
+        .join(decoded.select(*key, sha("content").alias("b")), key, "full_outer")
+        .filter(F.col("a").isNull() | F.col("b").isNull() | (F.col("a") != F.col("b")))
+        .count()
+    )
+    assert bad == 0
+    # no stray dirs beyond the manifest
+    import os
+
+    dirs = {d for d in os.listdir(t.data_dir) if d.startswith("part_id=")}
+    assert dirs == {f"part_id={p}" for p in t.completed_parts()}
