@@ -537,6 +537,76 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(_t(spark, sf_dir, "documents")).orderBy("id")
 
 
+def _clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaning pass: exact dedup -> exact-verified near-dup
+    removal -> quality gate -> annotations (functions/pipeline.py)."""
+    from embulk_output_s3_parquet_spark.functions.pipeline import clean_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = clean_documents(d, min_quality=0.3, near_dup_threshold=0.2, k=5)
+    return out.select("doc_id", "quality", "lang_guess", "n_tokens", "fp")
+
+
+_CLEAN_PIPELINE_SQL = r"""
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+), norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM dedup
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS s
+  FROM norm WHERE len(t) >= 5
+), ex AS (
+  SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+), losers AS (
+  SELECT DISTINCT b.doc_id AS loser
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING round(CAST(count(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.2
+), survivors AS (
+  SELECT d.doc_id, d.text FROM dedup d
+  WHERE d.doc_id NOT IN (SELECT loser FROM losers)
+), scored AS (
+  SELECT doc_id, text,
+    length(text) AS n,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS stops
+  FROM survivors
+), q AS (
+  SELECT doc_id, text, toks,
+    round(0.4 * (CASE WHEN n BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.3 END)
+        + 0.4 * round(alpha / greatest(CAST(n AS DOUBLE), 1.0), 6)
+        + 0.2 * least(round(stops / greatest(CAST(toks AS DOUBLE), 1.0), 6) * 5, 1.0), 6) AS quality
+  FROM scored
+), langs AS (
+  SELECT doc_id, text, toks, quality,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS se,
+    len(regexp_extract_all(lower(text), '\b(der|und|die|das|ist)\b')) AS sd,
+    len(regexp_extract_all(lower(text), '\b(el|los|que|una|es)\b')) AS ss,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS sf,
+    len(regexp_extract_all(lower(text), '\b(de|shi|zai|le|he)\b')) AS sz
+  FROM q WHERE quality >= 0.3
+)
+SELECT doc_id, quality,
+  CASE WHEN greatest(se, sd, ss, sf, sz) = 0 THEN 'und'
+       WHEN se >= sd AND se >= ss AND se >= sf AND se >= sz THEN 'en'
+       WHEN sd >= ss AND sd >= sf AND sd >= sz THEN 'de'
+       WHEN ss >= sf AND ss >= sz THEN 'es'
+       WHEN sf >= sz THEN 'fr'
+       ELSE 'zh' END AS lang_guess,
+  toks AS n_tokens,
+  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM langs
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -722,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact_sha": _dedup_exact,
             "dedup_keep_first": _dedup_keep_first,
             "ngram_jaccard_pairs": _ngram_jaccard,
+            "clean_documents_pipeline": _clean_pipeline,
             "minhash_lsh_candidates": _minhash_lsh,
             "simhash64": _simhash,
             "ann_cosine_topk": _ann_topk,
@@ -761,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_exact_sha": _DEDUP_EXACT_SQL,
             "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
             "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+            "clean_documents_pipeline": _CLEAN_PIPELINE_SQL,
             "ann_cosine_topk": _ANN_TOPK_SQL,
             "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
         }

@@ -149,3 +149,16 @@ def test_ivf_topk(spark, vecs):
     assert rows[0]["vec_id"] == 0  # exact match survives cell pruning
     one_cell = S.ivf_topk(vecs, q, cents, k=4, nprobe=1).count()
     assert one_cell <= 4
+
+
+def test_clean_documents_pipeline(spark, docs):
+    from embulk_output_s3_parquet_spark.functions.pipeline import clean_documents
+
+    out = clean_documents(docs, min_quality=0.2, near_dup_threshold=0.5, k=3)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 1 not in ids  # exact dup of 0 removed
+    assert 2 not in ids  # near dup of 0 removed (jaccard > 0.5 at k=3)
+    assert 0 in ids and 5 in ids  # originals survive
+    assert 4 not in ids  # empty doc fails the quality gate
+    row = out.filter("doc_id = 0").first()
+    assert row["n_tokens"] == 12 and row["lang_guess"] == "en" and len(row["fp"]) == 32
