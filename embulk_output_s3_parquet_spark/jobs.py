@@ -211,6 +211,31 @@ def lineage_df(spark: SparkSession, table: EncodedTable) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def verify_table(spark: SparkSession, table_path: str) -> list[dict]:
+    """Integrity audit: recompute every part's sha256 chunk manifest from
+    the files on disk and diff against the committed lineage (the etag-check
+    analogue of the reference's TaskReport bucket/key/etag,
+    S3ParquetPageOutput.scala:61-67). Returns mismatch records (empty =
+    table verified)."""
+    table = EncodedTable(table_path)
+    expected = {pid: v["sha256_manifest"] for pid, v in table.lineage().items()}
+    first_col = table.schema().fields[0].name
+    actual_rows = _lineage_rows(table.read_encoded(spark), first_col, 0.0)
+    problems = []
+    for pid, want in expected.items():
+        got = actual_rows.get(pid)
+        if got is None:
+            problems.append({"part_id": pid, "error": "missing on disk"})
+        elif got["sha256_manifest"] != want:
+            problems.append(
+                {"part_id": pid, "error": "sha256 manifest mismatch",
+                 "expected": want, "actual": got["sha256_manifest"]}
+            )
+    for pid in set(actual_rows) - set(expected):
+        problems.append({"part_id": pid, "error": "untracked part on disk"})
+    return problems
+
+
 def table_metrics(table: EncodedTable) -> dict:
     lin = table.lineage()
     return {

@@ -240,3 +240,22 @@ def test_pyreader_column_pruning(spark, corpus, tmp_path):
     t = read_table(path, columns=["repo", "lang"])
     assert t.column_names == ["repo", "lang"]
     assert t.num_rows == ROWS
+
+
+def test_verify_table_detects_corruption(spark, corpus, tmp_path):
+    from embulk_output_s3_parquet_spark.jobs import verify_table
+
+    path = str(tmp_path / "enc")
+    t = encode_job(spark, corpus, path, _policy(), if_exists="error")
+    assert verify_table(spark, path) == []
+
+    # corrupt one committed part: replace its files with another part's
+    parts = sorted(t.completed_parts())
+    import shutil as sh
+
+    a = os.path.join(t.data_dir, f"part_id={parts[0]}")
+    b = os.path.join(t.data_dir, f"part_id={parts[1]}")
+    sh.rmtree(a)
+    sh.copytree(b, a)
+    problems = verify_table(spark, path)
+    assert any(p["part_id"] == parts[0] and "mismatch" in p["error"] for p in problems)
