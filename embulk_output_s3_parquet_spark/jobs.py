@@ -211,6 +211,18 @@ def lineage_df(spark: SparkSession, table: EncodedTable) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def register_table(
+    spark: SparkSession, table_path: str, name: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Register a decoded view of an EncodedTable in the session catalog so
+    it is queryable by name via spark.sql -- the session-catalog analogue of
+    the reference's Glue registration making the written files queryable
+    (CatalogRegistrator.scala:92-178)."""
+    df = decode_job(spark, table_path, columns=columns)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def verify_table(spark: SparkSession, table_path: str) -> list[dict]:
     """Integrity audit: recompute every part's sha256 chunk manifest from
     the files on disk and diff against the committed lineage (the etag-check

@@ -259,3 +259,20 @@ def test_verify_table_detects_corruption(spark, corpus, tmp_path):
     sh.copytree(b, a)
     problems = verify_table(spark, path)
     assert any(p["part_id"] == parts[0] and "mismatch" in p["error"] for p in problems)
+
+
+def test_register_table_sql(spark, corpus, tmp_path):
+    from embulk_output_s3_parquet_spark.jobs import register_table
+
+    path = str(tmp_path / "enc")
+    encode_job(spark, corpus, path, _policy(), if_exists="error")
+    register_table(spark, path, "enc_corpus")
+    row = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT repo) AS repos FROM enc_corpus"
+    ).first()
+    assert row["n"] == ROWS and row["repos"] > 1
+    top = spark.sql(
+        "SELECT lang, count(*) AS c FROM enc_corpus WHERE lang IS NOT NULL "
+        "GROUP BY lang ORDER BY c DESC LIMIT 1"
+    ).first()
+    assert top["c"] > 0
