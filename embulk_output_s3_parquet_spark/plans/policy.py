@@ -31,6 +31,16 @@ _ENCODABLE = (
 
 @dataclass
 class CodecPolicy:
+    """Engine knobs (the analogue of the reference's writer tuning,
+    S3ParquetOutputPlugin.scala:106-133 block/page sizes).
+
+    Memory math per executor core: the encode UDF holds one Arrow batch
+    (bounded by spark.sql.execution.arrow.maxRecordsPerBatch, set equal to
+    ``chunk_rows`` by session.get_spark) plus per-part pending buffers
+    bounded by the scan partition size; ``target_partition_bytes`` caps the
+    grouped-mode task input and the output part size. Defaults fit a few
+    hundred MB of executor memory per core at 32k rows x ~3KB text."""
+
     default: str = AUTO
     column_options: dict[str, str] = field(default_factory=dict)
     type_options: dict[str, str] = field(default_factory=dict)
