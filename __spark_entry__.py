@@ -681,8 +681,63 @@ WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id
 """
 
 
+# multimodal oracles: payloads are utf-8 bytes of `text` (ASCII in the test
+# corpus, verified: octet_length(encode(text)) == length(text) for all rows),
+# so byte-level stats are computable in DuckDB over characters. width/height
+# mirror decode_image's deterministic fake: side = 4 + first_sha_byte % 4.
+_MM_NIBBLE = "(strpos('0123456789abcdef', substr(b.sha,{i},1)) - 1)"
+_MM_BYTE0 = f"({_MM_NIBBLE.format(i=1)} * 16 + {_MM_NIBBLE.format(i=2)})"
+_MM_FEATURES_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text, length(text) AS n_bytes, sha256(text) AS sha
+  FROM documents
+),
+chars AS (
+  SELECT media_id, ascii(substr(text, CAST(i.i AS INT), 1)) AS b
+  FROM base, unnest(range(1, length(text) + 1)) AS i(i)
+),
+h AS (SELECT media_id, b, count(*) AS c FROM chars GROUP BY 1, 2),
+ent AS (
+  SELECT media_id,
+         round(-sum((c / n) * log2(c / n)) + 0.0, 6) AS entropy
+  FROM (SELECT media_id, b, c,
+               CAST(sum(c) OVER (PARTITION BY media_id) AS DOUBLE) AS n
+        FROM h)
+  GROUP BY 1
+),
+grid AS (SELECT media_id, CAST(v.v AS INT) AS v FROM base, unnest(range(0, 256)) AS v(v)),
+hist AS (
+  SELECT g.media_id,
+         '[' || string_agg(CAST(COALESCE(h.c, 0) AS VARCHAR), ',' ORDER BY g.v) || ']' AS histogram
+  FROM grid g LEFT JOIN h ON h.media_id = g.media_id AND h.b = g.v
+  GROUP BY 1
+)
+SELECT b.media_id, b.kind, CAST(b.n_bytes AS INT) AS n_bytes, b.sha AS sha256,
+       COALESCE(e.entropy, 0.0) AS entropy,
+       hist.histogram AS histogram,
+       CAST(4 + {_MM_BYTE0} % 4 AS INT) AS width,
+       CAST(4 + {_MM_BYTE0} % 4 AS INT) AS height
+FROM base b
+JOIN hist ON hist.media_id = b.media_id
+LEFT JOIN ent e ON e.media_id = b.media_id
+ORDER BY b.media_id
+"""
+
+_MM_FRAMES_SQL = """
+SELECT doc_id AS media_id, CAST(f.f AS INT) AS frame_ms
+FROM documents,
+     unnest(generate_series(0, greatest(CAST(length(text) AS INT) * 10 - 1, 0), 500)) AS f(f)
+WHERE doc_id % 3 = 2
+ORDER BY media_id, frame_ms
+"""
+
+
 # ---------------------------------------------------------------------------
-# engine stats + multimodal (non-SQL-expressible -> rows-only checks)
+# engine stats (non-SQL-expressible -> rows-only check)
 # ---------------------------------------------------------------------------
 
 
@@ -835,6 +890,8 @@ def oracle_sql() -> dict[str, str]:
             "clean_documents_pipeline": _CLEAN_PIPELINE_SQL,
             "ann_cosine_topk": _ANN_TOPK_SQL,
             "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
+            "multimodal_features": _MM_FEATURES_SQL,
+            "multimodal_frame_sampling": _MM_FRAMES_SQL,
         }
     )
     return o

@@ -25,9 +25,11 @@ MEDIA_SCHEMA = (
     "meta_width int, meta_height int, meta_ms int"
 )
 
+# histogram is the full 256-bin byte histogram serialized as "[c0,c1,...,c255]"
+# (a scalar string, not array<int>, so downstream canonicalizers can hash it).
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes int, sha256 string, "
-    "entropy double, histogram array<int>, width int, height int"
+    "entropy double, histogram string, width int, height int"
 )
 
 
@@ -70,34 +72,47 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
     dimensions. Batch shape: pandas DataFrame per Arrow batch; scales by
     partition, no shuffle."""
 
+    if not deterministic_fake:
+        # fail fast on the driver rather than per-task
+        decode_image(b"", deterministic_fake=False)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                buf = bytes(payload) if payload is not None else b""
-                arr = np.frombuffer(buf, np.uint8)
-                hist = np.bincount(arr, minlength=256)
-                p = hist[hist > 0] / max(len(arr), 1)
-                entropy = float(-(p * np.log2(p)).sum()) if len(arr) else 0.0
-                img = decode_image(buf, deterministic_fake=deterministic_fake)
-                out.append(
-                    (
-                        int(mid),
-                        kind,
-                        len(buf),
-                        hashlib.sha256(buf).hexdigest(),
-                        round(entropy, 6),
-                        hist[:16].astype(int).tolist(),
-                        img.shape[1],
-                        img.shape[0],
-                    )
-                )
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            lens = np.fromiter((len(b) for b in payloads), np.int64, count=n_rows)
+            concat = np.frombuffer(b"".join(payloads), np.uint8).astype(np.int64)
+            row_of_byte = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            hist = np.bincount(
+                row_of_byte * 256 + concat, minlength=n_rows * 256
+            ).reshape(n_rows, 256)
+            p = hist / np.maximum(lens, 1)[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # + 0.0 normalizes -0.0 (empty payload) to 0.0 for stable hashing
+                ent = -np.where(hist > 0, p * np.log2(p), 0.0).sum(axis=1) + 0.0
+            # sha256 is one C call per row (unavoidable: variable-length keyed
+            # digest); everything distributional above is vectorized numpy.
+            shas = [hashlib.sha256(b).hexdigest() for b in payloads]
+            # dims mirror decode_image's deterministic fake: side = 4 + h[0]%4
+            sides = np.fromiter(
+                (4 + int(s[:2], 16) % 4 for s in shas), np.int64, count=n_rows
+            )
+            hist_json = [
+                "[" + ",".join(map(str, row)) + "]" for row in hist.tolist()
+            ]
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "kind", "n_bytes", "sha256",
-                    "entropy", "histogram", "width", "height",
-                ],
+                {
+                    "media_id": pdf["media_id"].astype("int64").to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": lens,
+                    "sha256": shas,
+                    "entropy": np.round(ent, 6),
+                    "histogram": hist_json,
+                    "width": sides,
+                    "height": sides,
+                }
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)

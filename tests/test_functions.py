@@ -126,6 +126,24 @@ def test_multimodal_features_and_stub(spark, docs):
     assert by_id[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog again and again")
     assert by_id[0]["sha256"] == by_id[1]["sha256"]  # same text -> same media sha
     assert by_id[4]["n_bytes"] == 0
+    # independent re-derivation (per-row python) of the vectorized kernel
+    import collections
+    import hashlib
+    import json
+    import math
+
+    for r in (m.asDict() for m in media.collect()):
+        buf = bytes(r["payload"]) if r["payload"] is not None else b""
+        f = by_id[r["media_id"]]
+        counts = collections.Counter(buf)
+        assert json.loads(f["histogram"]) == [counts.get(v, 0) for v in range(256)]
+        ent = -sum(
+            (c / len(buf)) * math.log2(c / len(buf)) for c in counts.values()
+        ) if buf else 0.0
+        assert f["entropy"] == pytest.approx(ent, abs=1e-6)
+        assert f["sha256"] == hashlib.sha256(buf).hexdigest()
+        side = 4 + hashlib.sha256(buf).digest()[0] % 4
+        assert (f["width"], f["height"]) == (side, side)
     # the stub decode raises without the explicit fake flag
     with pytest.raises(NotImplementedError):
         M.decode_image(b"bytes")
