@@ -524,17 +524,108 @@ HAVING round(CAST(count(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - count
 
 
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hasher="md5" so the result is value-checkable against the DuckDB twin
+    # below; the default production hasher is xxhash64 (same plan shape).
     from embulk_output_s3_parquet_spark.functions.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, hasher="md5"
     ).orderBy("id_a", "id_b")
 
 
-def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from embulk_output_s3_parquet_spark.functions.dedup import simhash64
+_MH_M = 2**31
 
-    return simhash64(_t(spark, sf_dir, "documents")).orderBy("id")
+
+def _mh32(expr: str, seed: int = 0) -> str:
+    """DuckDB twin of dedup.portable_hash32."""
+    s = f"{expr} || '#{seed}'" if seed else expr
+    return f"CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
+
+
+def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, k: int = 5) -> str:
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min((h1 + {i} * h2) % {_MH_M}) AS m{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n    UNION ALL\n    ".join(
+        "SELECT id, {b} AS band, {h} AS bucket FROM sig".format(
+            b=bid,
+            h=_mh32(
+                "concat_ws(',', "
+                + ", ".join(f"m{bid * rpb + j}" for j in range(rpb))
+                + ")"
+            ),
+        )
+        for bid in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT id,
+         array_to_string(list_slice(t, CAST(i.i AS INT), CAST(i.i AS INT) + {k - 1}), ' ') AS s
+  FROM toks, unnest(range(1, len(t) - {k} + 2)) AS i(i)
+  WHERE len(t) >= {k}
+), hh AS (
+  SELECT id,
+         {_mh32('s')} % {_MH_M} AS h1,
+         {_mh32('s', 7)} % {_MH_M} + 1 AS h2
+  FROM sh
+), sig AS (
+  SELECT id,
+         {mins}
+  FROM hh GROUP BY id
+), banded AS (
+    {band_rows}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.id < b.id
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hi/lo split keeps both halves unsigned (SQL-reassemblable); md5 hasher
+    # gives the DuckDB twin. Production simhash64 keeps xxhash64 + one long.
+    from embulk_output_s3_parquet_spark.functions.dedup import simhash64_hilo
+
+    return simhash64_hilo(_t(spark, sf_dir, "documents"), hasher="md5").orderBy("id")
+
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        "sum(CASE WHEN ({h} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}".format(
+            h="h_lo" if b < 32 else "h_hi", sh=b % 32, b=b
+        )
+        for b in range(64)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN b{32 + j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(32)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), h AS (
+  SELECT id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h_hi,
+         CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS h_lo
+  FROM toks
+), votes AS (
+  SELECT id,
+         {votes}
+  FROM h GROUP BY id
+)
+SELECT id, {hi} AS simhash_hi, {lo} AS simhash_lo
+FROM votes ORDER BY id
+"""
 
 
 def _clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,6 +740,69 @@ def _fixed_planes(dim: int, n: int) -> list[list[float]]:
 
     rng = np.random.default_rng(42)
     return [list(map(float, rng.normal(size=dim))) for _ in range(n)]
+
+
+def _srp_bucket_sql(vexpr: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of similarity.hyperplane_bucket over literal planes."""
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vexpr}, {lit}) >= 0 THEN {2 ** i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _ann_lsh_sql() -> str:
+    planes = _fixed_planes(dim=64, n=4)
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_srp_bucket_sql("CAST(embedding AS DOUBLE[])", planes)} AS bucket
+  FROM embeddings
+),
+qb AS (SELECT {_srp_bucket_sql("e", planes)} AS bucket FROM q)
+SELECT b.vec_id, round(list_cosine_similarity(b.v, q.e), 4) AS sim
+FROM b, q, qb
+WHERE b.bucket = qb.bucket
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+
+_ANN_IVF_SQL = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+         CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+vass AS (
+  SELECT vec_id, v, idx AS cell FROM (
+    SELECT v.vec_id, CAST(v.embedding AS DOUBLE[]) AS v, c.idx,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(CAST(v.embedding AS DOUBLE[]), c.c) DESC, c.idx ASC
+           ) AS rnk
+    FROM embeddings v, cents c
+  ) WHERE rnk = 1
+),
+probe AS (
+  SELECT idx AS cell FROM (
+    SELECT c.idx,
+           row_number() OVER (
+             ORDER BY list_dot_product(q.e, c.c) DESC, c.idx ASC
+           ) AS rnk
+    FROM cents c, q
+  ) WHERE rnk <= 4
+)
+SELECT a.vec_id, round(list_cosine_similarity(a.v, q.e), 4) AS sim
+FROM vass a, probe p, q
+WHERE a.cell = p.cell
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,6 +1046,10 @@ def oracle_sql() -> dict[str, str]:
             "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
             "multimodal_features": _MM_FEATURES_SQL,
             "multimodal_frame_sampling": _MM_FRAMES_SQL,
+            "minhash_lsh_candidates": _minhash_lsh_sql(num_hashes=32, bands=8, k=5),
+            "simhash64": _simhash_sql(),
+            "ann_lsh_topk": _ann_lsh_sql(),
+            "ann_ivf_topk": _ANN_IVF_SQL,
         }
     )
     return o

@@ -14,8 +14,20 @@ pairs, which is why it's the scale path for low thresholds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def portable_hash32(col: Column, seed: int = 0) -> Column:
+    """32-bit hash with an exact DuckDB twin:
+    ``CAST('0x' || substr(md5(s [|| '#seed']), 1, 8) AS BIGINT)``.
+
+    The default production hash everywhere is xxhash64 (faster, JVM
+    intrinsic); this md5-derived variant exists so the hash-dependent
+    operators (minhash/LSH/simhash) can be value-checked against an
+    independent SQL engine. Result is in [0, 2^32)."""
+    s = F.concat(col, F.lit(f"#{seed}")) if seed else col
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
 def sha_exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -117,18 +129,28 @@ def minhash_signatures(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher: str = "xx",
 ) -> DataFrame:
     """MinHash signature per doc via double hashing: h_i = (h1 + i*h2) mod M
-    with M = 2^31 (Kirsch-Mitzenmacher construction). Two xxhash64 calls per
+    with M = 2^31 (Kirsch-Mitzenmacher construction). Two hash calls per
     shingle instead of ``num_hashes`` array transforms -- at the sf0.1 bench
     this cut the LSH query from 68s to ~4s, and 31-bit arithmetic never
-    overflows Spark's ANSI-checked bigint ops."""
+    overflows Spark's ANSI-checked bigint ops.
+
+    ``hasher``: "xx" (default, xxhash64 scale path) or "md5"
+    (DuckDB-twinned portable hash for independent verification)."""
     m = 2**31
+    if hasher == "xx":
+        h1 = F.pmod(F.xxhash64("s"), F.lit(m))
+        h2 = F.pmod(F.xxhash64("s", F.lit(7)), F.lit(m)) + 1
+    else:
+        h1 = F.pmod(portable_hash32(F.col("s"), 0), F.lit(m))
+        h2 = F.pmod(portable_hash32(F.col("s"), 7), F.lit(m)) + 1
     ex = (
         shingle_stream(df, k, text_col, id_col)
         .withColumnRenamed("shingle", "s")
-        .withColumn("h1", F.pmod(F.xxhash64("s"), F.lit(m)))
-        .withColumn("h2", F.pmod(F.xxhash64("s", F.lit(7)), F.lit(m)) + 1)
+        .withColumn("h1", h1)
+        .withColumn("h2", h2)
     )
     mins = [
         F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(m))).alias(f"m{i}")
@@ -147,27 +169,30 @@ def minhash_lsh_candidates(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher: str = "xx",
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
     Shuffle volume = docs x bands, independent of pair count."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
+    sigs = minhash_signatures(df, num_hashes, k, text_col, id_col, hasher)
+
+    def bucket_of(bid: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col("sig")[bid * rows_per_band + j].cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        return F.xxhash64(joined) if hasher == "xx" else portable_hash32(joined)
+
     banded = sigs.select(
         "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(bid).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[bid * rows_per_band + j].cast("string")
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        F.lit(bid).alias("band"), bucket_of(bid).alias("bucket")
                     )
                     for bid in range(bands)
                 ]
@@ -184,25 +209,68 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per-bit majority vote over token hashes, all in
-    aggregate expressions (explode tokens -> per-bit sums -> reassemble)."""
+def _simhash_votes(
+    df: DataFrame, text_col: str, id_col: str, hasher: str
+) -> DataFrame:
+    """Per-doc, per-bit majority votes b0..b63 over token hashes.
+
+    hasher "xx": one xxhash64 per token (64 signed bits). hasher "md5":
+    two DuckDB-twinned 32-bit halves of md5 (lo = bits 0..31, hi = 32..63)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
+    )
+    if hasher == "xx":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+        bit = [F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) for b in range(64)]
+    else:
+        md = F.md5("tok")
+        toks = toks.withColumn(
+            "h_hi", F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+        ).withColumn("h_lo", F.conv(F.substring(md, 9, 8), 16, 10).cast("long"))
+        bit = [
+            F.shiftright(F.col("h_lo" if b < 32 else "h_hi"), b % 32).bitwiseAND(F.lit(1))
+            for b in range(64)
+        ]
+    votes = [
+        F.sum(F.when(bit[b] == 1, 1).otherwise(-1)).alias(f"b{b}") for b in range(64)
     ]
-    agg = toks.groupBy("id").agg(*bit_votes)
+    return toks.groupBy("id").agg(*votes)
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hasher: str = "xx"
+) -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over token hashes, all in
+    aggregate expressions (explode tokens -> per-bit sums -> reassemble)."""
+    agg = _simhash_votes(df, text_col, id_col, hasher)
     sim = None
     for b in range(64):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseXOR(term)
     return agg.select("id", sim.alias("simhash"))
+
+
+def simhash64_hilo(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hasher: str = "md5"
+) -> DataFrame:
+    """SimHash as two unsigned 32-bit halves (simhash_hi = bits 32..63,
+    simhash_lo = bits 0..31). Sign-free, so an independent SQL engine can
+    reassemble and value-check it exactly; defaults to the portable hash."""
+    agg = _simhash_votes(df, text_col, id_col, hasher)
+
+    def half(lo_bit: int) -> Column:
+        out = F.lit(0).cast("long")
+        for j in range(32):
+            bit = F.when(F.col(f"b{lo_bit + j}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            out = out + F.shiftleft(bit, j)
+        return out
+
+    return agg.select(
+        "id", half(32).alias("simhash_hi"), half(0).alias("simhash_lo")
+    )

@@ -180,3 +180,35 @@ def test_clean_documents_pipeline(spark, docs):
     assert 4 not in ids  # empty doc fails the quality gate
     row = out.filter("doc_id = 0").first()
     assert row["n_tokens"] == 12 and row["lang_guess"] == "en" and len(row["fp"]) == 32
+
+
+def test_portable_hash32_matches_md5(spark):
+    import hashlib
+
+    got = spark.range(1).select(
+        D.portable_hash32(F.lit("abc")).alias("h0"),
+        D.portable_hash32(F.lit("abc"), 7).alias("h7"),
+    ).first()
+    assert got["h0"] == int(hashlib.md5(b"abc").hexdigest()[:8], 16)
+    assert got["h7"] == int(hashlib.md5(b"abc#7").hexdigest()[:8], 16)
+
+
+def test_simhash_hilo_reassembles_md5_simhash(spark, docs):
+    mask = (1 << 64) - 1
+    hilo = {r["id"]: (r["simhash_hi"], r["simhash_lo"]) for r in D.simhash64_hilo(docs).collect()}
+    full = {r["id"]: r["simhash"] for r in D.simhash64(docs, hasher="md5").collect()}
+    assert hilo.keys() == full.keys()
+    for i, (hi, lo) in hilo.items():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+        assert ((hi << 32) | lo) == full[i] & mask
+
+
+def test_minhash_hashers_same_shape(spark, docs):
+    # both hashers must produce identical signature layout and find the
+    # exact-dup pair (docs 0/1 share every shingle -> every band collides)
+    for hasher in ("xx", "md5"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_candidates(docs, num_hashes=16, bands=4, hasher=hasher).collect()
+        }
+        assert (0, 1) in pairs
