@@ -503,24 +503,48 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2, k=5)
 
 
-_NGRAM_JACCARD_SQL = r"""
-WITH norm AS (
+# mirrors dedup.ngram_jaccard_pairs including both scale caps: per-doc
+# max_shingles=512 sampled by the portable md5 hash order, then document-
+# frequency cap 64 before the self-join (jaccard is exact over the capped
+# shingle universe on both sides).
+_NGRAM_JACCARD_CTES = r"""
+norm AS (
   SELECT doc_id,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS s
+  FROM {src}
+), sh0 AS (
+  SELECT doc_id, unnest(
+    list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')))
+  ) AS shingle
   FROM norm WHERE len(t) >= 5
+), capped AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle,
+           row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT), shingle
+           ) AS rn
+    FROM sh0) WHERE rn <= 512
+), rare AS (
+  SELECT shingle FROM capped GROUP BY shingle HAVING count(*) <= 64
+), kept AS (
+  SELECT c.doc_id, c.shingle FROM capped c JOIN rare USING (shingle)
 ), ex AS (
-  SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
-)
+  SELECT k.doc_id, n.n, k.shingle
+  FROM kept k JOIN (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id) n USING (doc_id)
+)"""
+
+_NGRAM_JACCARD_SQL = (
+    "WITH "
+    + _NGRAM_JACCARD_CTES.format(src="documents")
+    + r"""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(count(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING round(CAST(count(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.2
 """
+)
 
 
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,17 +668,7 @@ WITH dedup AS (
     SELECT doc_id, text,
            row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
     FROM documents) WHERE rn = 1
-), norm AS (
-  SELECT doc_id,
-         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
-  FROM dedup
-), sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS s
-  FROM norm WHERE len(t) >= 5
-), ex AS (
-  SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
-), losers AS (
+), """ + _NGRAM_JACCARD_CTES.format(src="dedup").lstrip() + r""", losers AS (
   SELECT DISTINCT b.doc_id AS loser
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id

@@ -85,19 +85,70 @@ def shingle_stream(
     )
 
 
+def capped_shingle_stream(
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    max_shingles: int | None,
+    df_cap: int | None,
+) -> DataFrame:
+    """Shingle stream with the two join-safety caps applied (see
+    ``ngram_jaccard_pairs``). Invariants the caps guarantee:
+
+    * every doc contributes <= max_shingles rows
+    * every shingle appears in <= df_cap rows, so an inverted-index
+      self-join on shingle produces <= df_cap * |stream| rows -- linear in
+      corpus size, never quadratic in duplicate-group size."""
+    stream = shingle_stream(df, k, text_col, id_col)
+    if max_shingles is not None:
+        w = Window.partitionBy("id").orderBy(
+            portable_hash32(F.col("shingle")), "shingle"
+        )
+        stream = (
+            stream.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_shingles)
+            .drop("rn")
+        )
+    if df_cap is not None:
+        rare = (
+            stream.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        stream = stream.join(rare, "shingle")
+    return stream
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingles: int | None = 512,
+    df_cap: int | None = 64,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted-index self-join on shingles.
 
     |intersection| from the join group count; |union| = |A|+|B|-|inter|.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    """
-    stream = shingle_stream(df, k, text_col, id_col)
+
+    Two caps keep the self-join linear at scale (both applied to the shingle
+    universe, so jaccard is exact over the *capped* sets -- deterministic and
+    independently recomputable):
+
+    * ``max_shingles``: per doc, keep the N smallest shingles by
+      ``portable_hash32`` (an unbiased fixed-size sample; md5-based so SQL
+      twins can mirror the order exactly).
+    * ``df_cap``: drop shingles appearing in more than ``df_cap`` docs before
+      the join -- standard inverted-index pruning. A boilerplate header shared
+      by m docs would otherwise contribute m^2 join rows while carrying no
+      near-dup signal (it pairs *everything*).
+
+    Pass ``None`` to disable either cap (exact uncapped jaccard)."""
+    stream = capped_shingle_stream(df, k, text_col, id_col, max_shingles, df_cap)
     counts = stream.groupBy("id").agg(F.count("*").alias("nsh"))
     inv = stream.join(counts, "id")
     a = inv.select(

@@ -150,30 +150,101 @@ def ivf_topk(
     )
 
 
+def srp_band_plan(threshold: float, target_miss: float = 1e-8) -> tuple[int, int]:
+    """(rows_per_band, bands) sizing a multi-band SRP-LSH OR-construction.
+
+    Per-plane collision prob for a pair at exactly ``threshold`` cosine is
+    p = 1 - theta/pi; rows_per_band r is chosen so p^r ~ 0.25, then bands B
+    so the miss probability (1 - p^r)^B <= target_miss. Low thresholds
+    (<~0.7) force small r, so candidate volume approaches all-pairs -- LSH
+    buys little there by construction; high thresholds prune hard."""
+    import math
+
+    t = min(max(threshold, -0.9999), 0.9999)
+    p = 1.0 - math.acos(t) / math.pi
+    r = max(1, min(16, round(math.log(0.25) / math.log(p))))
+    p_band = p**r
+    bands = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - p_band)))
+    return r, bands
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    planes: list[list[float]] | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exact: bool = False,
+    seed: int = 42,
+    target_miss: float = 1e-8,
+    rows_per_band: int | None = None,
+    bands: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs. With ``planes`` the join is bucketed
-    (scale path, may miss cross-bucket pairs); without, exact all-pairs."""
+    """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold).
+
+    Default is the scale path: multi-band SRP-LSH candidate generation
+    (OR over ``bands`` bands of ``rows_per_band`` hyperplane sign bits,
+    sized by ``srp_band_plan`` for miss prob <= target_miss), then exact
+    cosine re-scoring of the deduped candidates -- no cartesian product
+    anywhere in the plan; shuffle is bounded by rows x bands + candidate
+    pairs. ``exact=True`` opts into the all-pairs cross join (O(n^2)
+    shuffle -- small inputs only)."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-    if planes:
-        base = base.withColumn("bucket", hyperplane_bucket("v", planes))
-        join_keys = ["bucket"]
-        a = base.select(*join_keys, F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = base.select(*join_keys, F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        joined = a.join(b, join_keys)
-    else:
+    if exact:
         a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        joined = a.crossJoin(b)
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        import numpy as np
+
+        if rows_per_band is None or bands is None:
+            auto_r, auto_b = srp_band_plan(threshold, target_miss)
+            rows_per_band = rows_per_band or auto_r
+            bands = bands or auto_b
+        if dim is None:
+            dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        rng = np.random.default_rng(seed)
+        planes = rng.normal(size=(bands, rows_per_band, dim))
+        # one constant-folded literal array of all bands*r planes + a single
+        # transform pass: one codegen'd expression instead of bands*r separate
+        # zip_with/aggregate trees (cuts task-binary size and compile time)
+        flat = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in plane])
+                for band in planes
+                for plane in band
+            ]
+        )
+        bits = F.transform(
+            flat,
+            lambda pl: F.when(dot(F.col("v"), pl) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        buckets = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.aggregate(
+                F.slice(bits, b * F.lit(rows_per_band) + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2 + x,
+            ),
+        )
+        banded = base.select(
+            "id", F.posexplode(buckets).alias("band", "bucket")
+        )
+        cand = (
+            banded.alias("l")
+            .join(banded.alias("r"), ["band", "bucket"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        joined = cand.join(
+            base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        ).join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     sim = F.round(dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb"))), 6)
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", sim)
+        joined.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

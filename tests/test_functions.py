@@ -212,3 +212,54 @@ def test_minhash_hashers_same_shape(spark, docs):
             for r in D.minhash_lsh_candidates(docs, num_hashes=16, bands=4, hasher=hasher).collect()
         }
         assert (0, 1) in pairs
+
+
+def test_jaccard_caps_bound_join_rows(spark):
+    # boilerplate-heavy corpus: the same 200-token license header in 30% of
+    # docs; without the df cap the header shingles alone produce 30^2-scale
+    # join rows. Two genuine near-dups (shared unique tail) must still pair.
+    header = " ".join(f"lic{i}" for i in range(200))
+    rows = []
+    for i in range(100):
+        uniq = " ".join(f"w{i}x{j}" for j in range(50))
+        rows.append((i, (header + " " + uniq) if i < 30 else uniq))
+    tail = " ".join(f"dup{j}" for j in range(60))
+    rows.append((200, tail))
+    rows.append((201, tail + " extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.capped_shingle_stream(
+        df, 5, "text", "doc_id", max_shingles=64, df_cap=8
+    ).cache()
+    per_doc = capped.groupBy("id").count().agg(F.max("count")).first()[0]
+    per_shingle = capped.groupBy("shingle").count().agg(F.max("count")).first()[0]
+    assert per_doc <= 64
+    assert per_shingle <= 8  # join rows <= 8 * |stream|: linear, not 30^2
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, threshold=0.5, k=5, max_shingles=64, df_cap=8
+        ).collect()
+    }
+    assert (200, 201) in pairs  # real near-dups survive the caps
+    # header-only overlap never pairs: those shingles were df-capped away
+    assert all(not (a < 30 and b < 30) for a, b in pairs if (a, b) != (200, 201))
+    capped.unpersist()
+
+
+def test_near_dup_plan_has_no_cartesian(spark, vecs):
+    out = S.embedding_near_dup_pairs(vecs, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    exact = S.embedding_near_dup_pairs(vecs, threshold=0.9, exact=True)
+    assert {(r["id_a"], r["id_b"]) for r in exact.collect()} == {
+        (r["id_a"], r["id_b"]) for r in out.collect()
+    }
+
+
+def test_srp_band_plan_sizing(spark):
+    r_hi, b_hi = S.srp_band_plan(0.95)
+    r_lo, b_lo = S.srp_band_plan(0.4)
+    assert r_hi > r_lo  # high threshold -> deeper bands -> harder pruning
+    assert (1 - (1 - __import__("math").acos(0.95) / __import__("math").pi) ** r_hi) ** b_hi <= 1e-8
