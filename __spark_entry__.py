@@ -820,6 +820,10 @@ LIMIT 10
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # seeded-sample centroids (NOT k-means) so the whole query -- assignment,
+    # nprobe pruning, re-scoring -- is value-checkable against _ANN_IVF_SQL.
+    # Production training is similarity.ivf_train_kmeans (distributed Lloyd),
+    # quality-gated by test_ivf_kmeans_recall (recall@10 >= 0.9).
     from embulk_output_s3_parquet_spark.functions.similarity import (
         ivf_centroids_from_sample,
         ivf_topk,

@@ -100,7 +100,15 @@ def format_timestamp(col: Column, fmt: str = "yyyy-MM-dd HH:mm:ss", tz: str | No
 def timestamp_to_epoch(col: Column, unit: str = "millis") -> Column:
     """C11: TIMESTAMP(unit) int64 (TimestampLogicalType.scala:66-82).
     TIMESTAMP_NTZ inputs (parquet default) are interpreted in the session
-    zone (UTC) via an explicit cast -- unix_* require TIMESTAMP."""
+    zone (UTC) via an explicit cast -- unix_* require TIMESTAMP.
+
+    NANOS from a Spark TIMESTAMP is necessarily us*1000: Spark timestamps
+    are microsecond-precision, so sub-us digits do not exist to recover.
+    TRUE nanos are supported losslessly via the int64-passthrough column
+    mode: a long column already holding epoch-nanos maps through
+    logical_type TIMESTAMP(NANOS) unchanged (plans/embulk_config.py
+    long->TIMESTAMP branch), mirroring the reference's
+    (epochSecond * 10^9 + nano) emission for sources that carry nanos."""
     col = col.cast("timestamp")
     if unit == "millis":
         return F.unix_millis(col)

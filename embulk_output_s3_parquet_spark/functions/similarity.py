@@ -97,19 +97,61 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
-    (argmax dot product -- centroids are expected L2-normalized-ish).
+    (argmax dot product; ties break to the lowest centroid index).
 
-    Centroids are literal arrays, so assignment is pure JVM expressions; at
-    scale the cluster id becomes a partition/cluster key and queries probe
-    only `nprobe` cells."""
+    One constant-folded centroid-matrix literal + a single transform pass,
+    so the expression tree is O(1) in n_cells (a chained CASE WHEN caps out
+    around tens of centroids); at scale the cluster id becomes a
+    partition/cluster key and queries probe only `nprobe` cells."""
     v = F.col(vec_col).cast("array<double>")
-    best_id = F.lit(0)
-    best_dot = dot(v, F.array(*[F.lit(float(x)) for x in centroids[0]]))
-    for i, c in enumerate(centroids[1:], start=1):
-        d = dot(v, F.array(*[F.lit(float(x)) for x in c]))
-        best_id = F.when(d > best_dot, F.lit(i)).otherwise(best_id)
-        best_dot = F.greatest(d, best_dot)
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dots = F.transform(cents, lambda c: dot(v, c))
+    # array_position returns the FIRST max (1-based) -> lowest index on ties
+    best_id = F.array_position(dots, F.array_max(dots)) - 1
     return df.withColumn("ivf_cell", best_id.cast("int"))
+
+
+def ivf_train_kmeans(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Spherical k-means for IVF coarse centroids: Lloyd iterations run
+    distributed (assign via ``ivf_assign`` JVM expressions, per-cell/per-dim
+    mean via posexplode + one shuffled agg of k*d rows); only the k*d
+    centroid matrix ever reaches the driver. Centroids are L2-normalized
+    each round (cosine-geometry k-means); empty cells keep their previous
+    centroid."""
+    import numpy as np
+
+    cents = np.asarray(
+        ivf_centroids_from_sample(df, n_cells, vec_col, id_col), dtype=np.float64
+    )
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assigned = ivf_assign(df, [list(map(float, c)) for c in cents], vec_col)
+        rows = (
+            assigned.select(
+                "ivf_cell",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+            )
+            .groupBy("ivf_cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        new = cents.copy()
+        counts = np.zeros(len(cents))
+        sums = np.zeros_like(cents)
+        for r in rows:
+            sums[r["ivf_cell"], r["pos"]] = r["s"]
+            counts[r["ivf_cell"]] = r["c"]
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new
+    return [list(map(float, c)) for c in cents]
 
 
 def ivf_centroids_from_sample(

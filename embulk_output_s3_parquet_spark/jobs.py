@@ -89,17 +89,17 @@ def encode_job(
 
     dfp, plan = _plan(df, policy)
     if part_base:
-        dfp = dfp.withColumn("part_id", (F.col("part_id") + F.lit(part_base)).cast("int"))
+        dfp = dfp.withColumn("part_id", (F.col("part_id") + F.lit(part_base)).cast("long"))
     table = EncodedTable.create(table_path, df.schema, policy, if_exists=if_exists)
     table.clean_staging()
 
     done = table.completed_parts()
     if done:
-        done_df = spark.createDataFrame([(p,) for p in sorted(done)], "part_id int")
+        done_df = spark.createDataFrame([(p,) for p in sorted(done)], "part_id long")
         dfp = dfp.join(F.broadcast(done_df), "part_id", "left_anti")
     if max_parts is not None:
         todo = sorted(set(range(part_base, part_base + plan.n_parts)) - done)[:max_parts]
-        keep = spark.createDataFrame([(p,) for p in todo], "part_id int")
+        keep = spark.createDataFrame([(p,) for p in todo], "part_id long")
         dfp = dfp.join(F.broadcast(keep), "part_id", "left_semi")
 
     if shuffle_mode == "rows":
@@ -125,6 +125,20 @@ def encode_job(
 def decode_job(
     spark: SparkSession, table_path: str, columns: list[str] | None = None
 ) -> DataFrame:
+    """Decode a committed table. Default: the shuffle-free part-aligned scan
+    (decode_table_scan); set mode='chunks' via decode_job_chunks for encoded
+    layouts not produced by encode_job."""
+    from .operators.decode import decode_table_scan
+
+    table = EncodedTable(table_path)
+    return decode_table_scan(spark, table, columns=columns)
+
+
+def decode_job_chunks(
+    spark: SparkSession, table_path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """groupBy-reassembly decode: works for ANY chunk layout (chunks of one
+    part spread across files) at the cost of shuffling encoded payloads."""
     table = EncodedTable(table_path)
     return decode_chunks(table.read_encoded(spark), table.schema(), columns=columns)
 
@@ -155,10 +169,9 @@ def compact_job(
     on_disk = spark.read.parquet(staging)
     lineage = _lineage_rows(on_disk, table.schema().fields[0].name, time.time() - t0)
 
-    # swap: move new dirs in under temporary names, write a manifest that
-    # references ONLY the new parts, then drop the old dirs
-    m = table.manifest()
-    m["parts"] = {}
+    # swap: move new dirs in under offset part_ids, then atomically replace
+    # the part set (next shard generation + one manifest pointer flip) so a
+    # crash mid-swap never exposes old+new parts together
     offset = max(old_parts, default=-1) + 1
     remap: dict[int, int] = {}
     for name in sorted(os.listdir(staging)):
@@ -171,9 +184,7 @@ def compact_job(
         if os.path.exists(dst):
             shutil.rmtree(dst)
         os.rename(os.path.join(staging, name), dst)
-    for pid, row in lineage.items():
-        m["parts"][str(remap[pid])] = row
-    table._write_manifest(m)
+    table._replace_parts({remap[pid]: row for pid, row in lineage.items()})
     shutil.rmtree(staging, ignore_errors=True)
     for pid in old_parts:
         shutil.rmtree(os.path.join(table.data_dir, f"part_id={pid}"), ignore_errors=True)
@@ -212,15 +223,77 @@ def lineage_df(spark: SparkSession, table: EncodedTable) -> DataFrame:
 
 
 def register_table(
-    spark: SparkSession, table_path: str, name: str, columns: list[str] | None = None
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    columns: list[str] | None = None,
+    catalog_file: str | None = None,
+    if_exists: str = "replace",
 ) -> DataFrame:
-    """Register a decoded view of an EncodedTable in the session catalog so
-    it is queryable by name via spark.sql -- the session-catalog analogue of
-    the reference's Glue registration making the written files queryable
-    (CatalogRegistrator.scala:92-178)."""
+    """Register a decoded view of an EncodedTable so it is queryable by name
+    via spark.sql -- the analogue of the reference's Glue registration
+    (CatalogRegistrator.scala:92-178).
+
+    With ``catalog_file`` the entry is also persisted to a reloadable JSON
+    catalog (exists-check semantics mirror CatalogRegistrator.scala:104-111:
+    ``if_exists`` in {error, skip, replace}); ``restore_catalog`` re-creates
+    every registered view in a brand-new session."""
+    import json
+    import os
+    import tempfile
+    import time
+
+    from .plans.policy import ConfigException
+
+    if catalog_file is not None:
+        cat = _read_catalog(catalog_file)
+        if name in cat:
+            if if_exists == "error":
+                raise ConfigException(f"catalog entry already exists: {name}")
+            if if_exists == "skip":
+                return register_table(
+                    spark, cat[name]["location"], name, columns=cat[name].get("columns")
+                )
+            if if_exists != "replace":
+                raise ConfigException(
+                    f"if_exists must be error|skip|replace, got {if_exists!r}"
+                )
+        cat[name] = {
+            "location": os.path.abspath(table_path),
+            "columns": columns,
+            "registered_at": time.time(),
+        }
+        d = os.path.dirname(os.path.abspath(catalog_file)) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".catalog-")
+        with os.fdopen(fd, "w") as f:
+            json.dump(cat, f, indent=1, sort_keys=True)
+        os.replace(tmp, catalog_file)
+
     df = decode_job(spark, table_path, columns=columns)
     df.createOrReplaceTempView(name)
     return df
+
+
+def _read_catalog(catalog_file: str) -> dict:
+    import json
+    import os
+
+    if not os.path.exists(catalog_file):
+        return {}
+    with open(catalog_file) as f:
+        return json.load(f)
+
+
+def restore_catalog(spark: SparkSession, catalog_file: str) -> list[str]:
+    """Re-register every table from a persisted catalog file in THIS session
+    (the reload half of the persistent catalog surface). Returns the view
+    names registered."""
+    cat = _read_catalog(catalog_file)
+    for name, entry in sorted(cat.items()):
+        df = decode_job(spark, entry["location"], columns=entry.get("columns"))
+        df.createOrReplaceTempView(name)
+    return sorted(cat)
 
 
 def verify_table(spark: SparkSession, table_path: str) -> list[dict]:
@@ -229,10 +302,23 @@ def verify_table(spark: SparkSession, table_path: str) -> list[dict]:
     analogue of the reference's TaskReport bucket/key/etag,
     S3ParquetPageOutput.scala:61-67). Returns mismatch records (empty =
     table verified)."""
+    import os
+
     table = EncodedTable(table_path)
     expected = {pid: v["sha256_manifest"] for pid, v in table.lineage().items()}
     first_col = table.schema().fields[0].name
-    actual_rows = _lineage_rows(table.read_encoded(spark), first_col, 0.0)
+    # scan data/ directly (NOT read_encoded, which prunes to committed parts
+    # and so could never see a stray uncommitted dir)
+    on_disk = [n for n in os.listdir(table.data_dir) if n.startswith("part_id=")]
+    if on_disk:
+        raw = spark.read.option("basePath", table.data_dir).parquet(
+            *[os.path.join(table.data_dir, n) for n in on_disk]
+        )
+        actual_rows = _lineage_rows(
+            raw.withColumn("part_id", F.col("part_id").cast("long")), first_col, 0.0
+        )
+    else:
+        actual_rows = {}
     problems = []
     for pid, want in expected.items():
         got = actual_rows.get(pid)

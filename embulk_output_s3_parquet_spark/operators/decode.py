@@ -58,6 +58,83 @@ def decode_chunks(
     return encoded.groupBy("part_id", "chunk_seq").applyInArrow(dec, schema=out_schema)
 
 
+def _prune_schema(
+    out_schema: T.StructType, columns: list[str] | None
+) -> T.StructType:
+    if columns is None:
+        return out_schema
+    missing = set(columns) - {f.name for f in out_schema.fields}
+    if missing:
+        raise ValueError(f"unknown columns: {sorted(missing)}")
+    return T.StructType([f for f in out_schema.fields if f.name in columns])
+
+
+def decode_table_scan(spark, table, columns: list[str] | None = None) -> DataFrame:
+    """Shuffle-free decode of a committed EncodedTable.
+
+    ``decode_chunks`` re-shuffles every encoded payload through a
+    groupBy(part_id, chunk_seq) even though encode_job already co-located
+    each part's chunks in one parquet dir. This path instead distributes the
+    committed part *dirs* (tiny strings) and lets each task read + decode its
+    parts with pyarrow directly -- the ``sources/pyreader.py`` logic run
+    Spark-side. Zero shuffle of encoded bytes; parallelism = parts; file
+    listing happens in the tasks, not on the driver."""
+    import glob
+    import os
+    from collections.abc import Iterator
+
+    import pyarrow.parquet as pq
+
+    out_schema = _prune_schema(table.schema(), columns)
+    arrow_schema = to_arrow_schema(out_schema)
+    names = [f.name for f in out_schema.fields]
+
+    dirs = table.committed_part_dirs()
+    if not dirs:
+        from ..plans.policy import ConfigException
+
+        raise ConfigException(f"table {table.path} has no committed partitions")
+    par = min(len(dirs), spark.sparkContext.defaultParallelism * 2)
+    path_df = spark.createDataFrame([(d,) for d in dirs], "dir string").repartition(par)
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            for d in b.column(0).to_pylist():
+                files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+                if not files:
+                    raise FileNotFoundError(f"committed part missing: {d}")
+                enc = pa.concat_tables(
+                    pq.read_table(
+                        f,
+                        columns=["chunk_seq", "col", "meta", "payload"],
+                        # row-group/scan-level pruning: unwanted columns'
+                        # payload rows are filtered during the read
+                        filters=[("col", "in", names)],
+                    )
+                    for f in files
+                )
+                by_chunk: dict[int, dict[str, tuple]] = {}
+                for row in enc.to_pylist():
+                    if row["col"] in names:
+                        by_chunk.setdefault(row["chunk_seq"], {})[row["col"]] = (
+                            row["payload"],
+                            row["meta"],
+                        )
+                for seq in sorted(by_chunk):
+                    arrays = []
+                    for name, field in zip(names, arrow_schema):
+                        payload, meta = by_chunk[seq][name]
+                        arr = decode_array(payload, meta_from_json(meta))
+                        if arr.type != field.type:
+                            arr = arr.cast(field.type)
+                        arrays.append(arr)
+                    yield from pa.table(
+                        dict(zip(names, arrays)), schema=arrow_schema
+                    ).to_batches()
+
+    return path_df.mapInArrow(dec, schema=out_schema)
+
+
 def roundtrip(df: DataFrame, policy=None) -> DataFrame:
     """encode -> decode in one plan (no table IO); used by correctness
     queries: the driver's oracle compares this against ``SELECT *``."""

@@ -59,18 +59,41 @@ def assign_partitions(
         .groupBy(k1, k2)
         .agg(F.sum("w").alias("gbytes"))
     )
-    w_lang = (
-        Window.partitionBy(k1)
-        .orderBy(k2)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sizes = sizes.withColumn(
-        "prev_bytes", F.coalesce(F.sum("gbytes").over(w_lang), F.lit(0))
-    ).withColumn(
-        "splits",
-        F.greatest(F.lit(1), F.ceil(F.col("gbytes") / F.lit(target_bytes))).cast("int"),
-    ).withColumn(
-        "start_bin", F.floor(F.col("prev_bytes") / F.lit(target_bytes)).cast("int")
+    # bin layout per lang: small groups (gbytes <= target) pack by byte cumsum
+    # into bins [0, B_small); hot groups get EXCLUSIVE bins [B_small + running
+    # split count, +splits) -- hot ranges never overlap packed bins or each
+    # other. A small group straddling a bin boundary may push one merged part
+    # to < 2x target; that is the cost of packing without splitting groups.
+    w_prev = Window.partitionBy(k1).orderBy(k2).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy(k1)
+    hot = F.col("gbytes") > F.lit(target_bytes)
+    sizes = (
+        sizes.withColumn(
+            "splits",
+            F.greatest(F.lit(1), F.ceil(F.col("gbytes") / F.lit(target_bytes))).cast("int"),
+        )
+        .withColumn(
+            "prev_small",
+            F.coalesce(F.sum(F.when(hot, 0).otherwise(F.col("gbytes"))).over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "prev_hot_splits",
+            F.coalesce(F.sum(F.when(hot, F.col("splits"))).over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "b_small",
+            F.ceil(
+                F.sum(F.when(hot, 0).otherwise(F.col("gbytes"))).over(w_all)
+                / F.lit(target_bytes)
+            ).cast("int"),
+        )
+        .withColumn(
+            "start_bin",
+            F.when(hot, F.col("b_small") + F.col("prev_hot_splits"))
+            .otherwise(F.floor(F.col("prev_small") / F.lit(target_bytes)))
+            .cast("int"),
+        )
+        .drop("prev_small", "prev_hot_splits", "b_small")
     )
 
     # lang base offsets: |langs| rows -> driver

@@ -27,8 +27,18 @@ def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
     names = [f["name"] for f in schema_fields]
     want = columns or names
 
+    # committed parts = legacy inline entries + the current generation's
+    # lineage shards (sources/tables.py commit protocol)
+    parts: dict[str, dict] = dict(manifest.get("parts", {}))
+    shard_dir = os.path.join(path, f"parts-{manifest.get('parts_gen', 0)}")
+    if os.path.isdir(shard_dir):
+        for name in os.listdir(shard_dir):
+            if name.startswith("shard-") and name.endswith(".json"):
+                with open(os.path.join(shard_dir, name)) as f:
+                    parts.update(json.load(f))
+
     batches: list[pa.Table] = []
-    for pid in sorted(int(k) for k in manifest["parts"]):
+    for pid in sorted(int(k) for k in parts):
         part_dir = os.path.join(path, "data", f"part_id={pid}")
         files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
         if not files:
@@ -45,4 +55,41 @@ def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
                 name: decode_array(*by_chunk[seq][name]) for name in want
             }
             batches.append(pa.table(cols))
-    return pa.concat_tables(batches) if batches else pa.table({n: [] for n in want})
+    if batches:
+        return pa.concat_tables(batches)
+    # empty committed table: honor the manifest schema's types instead of
+    # null-typed columns, so empty and non-empty tables decode alike
+    by_name = {f["name"]: _arrow_type(f["type"]) for f in schema_fields}
+    return pa.table(
+        {n: pa.array([], type=by_name[n]) for n in want},
+        schema=pa.schema([(n, by_name[n]) for n in want]),
+    )
+
+
+_SPARK_TO_ARROW = {
+    "boolean": pa.bool_(),
+    "byte": pa.int8(),
+    "short": pa.int16(),
+    "integer": pa.int32(),
+    "long": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "date": pa.date32(),
+    "timestamp": pa.timestamp("us", tz="UTC"),
+    "timestamp_ntz": pa.timestamp("us"),
+}
+
+
+def _arrow_type(spark_type) -> pa.DataType:
+    """Spark schema-JSON type name -> arrow type (Spark-free mirror of
+    pyspark.sql.pandas.types.to_arrow_schema for the types the engine
+    encodes)."""
+    if isinstance(spark_type, str):
+        if spark_type.startswith("decimal"):
+            p, s = spark_type[len("decimal(") : -1].split(",")
+            return pa.decimal128(int(p), int(s))
+        if spark_type in _SPARK_TO_ARROW:
+            return _SPARK_TO_ARROW[spark_type]
+    raise NotImplementedError(f"no arrow mapping for spark type {spark_type!r}")

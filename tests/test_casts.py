@@ -97,3 +97,26 @@ def test_decimal_halfup_string(spark):
 def test_scalar_to_json(spark):
     df = spark.createDataFrame([(5,)], "x long")
     assert df.select(C.scalar_to_json(F.col("x")).alias("v")).first()["v"] == '{"v":5}'
+
+
+def test_true_nanos_int64_passthrough(spark):
+    """C11 NANOS grid at the microsecond boundary: a long column already in
+    epoch-nanos passes through TIMESTAMP(NANOS) EXACTLY (sub-us digits
+    preserved), while a Spark TIMESTAMP source is us-precision so its nanos
+    are us*1000 (documented engine cap; reference
+    TimestampLogicalType.scala:66-82 emits real nanos from Embulk's
+    (epochSecond, nano) pairs)."""
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.plans.embulk_config import load_output_config
+
+    base = 86400 * 10**9
+    grid = [base, base + 1, base + 999, base + 1000, base + 111_111_111]
+    df = spark.createDataFrame([(n,) for n in grid], "t long")
+    plan = load_output_config(
+        {"column_options": {"t": {"logical_type": {"name": "TIMESTAMP", "time_unit": "NANOS"}}}},
+        df.schema,
+    )
+    out = [r["t"] for r in plan.apply(df).collect()]
+    assert out == grid  # bit-exact, including the sub-microsecond digits
+    assert plan.apply(df).schema["t"].dataType == T.LongType()

@@ -194,18 +194,25 @@ def test_generic_table_encode_job(spark, tmp_path):
 
 def test_column_pruned_decode(spark, corpus, tmp_path):
     """Projection pushdown on the encoded table: decoding 2 of 5 columns
-    reads only those chunk rows (filter on 'col' reaches the parquet scan)."""
+    only decodes those chunk rows. The scan path prunes inside the pyarrow
+    read (filters on 'col'); the groupBy path pushes the filter to the
+    parquet scan -- assert the plan shows it there."""
+    from embulk_output_s3_parquet_spark.jobs import decode_job_chunks
+
     path = str(tmp_path / "enc")
     encode_job(spark, corpus, path, _policy(), if_exists="error")
     pruned = decode_job(spark, path, columns=["repo", "lang"])
     assert pruned.columns == ["repo", "lang"]
     assert pruned.count() == ROWS
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    grouped = decode_job_chunks(spark, path, columns=["repo", "lang"])
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
     assert "col" in plan  # filter present in the physical plan
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unknown columns"):
         decode_job(spark, path, columns=["nope"])
+    with _pytest.raises(ValueError, match="unknown columns"):
+        decode_job_chunks(spark, path, columns=["nope"])
 
 
 def test_rows_mode_matches_chunks_mode(spark, corpus, tmp_path):
@@ -276,3 +283,68 @@ def test_register_table_sql(spark, corpus, tmp_path):
         "GROUP BY lang ORDER BY c DESC LIMIT 1"
     ).first()
     assert top["c"] > 0
+
+
+def test_scan_decode_is_shuffle_free_and_matches_grouped(spark, corpus, tmp_path):
+    """decode_table_scan (default decode_job path) must produce the same
+    rows as the groupBy-reassembly decode with ZERO shuffle of encoded
+    payloads in its plan."""
+    from embulk_output_s3_parquet_spark.jobs import decode_job_chunks
+
+    path = str(tmp_path / "enc")
+    encode_job(spark, corpus, path, _policy(), if_exists="error")
+    scan = decode_job(spark, path)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the only exchange allowed is the tiny repartition of part-dir strings
+    assert "part_id" not in plan or "Exchange hashpartitioning(part_id" not in plan
+    grouped = decode_job_chunks(spark, path)
+    key = ["repo", "path", "commit"]
+    a = scan.select(*key, F.sha2(F.coalesce("content", F.lit("")), 256).alias("s"))
+    b = grouped.select(*key, F.sha2(F.coalesce("content", F.lit("")), 256).alias("s"))
+    assert a.count() == ROWS
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_verify_table_detects_untracked_part(spark, corpus, tmp_path):
+    """an uncommitted part_id dir left in data/ must be flagged (the audit
+    scans data/ directly, not the committed-pruned view)."""
+    import shutil
+
+    from embulk_output_s3_parquet_spark.jobs import verify_table
+
+    path = str(tmp_path / "enc")
+    encode_job(spark, corpus, path, _policy(), if_exists="error")
+    t = EncodedTable(path)
+    assert verify_table(spark, path) == []
+    src = os.path.join(t.data_dir, "part_id=0")
+    stray = os.path.join(t.data_dir, "part_id=99999")
+    shutil.copytree(src, stray)
+    problems = verify_table(spark, path)
+    assert any(
+        p["part_id"] == 99999 and p["error"] == "untracked part on disk"
+        for p in problems
+    )
+
+
+def test_persistent_catalog_roundtrip(spark, corpus, tmp_path):
+    """register_table persists to a catalog file with exists-check semantics
+    (reference CatalogRegistrator.scala:104-111); restore_catalog makes the
+    tables spark.sql-queryable again without re-registering."""
+    from embulk_output_s3_parquet_spark.jobs import register_table, restore_catalog
+
+    path = str(tmp_path / "enc")
+    cat = str(tmp_path / "catalog.json")
+    encode_job(spark, corpus, path, _policy(), if_exists="error")
+    register_table(spark, path, "cat_t1", catalog_file=cat)
+    assert spark.sql("SELECT count(*) AS n FROM cat_t1").first()["n"] == ROWS
+
+    with pytest.raises(ConfigException, match="already exists"):
+        register_table(spark, path, "cat_t1", catalog_file=cat, if_exists="error")
+    register_table(spark, path, "cat_t1", catalog_file=cat, if_exists="skip")
+    register_table(spark, path, "cat_t1", catalog_file=cat, if_exists="replace")
+
+    # simulate a new session: drop the temp view, then restore from the file
+    spark.catalog.dropTempView("cat_t1")
+    names = restore_catalog(spark, cat)
+    assert names == ["cat_t1"]
+    assert spark.sql("SELECT count(*) AS n FROM cat_t1").first()["n"] == ROWS

@@ -263,3 +263,17 @@ def test_srp_band_plan_sizing(spark):
     r_lo, b_lo = S.srp_band_plan(0.4)
     assert r_hi > r_lo  # high threshold -> deeper bands -> harder pruning
     assert (1 - (1 - __import__("math").acos(0.95) / __import__("math").pi) ** r_hi) ** b_hi <= 1e-8
+
+
+def test_ivf_kmeans_recall(spark):
+    # trained IVF with nprobe=4/16 must recover >= 0.9 of brute-force top-10
+    # on the real test embeddings
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()]
+    cents = S.ivf_train_kmeans(emb, n_cells=16, iters=3)
+    assert len(cents) == 16
+    approx = [r["vec_id"] for r in S.ivf_topk(emb, q, cents, k=10, nprobe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"recall@10 = {recall}"
+    emb.unpersist()

@@ -97,3 +97,31 @@ def test_empty_input_plan(spark, tmp_path):
         if_exists="delete",
     )
     assert t.completed_parts() == set()
+
+
+def test_hot_group_bins_are_exclusive(planned):
+    # a hot group's salted bin range must never be shared with any other
+    # group -- overlaps merge parts past the size target
+    df, out, plan = planned
+    g = plan.groups.collect()
+    by_lang: dict[str, list] = {}
+    for r in g:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for rows in by_lang.values():
+        hot_ranges = [
+            (r["start_part"], r["start_part"] + r["splits"])
+            for r in rows
+            if r["gbytes"] > TARGET
+        ]
+        others = [
+            (r["start_part"], r["start_part"] + r["splits"])
+            for r in rows
+            if r["gbytes"] <= TARGET
+        ]
+        for lo, hi in hot_ranges:
+            for olo, ohi in hot_ranges + others:
+                if (olo, ohi) == (lo, hi):
+                    continue
+                assert ohi <= lo or olo >= hi, (
+                    f"bin overlap: hot [{lo},{hi}) vs [{olo},{ohi})"
+                )
