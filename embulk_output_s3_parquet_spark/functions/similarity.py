@@ -92,6 +92,53 @@ def lsh_topk(
     )
 
 
+def write_bucketed_embeddings(
+    df: DataFrame,
+    path: str,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the SRP bucket as a PARTITION KEY: the layout that makes
+    ``lsh_topk``'s pruning claim real. Queries against the written table scan
+    ~1/2^planes of the files because the bucket filter prunes at the
+    partition-listing level, before any IO."""
+    (
+        df.withColumn("bucket", hyperplane_bucket(vec_col, planes))
+        .write.partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    query: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a bucket-partitioned embedding table written by
+    ``write_bucketed_embeddings``: the query-bucket filter is a partition
+    filter (check PartitionFilters in .explain), so only that bucket's files
+    are listed and read."""
+    import numpy as np
+
+    qb = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(np.asarray(p), np.asarray(query))) >= 0:
+            qb += 2**i
+    q = F.array(*[F.lit(float(x)) for x in query])
+    df = spark.read.parquet(path).filter(F.col("bucket") == qb)
+    sim = F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4)
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

@@ -277,3 +277,20 @@ def test_ivf_kmeans_recall(spark):
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.9, f"recall@10 = {recall}"
     emb.unpersist()
+
+
+def test_lsh_bucketed_partition_pruning(spark, vecs, tmp_path):
+    """bucket must act as a real partition key: the query-bucket filter
+    appears in PartitionFilters (scan prunes before IO)."""
+    planes = [[1.0] * 8, [1.0, -1.0] * 4]
+    path = str(tmp_path / "bucketed")
+    S.write_bucketed_embeddings(vecs, path, planes)
+    q = [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+    out = S.lsh_topk_bucketed(spark, path, q, planes, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    ids = [r["vec_id"] for r in out.collect()]
+    assert 0 in ids
+    # matches the unpartitioned lsh_topk on the same planes
+    ref = [r["vec_id"] for r in S.lsh_topk(vecs, q, planes, k=4).collect()]
+    assert ids == ref

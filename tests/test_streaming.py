@@ -141,3 +141,32 @@ def test_compaction_after_streaming(spark, tmp_path):
 
     dirs = {d for d in os.listdir(t.data_dir) if d.startswith("part_id=")}
     assert dirs == {f"part_id={p}" for p in t.completed_parts()}
+
+
+def test_large_batch_id_part_ids_stay_long(spark, tmp_path):
+    """batch_id >= 2048 pushes part_base past int32 (ADVICE round 1: a
+    narrowing cast crashed under ANSI / silently collided without it);
+    part_id must stay long end-to-end and round-trip."""
+    from embulk_output_s3_parquet_spark.jobs import decode_job, encode_job
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+    from embulk_output_s3_parquet_spark.streaming.encode_stream import PART_STRIDE
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "enc")
+    big_base = 5000 * PART_STRIDE  # > 2^31
+    assert big_base > 2**31
+    t = encode_job(
+        spark, df, path, CodecPolicy(chunk_rows=16), if_exists="skip", part_base=big_base
+    )
+    parts = t.completed_parts()
+    assert parts and all(p >= big_base for p in parts)
+    out = decode_job(spark, path)
+    assert out.count() == 50
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == set(range(50))
+    # replay of the same batch is a no-op (exactly-once argument)
+    t2 = encode_job(
+        spark, df, path, CodecPolicy(chunk_rows=16), if_exists="skip", part_base=big_base
+    )
+    assert t2.completed_parts() == parts
