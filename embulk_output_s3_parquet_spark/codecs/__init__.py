@@ -39,14 +39,17 @@ def _normalize(arr) -> pa.Array:
     return arr
 
 
-def encode_array(arr, codec: str = AUTO) -> tuple[bytes, dict]:
-    """Encode one column chunk -> (payload bytes, JSON-safe meta dict)."""
+def encode_array(
+    arr, codec: str = AUTO, exclude: frozenset[str] = frozenset()
+) -> tuple[bytes, dict]:
+    """Encode one column chunk -> (payload bytes, JSON-safe meta dict).
+    ``exclude`` forwards the hopeless-loser memo to the auto-selector."""
     arr = _normalize(arr)
     n = len(arr)
     values, validity, null_count = drop_nulls_with_mask(arr)
     stats: dict = {}
     if codec == AUTO:
-        name, stats = selector.select(values)
+        name, stats = selector.select(values, exclude)
     else:
         if codec not in CODECS:
             raise ValueError(f"unknown codec {codec!r}; known: {sorted(CODECS)}")

@@ -96,24 +96,47 @@ def candidates(values: pa.Array, stats: dict) -> list[str]:
     return out
 
 
-def select(values: pa.Array) -> tuple[str, dict]:
-    """Pick the cheapest codec for a null-free chunk via sampled trials."""
+# trial-expensive codecs: when one of these loses a trial by a clear margin
+# (> _HOPELESS_MARGIN over the winner), the caller can exclude it from future
+# reselections of the same column -- fsst's train+substitute trial costs ~24x
+# a raw/zstd trial, and on corpora where it never wins that tax dominates the
+# selector (measured: 94ms vs 4ms per 512-row sample).
+_EXPENSIVE = ("fsst",)
+_HOPELESS_MARGIN = 1.1
+
+
+def select(values: pa.Array, exclude: frozenset[str] = frozenset()) -> tuple[str, dict]:
+    """Pick the cheapest codec for a null-free chunk via sampled trials.
+
+    ``exclude`` skips named candidates (hopeless-loser memo from prior
+    chunks). The returned stats carry ``hopeless``: expensive codecs that
+    trialed here and lost decisively."""
     n = len(values)
     stats = chunk_stats(values)
     if n == 0:
         return "raw", stats
-    cands = candidates(values, stats)
+    cands = [c for c in candidates(values, stats) if c not in exclude]
+    if not cands:
+        return "raw", stats
     if len(cands) == 1:
         return cands[0], stats
     rows = _STRING_SAMPLE_ROWS if is_stringlike(values.type) else _SAMPLE_ROWS
     sample = values.slice(0, min(n, rows))
-    best, best_cost = None, None
+    best, best_cost, costs = None, None, {}
     for name in cands:
         try:
             body, _meta = CODECS[name].encode(sample)
             cost = len(body) * _SPEED_PENALTY.get(name, 1.0)
         except CodecUnsuitable:
             continue
+        costs[name] = cost
         if best_cost is None or cost < best_cost or (cost == best_cost and _ORDER[name] < _ORDER[best]):
             best, best_cost = name, cost
+    hopeless = [
+        c
+        for c in _EXPENSIVE
+        if c in costs and best_cost is not None and costs[c] > best_cost * _HOPELESS_MARGIN
+    ]
+    if hopeless:
+        stats["hopeless"] = hopeless
     return best or "raw", stats

@@ -135,12 +135,59 @@ def decode_table_scan(spark, table, columns: list[str] | None = None) -> DataFra
     return path_df.mapInArrow(dec, schema=out_schema)
 
 
+def decode_inline(encoded: DataFrame, out_schema: T.StructType) -> DataFrame:
+    """Shuffle-free decode of task-local encoded chunks.
+
+    Valid whenever every chunk's column rows live in ONE input partition in
+    emission order (true for ``encode_map``/``encode_local`` output that has
+    not been re-shuffled): a mapInArrow pass buffers rows per
+    (part_id, chunk_seq) until all columns arrived, then decodes -- no
+    groupBy exchange. For arbitrary layouts use ``decode_chunks``."""
+    from collections.abc import Iterator
+
+    arrow_schema = to_arrow_schema(out_schema)
+    names = [f.name for f in out_schema.fields]
+    want = set(names)
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending: dict[tuple[int, int], dict[str, tuple]] = {}
+        for b in batches:
+            for row in b.to_pylist():
+                if row["col"] not in want:
+                    continue
+                key = (row["part_id"], row["chunk_seq"])
+                cols = pending.setdefault(key, {})
+                cols[row["col"]] = (row["payload"], row["meta"])
+                if len(cols) == len(names):
+                    del pending[key]
+                    arrays = []
+                    for name, field in zip(names, arrow_schema):
+                        payload, meta = cols[name]
+                        arr = decode_array(payload, meta_from_json(meta))
+                        if arr.type != field.type:
+                            arr = arr.cast(field.type)
+                        arrays.append(arr)
+                    yield from pa.table(
+                        dict(zip(names, arrays)), schema=arrow_schema
+                    ).to_batches()
+        if pending:
+            raise ValueError(
+                f"incomplete chunks in partition (not task-local layout?): "
+                f"{sorted(pending)[:5]}"
+            )
+
+    return encoded.mapInArrow(dec, schema=out_schema)
+
+
 def roundtrip(df: DataFrame, policy=None) -> DataFrame:
     """encode -> decode in one plan (no table IO); used by correctness
-    queries: the driver's oracle compares this against ``SELECT *``."""
+    queries: the driver's oracle compares this against ``SELECT *``.
+    encode_map emits each chunk's column rows task-locally, so the decode
+    side is the shuffle-free ``decode_inline`` -- the whole round-trip is one
+    narrow pipeline."""
     from ..plans.policy import CodecPolicy
     from .encode import encode_map
 
     policy = policy or CodecPolicy()
     encoded = encode_map(df, policy)
-    return decode_chunks(encoded, df.schema)
+    return decode_inline(encoded, df.schema)

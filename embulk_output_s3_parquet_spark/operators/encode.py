@@ -97,11 +97,18 @@ def _encode_slices(
             arr = chunk.column(name)
             use = codec
             if codec == "auto":
-                prev, uses = sticky.get(name, (None, 0))
+                prev, uses, excl = sticky.get(name, (None, 0, frozenset()))
                 if prev is not None and uses % _RESELECT_EVERY != 0:
                     use = prev
-                payload, meta = encode_array(arr, use)
-                sticky[name] = (meta["c"] if use == "auto" else prev, uses + 1)
+                payload, meta = encode_array(arr, use, exclude=excl)
+                if use == "auto":
+                    # hopeless-loser memo: trial-expensive codecs that lost
+                    # decisively never get re-trialed within this task
+                    excl = excl | frozenset(meta.get("s", {}).pop("hopeless", []))
+                    chosen = meta["c"]
+                else:
+                    chosen = prev
+                sticky[name] = (chosen, uses + 1, excl)
             else:
                 payload, meta = encode_array(arr, codec)
             cols["part_id"].append(part_id)
