@@ -35,6 +35,8 @@ AUTO = "auto"
 
 def _normalize(arr) -> pa.Array:
     if isinstance(arr, pa.ChunkedArray):
+        if arr.num_chunks == 1:
+            return arr.chunk(0)  # zero-copy (combine_chunks would copy)
         arr = arr.combine_chunks()
     return arr
 
