@@ -941,6 +941,30 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_media(docs, "text", "doc_id")).orderBy("media_id")
 
 
+def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # projection drops resized_sha (stub-rng-derived, not SQL-expressible;
+    # its determinism is pytest-gated) so the rest value-checks exactly
+    from embulk_output_s3_parquet_spark.functions.multimodal import (
+        attach_media,
+        resize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        resize_media(attach_media(docs, "text", "doc_id"), width=32, height=16)
+        .select("media_id", "kind", "width", "height", "n_bytes_out")
+        .orderBy("media_id")
+    )
+
+
+_MM_RESIZE_SQL = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(32 * 16 * 3 AS INT) AS n_bytes_out
+FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
+"""
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_output_s3_parquet_spark.functions.multimodal import attach_media, sample_frames
 
@@ -1028,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_near_dups": _emb_near_dups,
             "encode_stats_documents": _encode_stats,
             "multimodal_features": _mm_features,
+            "multimodal_resize": _mm_resize,
             "multimodal_frame_sampling": _mm_frames,
         }
     )
@@ -1063,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_cosine_topk": _ANN_TOPK_SQL,
             "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
             "multimodal_features": _MM_FEATURES_SQL,
+            "multimodal_resize": _MM_RESIZE_SQL,
             "multimodal_frame_sampling": _MM_FRAMES_SQL,
             "minhash_lsh_candidates": _minhash_lsh_sql(num_hashes=32, bands=8, k=5),
             "simhash64": _simhash_sql(),

@@ -118,6 +118,51 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_bytes_out int, "
+    "resized_sha string"
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, deterministic_fake: bool = True
+) -> DataFrame:
+    """Resize plumbing over binary payloads (image kind only), Arrow-batched.
+
+    The pixel kernel is STUBBED like ``decode_image`` (no imaging libs in
+    this container): the deterministic fake emits a width*height*3 RGB
+    buffer seeded from the payload sha, so output size and a content-derived
+    digest are real, verifiable plumbing. Swapping in PIL's
+    ``Image.resize`` is a one-function change; schema, filtering, batching
+    and partition behavior are unchanged by that swap."""
+    if not deterministic_fake:
+        decode_image(b"", deterministic_fake=False)
+    if width < 1 or height < 1:
+        raise ValueError(f"bad target size {width}x{height}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                h = hashlib.sha256(buf).digest()
+                rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+                img = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+                raw = img.tobytes()
+                out_rows.append(
+                    (int(mid), kind, width, height, len(raw),
+                     hashlib.sha256(raw).hexdigest())
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["media_id", "kind", "width", "height", "n_bytes_out", "resized_sha"],
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled timestamp
     (video kind only); the frame decode itself is the stub above."""

@@ -294,3 +294,24 @@ def test_lsh_bucketed_partition_pruning(spark, vecs, tmp_path):
     # matches the unpartitioned lsh_topk on the same planes
     ref = [r["vec_id"] for r in S.lsh_topk(vecs, q, planes, k=4).collect()]
     assert ids == ref
+
+
+def test_resize_media_stub_plumbing(spark, docs):
+    media = M.attach_media(docs, "text", "doc_id")
+    out = M.resize_media(media, width=8, height=4).collect()
+    imgs = media.filter("kind = 'image'").count()
+    assert len(out) == imgs
+    for r in out:
+        assert (r["width"], r["height"], r["n_bytes_out"]) == (8, 4, 8 * 4 * 3)
+    by_id = {r["media_id"]: r["resized_sha"] for r in out}
+    # deterministic: same payload (docs 0 and 3 are image kind; 0's dup 1 is audio)
+    again = {r["media_id"]: r["resized_sha"] for r in M.resize_media(media, 8, 4).collect()}
+    assert by_id == again
+    # different payloads -> different resized content
+    assert len(set(by_id.values())) == len(by_id)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad target size"):
+        M.resize_media(media, 0, 4)
+    with _pytest.raises(NotImplementedError):
+        M.resize_media(media, 8, 4, deterministic_fake=False)
