@@ -931,6 +931,39 @@ def _encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _filter_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-skipping scan over the ENCODED format: zone maps recorded at
+    encode time let decode_table_scan skip whole chunks the [min,max] proves
+    irrelevant; the exact filter then runs on the (possibly reduced) decoded
+    frame. Values must match the oracle on the plain table."""
+    import os
+    import tempfile
+
+    from embulk_output_s3_parquet_spark.jobs import encode_job
+    from embulk_output_s3_parquet_spark.operators.decode import decode_table_scan
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), f"zonescan_{abs(hash(sf_dir)) % 99999}"
+    )
+    t = encode_job(spark, docs, path, CodecPolicy(chunk_rows=128), if_exists="delete")
+    scan = decode_table_scan(
+        spark, t, columns=["doc_id", "text"], where=("doc_id", ">=", 400)
+    )
+    return (
+        scan.filter(F.col("doc_id") >= 400)
+        .select("doc_id", F.length("text").alias("text_len"))
+        .orderBy("doc_id")
+    )
+
+
+_FILTER_OVER_ENCODED_SQL = """
+SELECT doc_id, CAST(length(text) AS INT) AS text_len
+FROM documents WHERE doc_id >= 400 ORDER BY doc_id
+"""
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_output_s3_parquet_spark.functions.multimodal import (
         attach_media,
@@ -1051,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf_topk": _ann_ivf,
             "embedding_near_dups": _emb_near_dups,
             "encode_stats_documents": _encode_stats,
+            "filter_over_encoded": _filter_over_encoded,
             "multimodal_features": _mm_features,
             "multimodal_resize": _mm_resize,
             "multimodal_frame_sampling": _mm_frames,
@@ -1087,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
             "clean_documents_pipeline": _CLEAN_PIPELINE_SQL,
             "ann_cosine_topk": _ANN_TOPK_SQL,
             "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
+            "filter_over_encoded": _FILTER_OVER_ENCODED_SQL,
             "multimodal_features": _MM_FEATURES_SQL,
             "multimodal_resize": _MM_RESIZE_SQL,
             "multimodal_frame_sampling": _MM_FRAMES_SQL,

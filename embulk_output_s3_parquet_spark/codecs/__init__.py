@@ -69,9 +69,65 @@ def encode_array(
         "z": null_count,
         "m": cmeta,
     }
+    zone = _zone_of(values)
+    if zone is not None:
+        meta["mm"] = zone
     if stats.get("distinct") is not None:
         meta["s"] = {k: v for k, v in stats.items() if k != "n"}
     return payload, meta
+
+
+# zone-map bounds are only recorded for types whose min/max is JSON-safe and
+# whose comparison semantics match python's (ints, finite floats, short
+# strings); everything else simply has no zone and is never skipped.
+_ZONE_MAX_STR = 64
+
+
+def _zone_of(values: pa.Array):
+    """Per-chunk [min, max] zone map for predicate-skipping scans."""
+    import math
+
+    if len(values) == 0:
+        return None
+    t = values.type
+    if not (
+        pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+    ):
+        return None
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(values)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None or hi is None:
+        return None
+    if pa.types.is_floating(t) and not (math.isfinite(lo) and math.isfinite(hi)):
+        return None
+    if isinstance(lo, str) and (len(lo) > _ZONE_MAX_STR or len(hi) > _ZONE_MAX_STR):
+        return None
+    return [lo, hi]
+
+
+def zone_excludes(zone, op: str, value) -> bool:
+    """True when [lo, hi] proves NO row in the chunk can satisfy
+    ``col <op> value`` (op in ==, >=, <=, >, <). None zone never excludes."""
+    if zone is None:
+        return False
+    lo, hi = zone
+    try:
+        if op == "==":
+            return value < lo or value > hi
+        if op == ">=":
+            return hi < value
+        if op == ">":
+            return hi <= value
+        if op == "<=":
+            return lo > value
+        if op == "<":
+            return lo >= value
+    except TypeError:
+        return False  # incomparable literal: never skip
+    raise ValueError(f"unsupported zone op {op!r}")
 
 
 def decode_array(payload: bytes, meta: dict) -> pa.Array:

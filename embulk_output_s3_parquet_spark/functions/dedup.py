@@ -49,21 +49,6 @@ def keep_first_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def word_shingles(text_col: str, k: int = 5, max_shingles: int = 256):
-    """Distinct k-word shingles as an array column (bounded per doc).
-
-    Array-building variant for small inputs/tests; the pipeline operators
-    below use ``shingle_stream`` instead -- the higher-order-function
-    evaluation here is ~16x slower per shingle than the window form."""
-    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    return F.slice(F.array_distinct(F.when(n >= k, sh).otherwise(F.array())), 1, max_shingles)
-
-
 def shingle_stream(
     df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -69,7 +69,12 @@ def _prune_schema(
     return T.StructType([f for f in out_schema.fields if f.name in columns])
 
 
-def decode_table_scan(spark, table, columns: list[str] | None = None) -> DataFrame:
+def decode_table_scan(
+    spark,
+    table,
+    columns: list[str] | None = None,
+    where: tuple | None = None,
+) -> DataFrame:
     """Shuffle-free decode of a committed EncodedTable.
 
     ``decode_chunks`` re-shuffles every encoded payload through a
@@ -78,16 +83,31 @@ def decode_table_scan(spark, table, columns: list[str] | None = None) -> DataFra
     committed part *dirs* (tiny strings) and lets each task read + decode its
     parts with pyarrow directly -- the ``sources/pyreader.py`` logic run
     Spark-side. Zero shuffle of encoded bytes; parallelism = parts; file
-    listing happens in the tasks, not on the driver."""
+    listing happens in the tasks, not on the driver.
+
+    ``where=(col, op, literal)`` (op in ==, >=, <=, >, <) enables zone-map
+    chunk skipping: chunks whose recorded [min, max] proves no row can match
+    are never decoded OR emitted, so the result contains only rows that MAY
+    match -- callers apply the exact filter on the decoded frame (which is
+    what a query does anyway). The filter column must be in the
+    projection."""
     import glob
     import os
     from collections.abc import Iterator
 
     import pyarrow.parquet as pq
 
+    from ..codecs import zone_excludes
+
     out_schema = _prune_schema(table.schema(), columns)
     arrow_schema = to_arrow_schema(out_schema)
     names = [f.name for f in out_schema.fields]
+    if where is not None:
+        w_col, w_op, w_val = where
+        if w_col not in names:
+            raise ValueError(f"where column {w_col!r} not in projection {names}")
+        if w_op not in ("==", ">=", "<=", ">", "<"):
+            raise ValueError(f"unsupported zone op {w_op!r}")
 
     dirs = table.committed_part_dirs()
     if not dirs:
@@ -121,6 +141,10 @@ def decode_table_scan(spark, table, columns: list[str] | None = None) -> DataFra
                             row["meta"],
                         )
                 for seq in sorted(by_chunk):
+                    if where is not None:
+                        w_meta = meta_from_json(by_chunk[seq][w_col][1])
+                        if zone_excludes(w_meta.get("mm"), w_op, w_val):
+                            continue  # zone proves no row can match
                     arrays = []
                     for name, field in zip(names, arrow_schema):
                         payload, meta = by_chunk[seq][name]

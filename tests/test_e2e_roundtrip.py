@@ -348,3 +348,45 @@ def test_persistent_catalog_roundtrip(spark, corpus, tmp_path):
     names = restore_catalog(spark, cat)
     assert names == ["cat_t1"]
     assert spark.sql("SELECT count(*) AS n FROM cat_t1").first()["n"] == ROWS
+
+
+def test_zone_map_chunk_skipping(spark, corpus, tmp_path):
+    """zone maps must (a) be recorded in chunk meta, (b) let decode_table_scan
+    skip chunks that cannot match, and (c) never drop rows that may match."""
+    import json
+
+    from embulk_output_s3_parquet_spark.codecs import zone_excludes
+    from embulk_output_s3_parquet_spark.operators.decode import decode_table_scan
+
+    # truth table
+    assert zone_excludes([10, 20], "==", 25) and not zone_excludes([10, 20], "==", 15)
+    assert zone_excludes([10, 20], ">", 20) and not zone_excludes([10, 20], ">", 19)
+    assert zone_excludes([10, 20], ">=", 21) and not zone_excludes([10, 20], ">=", 20)
+    assert zone_excludes([10, 20], "<", 10) and not zone_excludes([10, 20], "<", 11)
+    assert zone_excludes([10, 20], "<=", 9) and not zone_excludes([10, 20], "<=", 10)
+    assert not zone_excludes(None, "==", 5)
+    assert not zone_excludes(["a", "b"], ">", 5)  # incomparable: never skip
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000)], "x long, s string"
+    )
+    path = str(tmp_path / "enc")
+    t = encode_job(spark, df, path, _policy(chunk_rows=100), if_exists="error")
+
+    enc = EncodedTable(path).read_encoded(spark)
+    metas = [json.loads(r["meta"]) for r in enc.filter(F.col("col") == "x").collect()]
+    assert all("mm" in m for m in metas)  # zones recorded for the int column
+
+    full = decode_table_scan(spark, t, columns=["x", "s"])
+    assert full.count() == 1000
+    none = decode_table_scan(spark, t, columns=["x", "s"], where=("x", ">", 999))
+    assert none.count() == 0  # every chunk's zone excludes
+    some = decode_table_scan(spark, t, columns=["x", "s"], where=("x", ">=", 0))
+    assert some.count() == 1000  # no chunk excluded; nothing lost
+    exact = decode_table_scan(spark, t, columns=["x", "s"], where=("x", "==", 123))
+    rows = exact.filter(F.col("x") == 123).collect()
+    assert [r["s"] for r in rows] == ["v123"]
+    with pytest.raises(ValueError, match="not in projection"):
+        decode_table_scan(spark, t, columns=["s"], where=("x", "==", 1))
+    with pytest.raises(ValueError, match="unsupported zone op"):
+        decode_table_scan(spark, t, columns=["x"], where=("x", "!=", 1))
