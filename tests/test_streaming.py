@@ -170,3 +170,116 @@ def test_large_batch_id_part_ids_stay_long(spark, tmp_path):
         spark, df, path, CodecPolicy(chunk_rows=16), if_exists="skip", part_base=big_base
     )
     assert t2.completed_parts() == parts
+
+
+@pytest.mark.timeout(600)
+def test_windowed_event_stats_matches_batch(spark, tmp_path):
+    """Streaming watermarked windowed agg over the events table (file source,
+    several micro-batches) must equal the same aggregation run in batch --
+    no event lost or double-counted, late rows inside the watermark kept."""
+    from embulk_output_s3_parquet_spark.streaming.analytics import windowed_event_stats
+
+    import time as _time
+
+    from pyspark.sql import Window
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_src")
+    # a real event stream arrives near-ordered; emulate it by writing 12
+    # time-slices as separate files with increasing mtimes (the file source
+    # processes by timestamp) -- events later than the watermark are MEANT
+    # to be dropped, so an unordered source would (correctly) lose rows and
+    # the batch comparison would not hold
+    sliced = events.withColumn("b", F.ntile(12).over(Window.orderBy("ts")))
+    for i in range(1, 13):
+        sliced.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)  # 12 micro-batches: the watermark
+        # advances 11 times, closing all but the final sliver of windows
+        .parquet(src)
+    )
+    out_rows = []
+    q = (
+        windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+    want_df = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in want_df.collect()}
+    # append mode only emits windows the watermark has CLOSED; every emitted
+    # window must match batch exactly, and most windows must have closed
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
+    # windows from the final trigger(s) stay open (the watermark only closes
+    # them on a subsequent batch); everything older must have been emitted
+    assert len(got) >= len(want) * 0.6, (len(got), len(want))
+
+
+@pytest.mark.timeout(600)
+def test_running_user_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    the LAST update per user equals the batch per-user totals."""
+    from embulk_output_s3_parquet_spark.streaming.analytics import running_user_totals
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_src2")
+    events.repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # memory sink in update mode appends each update; the max events_so_far
+    # per user is the final state
+    final = {
+        r["user_id"]: (r["events_so_far"], r["value_so_far"])
+        for r in spark.sql(
+            """SELECT user_id, events_so_far, value_so_far FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY events_so_far DESC) AS rn
+                 FROM user_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 6).alias("s"),
+        )
+        .collect()
+    }
+    assert final.keys() == want.keys()
+    for u in want:
+        assert final[u][0] == want[u][0]
+        assert abs(final[u][1] - want[u][1]) < 1e-6
