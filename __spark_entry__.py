@@ -662,6 +662,22 @@ def _clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "quality", "lang_guess", "n_tokens", "fp")
 
 
+def _clean_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data flow: clean -> columnar-encode -> decode.
+    Oracle = the cleaning SQL alone, so the encode/decode stage must be a
+    value-exact identity on the pipeline's output (the engine's two halves
+    composed end-to-end)."""
+    from embulk_output_s3_parquet_spark.functions.pipeline import clean_documents
+    from embulk_output_s3_parquet_spark.operators.decode import roundtrip
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    d = _t(spark, sf_dir, "documents")
+    cleaned = clean_documents(d, min_quality=0.3, near_dup_threshold=0.2, k=5).select(
+        "doc_id", "quality", "lang_guess", "n_tokens", "fp"
+    )
+    return roundtrip(cleaned, CodecPolicy(chunk_rows=1024))
+
+
 _CLEAN_PIPELINE_SQL = r"""
 WITH dedup AS (
   SELECT doc_id, text FROM (
@@ -1077,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_keep_first": _dedup_keep_first,
             "ngram_jaccard_pairs": _ngram_jaccard,
             "clean_documents_pipeline": _clean_pipeline,
+            "clean_encode_roundtrip": _clean_encode_roundtrip,
             "minhash_lsh_candidates": _minhash_lsh,
             "simhash64": _simhash,
             "ann_cosine_topk": _ann_topk,
@@ -1119,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
             "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
             "clean_documents_pipeline": _CLEAN_PIPELINE_SQL,
+            "clean_encode_roundtrip": _CLEAN_PIPELINE_SQL,
             "ann_cosine_topk": _ANN_TOPK_SQL,
             "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
             "filter_over_encoded": _FILTER_OVER_ENCODED_SQL,
