@@ -652,6 +652,31 @@ FROM votes ORDER BY id
 """
 
 
+def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5 hasher -> value-checkable against the banding SQL twin below
+    from embulk_output_s3_parquet_spark.functions.dedup import simhash_near_dup_candidates
+
+    return simhash_near_dup_candidates(
+        _t(spark, sf_dir, "documents"), hasher="md5"
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_bands_sql() -> str:
+    return f"""
+WITH sh AS ({_simhash_sql()}),
+bands AS (
+  SELECT id, 0 AS band, simhash_lo & 65535 AS v FROM sh
+  UNION ALL SELECT id, 1, (simhash_lo >> 16) & 65535 FROM sh
+  UNION ALL SELECT id, 2, simhash_hi & 65535 FROM sh
+  UNION ALL SELECT id, 3, (simhash_hi >> 16) & 65535 FROM sh
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+WHERE a.id < b.id
+ORDER BY id_a, id_b
+"""
+
+
 def _clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end cleaning pass: exact dedup -> exact-verified near-dup
     removal -> quality gate -> annotations (functions/pipeline.py)."""
@@ -1096,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "clean_encode_roundtrip": _clean_encode_roundtrip,
             "minhash_lsh_candidates": _minhash_lsh,
             "simhash64": _simhash,
+            "simhash_near_dups": _simhash_near_dups,
             "ann_cosine_topk": _ann_topk,
             "ann_lsh_topk": _ann_lsh,
             "ann_ivf_topk": _ann_ivf,
@@ -1145,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
             "multimodal_frame_sampling": _MM_FRAMES_SQL,
             "minhash_lsh_candidates": _minhash_lsh_sql(num_hashes=32, bands=8, k=5),
             "simhash64": _simhash_sql(),
+            "simhash_near_dups": _simhash_bands_sql(),
             "ann_lsh_topk": _ann_lsh_sql(),
             "ann_ivf_topk": _ANN_IVF_SQL,
         }

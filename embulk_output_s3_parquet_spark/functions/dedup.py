@@ -310,3 +310,38 @@ def simhash64_hilo(
     return agg.select(
         "id", half(32).alias("simhash_hi"), half(0).alias("simhash_lo")
     )
+
+
+def simhash_near_dup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xx",
+) -> DataFrame:
+    """SimHash near-dup candidate pairs via 16-bit banding.
+
+    The 64-bit simhash splits into four 16-bit bands; docs sharing ANY band
+    become a candidate pair (equality join per band -- shuffle is docs x 4,
+    never docs^2). Pigeonhole guarantee: every pair within Hamming distance
+    3 differs in at most 3 bands, so it collides in at least one and is
+    always found; more distant pairs surface only if their diff bits cluster."""
+    hilo = simhash64_hilo(df, text_col, id_col, hasher)
+    bands = hilo.select(
+        "id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF))).alias("v")),
+                F.struct(F.lit(1).alias("band"), (F.shiftright("simhash_lo", 16).bitwiseAND(F.lit(0xFFFF))).alias("v")),
+                F.struct(F.lit(2).alias("band"), (F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF))).alias("v")),
+                F.struct(F.lit(3).alias("band"), (F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF))).alias("v")),
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.v")
+    left = bands.select("band", "v", F.col("id").alias("id_a"))
+    right = bands.select("band", "v", F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["band", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

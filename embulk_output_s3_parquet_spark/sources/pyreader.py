@@ -19,8 +19,17 @@ import pyarrow.parquet as pq
 from ..codecs import decode_array, meta_from_json
 
 
-def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
-    """Decode a committed EncodedTable directory into an arrow Table."""
+def read_table(
+    path: str,
+    columns: list[str] | None = None,
+    where: tuple | None = None,
+) -> pa.Table:
+    """Decode a committed EncodedTable directory into an arrow Table.
+
+    ``where=(col, op, literal)`` applies the same zone-map chunk skipping as
+    ``operators.decode.decode_table_scan``: chunks whose [min, max] proves
+    no row can match are not decoded or returned (may-match contract; apply
+    the exact filter on the result)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     schema_fields = json.loads(manifest["schema"])["fields"]
@@ -51,6 +60,12 @@ def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
                 meta_from_json(row["meta"]),
             )
         for seq in sorted(by_chunk):
+            if where is not None:
+                from ..codecs import zone_excludes
+
+                w_col, w_op, w_val = where
+                if zone_excludes(by_chunk[seq][w_col][1].get("mm"), w_op, w_val):
+                    continue
             cols = {
                 name: decode_array(*by_chunk[seq][name]) for name in want
             }

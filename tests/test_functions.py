@@ -315,3 +315,19 @@ def test_resize_media_stub_plumbing(spark, docs):
         M.resize_media(media, 0, 4)
     with _pytest.raises(NotImplementedError):
         M.resize_media(media, 8, 4, deterministic_fake=False)
+
+
+def test_simhash_banding_finds_close_pairs(spark, docs):
+    # identical docs (hamming 0) MUST pair in every band; the pigeonhole
+    # guarantee covers any pair within hamming distance 3
+    for hasher in ("xx", "md5"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.simhash_near_dup_candidates(docs, hasher=hasher).collect()
+        }
+        assert (0, 1) in pairs
+    # near-dup (one word changed) is within a few bits -> should collide too
+    out = {r["id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    ham = bin(out[0] ^ out[2]).count("1")
+    if ham <= 3:
+        assert (0, 2) in pairs or (1, 2) in pairs
