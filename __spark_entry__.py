@@ -8,11 +8,17 @@ Query families:
 * rt_*        -- encode->decode round-trips (the engine's core invariant;
                  oracle = SELECT the original table: values must hash equal)
 * cast_*      -- the reference's typed cast matrix C5-C18 (SURVEY.md 2.2)
-* q*_/agg_*   -- relational showcases (pricing summary, broadcast join)
-* doc_*/dedup_* -- text analysis + dedup over documents
-* ann_*/emb_* -- similarity search over embeddings
-* enc_*/mm_*/lsh_*/simhash_* -- engine stats & non-SQL-expressible ops
-                 (no oracle entry -> driver's rows-only check)
+* q*_/agg_*/filter_* -- relational + zone-map showcases, some over the
+                 ENCODED format (pruned/predicate-skipped decode)
+* doc_*/dedup_*/minhash_*/simhash_* -- text analysis + dedup (hash-dependent
+                 ops run the md5-portable hasher so DuckDB twins value-check
+                 them; xxhash64 is the production default)
+* ann_*/emb_* -- similarity search over embeddings (SRP plane literals and
+                 IVF assignment mirrored in SQL)
+* mm_*        -- multimodal plumbing (byte-level stats oracled in SQL)
+* encode_stats_documents is the ONE rows-only query: per-chunk codec byte
+  sizes are not SQL-expressible, and the encode path is already sha-verified
+  by the nine rt_* oracles + the Spark-free pyreader.
 """
 
 from __future__ import annotations

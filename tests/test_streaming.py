@@ -283,3 +283,59 @@ def test_running_user_totals_stateful(spark, tmp_path):
     for u in want:
         assert final[u][0] == want[u][0]
         assert abs(final[u][1] - want[u][1]) < 1e-6
+
+
+@pytest.mark.timeout(600)
+def test_windowed_stats_into_encode_sink(spark, tmp_path):
+    """The streaming composition the engine exists for: watermarked windowed
+    aggregates drained straight into the columnar-encode sink, decoded back
+    exactly."""
+    from embulk_output_s3_parquet_spark.streaming.analytics import windowed_event_stats
+
+    import time as _time
+
+    from pyspark.sql import Window
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_src3")
+    # time-ordered slice files with increasing mtimes (see
+    # test_windowed_event_stats_matches_batch): guarantees the watermark
+    # advances monotonically, so early windows always close and emit
+    sliced = events.withColumn("b", F.ntile(6).over(Window.orderBy("ts")))
+    for i in range(1, 7):
+        sliced.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stats = windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+    # encode sink expects stable column types; timestamps encode natively
+    table_path = str(tmp_path / "enc_stats")
+    q = encode_stream(
+        stats,
+        table_path,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        policy=CodecPolicy(chunk_rows=256, target_partition_bytes=64 * 1024),
+    )
+    q.awaitTermination(300)
+
+    decoded = decode_job(spark, table_path)
+    rows = decoded.count()
+    assert rows > 0
+    # every decoded window row matches the batch aggregation exactly
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["s"])
+        for r in events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+        .collect()
+    }
+    for r in decoded.collect():
+        k = (r["window_start"], r["event_type"])
+        assert want[k] == (r["n_events"], r["sum_value"]), (k, r)
