@@ -260,16 +260,20 @@ def _q1_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query over the ENCODED format: encode lineitem, column-pruned decode
     (only the 4 columns Q1 needs), then the aggregation -- results must
     match the oracle run on the plain table, proving the encoded table is
-    queryable, not just archivable."""
-    from embulk_output_s3_parquet_spark.operators.decode import decode_chunks
+    queryable, not just archivable. encode_map output is task-local, so the
+    pruned decode is the shuffle-free inline pass: the only exchange in the
+    whole plan is the aggregation's."""
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.operators.decode import decode_inline
     from embulk_output_s3_parquet_spark.operators.encode import encode_map
     from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
 
     li = _t(spark, sf_dir, "lineitem")
     encoded = encode_map(li, CodecPolicy(chunk_rows=8192))
-    pruned = decode_chunks(
-        encoded, li.schema,
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    want = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    pruned = decode_inline(
+        encoded, T.StructType([f for f in li.schema.fields if f.name in want])
     )
     return (
         pruned.groupBy("l_returnflag", "l_linestatus")
