@@ -995,8 +995,11 @@ def _filter_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
 
     docs = _t(spark, sf_dir, "documents")
+    import hashlib as _h
+
     path = os.path.join(
-        tempfile.gettempdir(), f"zonescan_{abs(hash(sf_dir)) % 99999}"
+        tempfile.gettempdir(),
+        f"zonescan_{_h.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     t = encode_job(spark, docs, path, CodecPolicy(chunk_rows=128), if_exists="delete")
     scan = decode_table_scan(
