@@ -1018,6 +1018,42 @@ FROM documents WHERE doc_id >= 400 ORDER BY doc_id
 """
 
 
+def _encoded_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE over the encoded format: per-column rows/nulls plus the
+    zone-map min/max aggregated from chunk metadata alone (payloads never
+    read). Exact-equal to SQL min/max on the plain table for int columns."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from embulk_output_s3_parquet_spark.jobs import encode_job, table_stats
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(), f"statsenc_{_h.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    encode_job(spark, ev, path, CodecPolicy(chunk_rows=2048), if_exists="delete")
+    return table_stats(spark, path)
+
+
+def _table_stats_sql() -> str:
+    int_cols = {"event_id", "user_id"}
+    parts = []
+    for c in sorted(["event_id", "ts", "user_id", "event_type", "value", "props"]):
+        mm = (
+            (f"CAST(min({c}) AS BIGINT)", f"CAST(max({c}) AS BIGINT)")
+            if c in int_cols
+            else ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+        )
+        parts.append(
+            f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS rows, "
+            f"CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nulls, "
+            f"{mm[0]} AS zmin_long, {mm[1]} AS zmax_long FROM events"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col"
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_output_s3_parquet_spark.functions.multimodal import (
         attach_media,
@@ -1141,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_near_dups": _emb_near_dups,
             "encode_stats_documents": _encode_stats,
             "filter_over_encoded": _filter_over_encoded,
+            "encoded_table_stats": _encoded_table_stats,
             "multimodal_features": _mm_features,
             "multimodal_resize": _mm_resize,
             "multimodal_frame_sampling": _mm_frames,
@@ -1179,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_cosine_topk": _ANN_TOPK_SQL,
             "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
             "filter_over_encoded": _FILTER_OVER_ENCODED_SQL,
+            "encoded_table_stats": _table_stats_sql(),
             "multimodal_features": _MM_FEATURES_SQL,
             "multimodal_resize": _MM_RESIZE_SQL,
             "multimodal_frame_sampling": _MM_FRAMES_SQL,

@@ -334,6 +334,35 @@ def verify_table(spark: SparkSession, table_path: str) -> list[dict]:
     return problems
 
 
+def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
+    """ANALYZE-style per-column stats from chunk metadata only: rows, null
+    count, and the zone-map [min, max] aggregated across chunks -- the
+    payload column is never read (parquet column pruning), so this costs
+    metadata IO regardless of table size.
+
+    zmin/zmax are exact for integer columns (every non-all-null chunk
+    records a zone); NULL for types whose zones are absent or non-numeric.
+    The numbers a cost-based planner would want from a catalog."""
+    enc = EncodedTable(table_path).read_encoded(spark).select("col", "n", "meta")
+    parsed = enc.select(
+        "col",
+        F.col("n").cast("long").alias("n"),
+        F.get_json_object("meta", "$.z").cast("long").alias("z"),
+        F.get_json_object("meta", "$.mm[0]").try_cast("long").alias("zmin_c"),
+        F.get_json_object("meta", "$.mm[1]").try_cast("long").alias("zmax_c"),
+    )
+    return (
+        parsed.groupBy("col")
+        .agg(
+            F.sum("n").alias("rows"),
+            F.sum("z").alias("nulls"),
+            F.min("zmin_c").alias("zmin_long"),
+            F.max("zmax_c").alias("zmax_long"),
+        )
+        .orderBy("col")
+    )
+
+
 def table_metrics(table: EncodedTable) -> dict:
     lin = table.lineage()
     return {

@@ -390,3 +390,21 @@ def test_zone_map_chunk_skipping(spark, corpus, tmp_path):
         decode_table_scan(spark, t, columns=["s"], where=("x", "==", 1))
     with pytest.raises(ValueError, match="unsupported zone op"):
         decode_table_scan(spark, t, columns=["x"], where=("x", "!=", 1))
+
+
+def test_table_stats_from_zone_maps(spark, tmp_path):
+    """ANALYZE from chunk metadata: rows/nulls exact for every column,
+    min/max exact for int columns (aggregated zone maps), NULL for types
+    without numeric zones."""
+    from embulk_output_s3_parquet_spark.jobs import table_stats
+
+    rows = [(i, -i * 7, None if i % 5 == 0 else f"s{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "a long, b long, s string")
+    path = str(tmp_path / "enc")
+    encode_job(spark, df, path, _policy(chunk_rows=16), if_exists="error")
+    stats = {r["col"]: r for r in table_stats(spark, path).collect()}
+    assert stats["a"]["rows"] == 100 and stats["a"]["nulls"] == 0
+    assert (stats["a"]["zmin_long"], stats["a"]["zmax_long"]) == (0, 99)
+    assert (stats["b"]["zmin_long"], stats["b"]["zmax_long"]) == (-693, 0)
+    assert stats["s"]["nulls"] == 20
+    assert stats["s"]["zmin_long"] is None  # string zones are not numeric
