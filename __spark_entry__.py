@@ -384,15 +384,27 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_output_s3_parquet_spark.functions import text as X
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", X.token_count(F.col("text")).alias("n_tokens"))
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
 
 
-_DOC_TOKENS_SQL = r"""
+def _doc_tokens_sql() -> str:
+    from embulk_output_s3_parquet_spark.functions.text import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return rf"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_bpe
 FROM documents
 """
+
+
+_DOC_TOKENS_SQL = _doc_tokens_sql()
 
 
 def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,24 @@ def token_count(col: Column) -> Column:
     ).cast("int")
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs both Java
+# regex (Spark) and RE2 (DuckDB twin) support identically: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs, and
+# residual whitespace. (The original GPT-2 pattern's trailing-space
+# lookahead is not RE2-expressible; counts differ from tiktoken's by the
+# merge steps anyway -- this is the standard pre-tokenization proxy.)
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer segments. A proxy for
+    LLM token budgets that needs no vocabulary; ~deterministic across
+    engines (see BPE_SPLIT_PATTERN)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast(
+        "int"
+    )
+
+
 def char_classes(col: Column) -> dict[str, Column]:
     n = F.length(col).cast("double")
     alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))

@@ -331,3 +331,21 @@ def test_simhash_banding_finds_close_pairs(spark, docs):
     ham = bin(out[0] ^ out[2]).count("1")
     if ham <= 3:
         assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_token_count_bpe(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, "don't stop"),
+            (2, "x=1+2;  // comment"),
+            (3, ""),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", X.token_count_bpe(F.col("t")).alias("n")).collect()}
+    # "hello"," world" -> 2; "don","'t"," stop" -> 3
+    assert out[0] == 2
+    assert out[1] == 3
+    assert out[2] > 4  # operators/digits/comment split into several segments
+    assert out[3] == 0
