@@ -123,15 +123,19 @@ def encode_job(
 
 
 def decode_job(
-    spark: SparkSession, table_path: str, columns: list[str] | None = None
+    spark: SparkSession,
+    table_path: str,
+    columns: list[str] | None = None,
+    where=None,
 ) -> DataFrame:
     """Decode a committed table. Default: the shuffle-free part-aligned scan
-    (decode_table_scan); set mode='chunks' via decode_job_chunks for encoded
-    layouts not produced by encode_job."""
+    (decode_table_scan) with optional zone-map predicate skipping (``where``
+    is one (col, op, literal) conjunct or a list ANDed together); use
+    decode_job_chunks for encoded layouts not produced by encode_job."""
     from .operators.decode import decode_table_scan
 
     table = EncodedTable(table_path)
-    return decode_table_scan(spark, table, columns=columns)
+    return decode_table_scan(spark, table, columns=columns, where=where)
 
 
 def decode_job_chunks(

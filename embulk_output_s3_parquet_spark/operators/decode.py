@@ -102,12 +102,15 @@ def decode_table_scan(
     out_schema = _prune_schema(table.schema(), columns)
     arrow_schema = to_arrow_schema(out_schema)
     names = [f.name for f in out_schema.fields]
+    # normalize to a list of conjuncts: (col, op, v) or [(col, op, v), ...]
+    conjuncts: list[tuple] = []
     if where is not None:
-        w_col, w_op, w_val = where
-        if w_col not in names:
-            raise ValueError(f"where column {w_col!r} not in projection {names}")
-        if w_op not in ("==", ">=", "<=", ">", "<"):
-            raise ValueError(f"unsupported zone op {w_op!r}")
+        conjuncts = [where] if isinstance(where, tuple) else list(where)
+        for w_col, w_op, _ in conjuncts:
+            if w_col not in names:
+                raise ValueError(f"where column {w_col!r} not in projection {names}")
+            if w_op not in ("==", ">=", "<=", ">", "<"):
+                raise ValueError(f"unsupported zone op {w_op!r}")
 
     dirs = table.committed_part_dirs()
     if not dirs:
@@ -141,10 +144,13 @@ def decode_table_scan(
                             row["meta"],
                         )
                 for seq in sorted(by_chunk):
-                    if where is not None:
-                        w_meta = meta_from_json(by_chunk[seq][w_col][1])
-                        if zone_excludes(w_meta.get("mm"), w_op, w_val):
-                            continue  # zone proves no row can match
+                    if conjuncts and any(
+                        zone_excludes(
+                            meta_from_json(by_chunk[seq][c][1]).get("mm"), op, v
+                        )
+                        for c, op, v in conjuncts
+                    ):
+                        continue  # some zone proves no row can match
                     arrays = []
                     for name, field in zip(names, arrow_schema):
                         payload, meta = by_chunk[seq][name]

@@ -408,3 +408,20 @@ def test_table_stats_from_zone_maps(spark, tmp_path):
     assert (stats["b"]["zmin_long"], stats["b"]["zmax_long"]) == (-693, 0)
     assert stats["s"]["nulls"] == 20
     assert stats["s"]["zmin_long"] is None  # string zones are not numeric
+
+
+def test_zone_map_multi_conjunct(spark, tmp_path):
+    from embulk_output_s3_parquet_spark.operators.decode import decode_table_scan
+
+    df = spark.createDataFrame([(i, i * 2) for i in range(1000)], "x long, y long")
+    path = str(tmp_path / "enc")
+    t = encode_job(spark, df, path, _policy(chunk_rows=100), if_exists="error")
+    both = decode_table_scan(
+        spark, t, columns=["x", "y"], where=[("x", ">=", 100), ("y", "<", 400)]
+    )
+    rows = both.filter((F.col("x") >= 100) & (F.col("y") < 400)).collect()
+    assert {r["x"] for r in rows} == set(range(100, 200))
+    none = decode_table_scan(
+        spark, t, columns=["x", "y"], where=[("x", ">=", 0), ("y", ">", 5000)]
+    )
+    assert none.count() == 0
