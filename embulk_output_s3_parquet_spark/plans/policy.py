@@ -38,8 +38,9 @@ class CodecPolicy:
     (bounded by spark.sql.execution.arrow.maxRecordsPerBatch, set equal to
     ``chunk_rows`` by session.get_spark) plus per-part pending buffers
     bounded by the scan partition size; ``target_partition_bytes`` caps the
-    grouped-mode task input and the output part size. Defaults fit a few
-    hundred MB of executor memory per core at 32k rows x ~3KB text."""
+    grouped-mode task input and the output part size. Working set per core:
+    one Arrow batch (<= chunk_rows rows) sliced into ~chunk_bytes encode
+    chunks -- a few hundred MB at the defaults regardless of row width."""
 
     default: str = AUTO
     column_options: dict[str, str] = field(default_factory=dict)
