@@ -916,10 +916,12 @@ WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id
 """
 
 
-# multimodal oracles: payloads are utf-8 bytes of `text` (ASCII in the test
-# corpus, verified: octet_length(encode(text)) == length(text) for all rows),
-# so byte-level stats are computable in DuckDB over characters. width/height
-# mirror decode_image's deterministic fake: side = 4 + first_sha_byte % 4.
+# multimodal oracles: payloads are utf-8 bytes of `text`, so byte-level stats
+# are computable in DuckDB over characters ONLY for pure-ASCII text. The
+# n_bytes guard makes that assumption explicit: any non-ASCII row raises
+# error() inside the oracle instead of silently hash-diverging from the
+# engine's true utf-8 byte stats. width/height mirror decode_image's
+# deterministic fake: side = 4 + first_sha_byte % 4.
 _MM_NIBBLE = "(strpos('0123456789abcdef', substr(b.sha,{i},1)) - 1)"
 _MM_BYTE0 = f"({_MM_NIBBLE.format(i=1)} * 16 + {_MM_NIBBLE.format(i=2)})"
 _MM_FEATURES_SQL = f"""
@@ -928,7 +930,11 @@ WITH base AS (
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS kind,
-         text, length(text) AS n_bytes, sha256(text) AS sha
+         text,
+         CASE WHEN octet_length(encode(text)) <> length(text)
+              THEN CAST(error('non-ASCII text: ascii()-based byte oracle is invalid for this corpus') AS BIGINT)
+              ELSE length(text) END AS n_bytes,
+         sha256(text) AS sha
   FROM documents
 ),
 chars AS (

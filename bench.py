@@ -115,10 +115,19 @@ def main() -> int:
 
     cstats = timed("encode_corpus", run_encode_corpus, repeats=2)
     # decode_corpus: the production path -- shuffle-free part-aligned scan of
-    # a committed table (decode_table_scan); table build is untimed + reused
+    # a committed table (decode_table_scan); table build is untimed + reused.
+    # The cache key includes the policy knobs and engine version so a table
+    # built by older code / different chunk sizing is never silently reused.
+    import hashlib
+
+    import embulk_output_s3_parquet_spark as engine
     from embulk_output_s3_parquet_spark.jobs import decode_job, encode_job
 
-    enc_table = f"/tmp/bench_enc_table_{corpus_rows}"
+    pol_key = hashlib.sha256(
+        f"{engine.__version__}|{policy.chunk_rows}|{policy.chunk_bytes}"
+        f"|{policy.target_partition_bytes}|{policy.default}".encode()
+    ).hexdigest()[:10]
+    enc_table = f"/tmp/bench_enc_table_{corpus_rows}_{pol_key}"
     if not os.path.exists(os.path.join(enc_table, "manifest.json")):
         shutil.rmtree(enc_table, ignore_errors=True)
         encode_job(spark, corpus, enc_table, policy, if_exists="delete")

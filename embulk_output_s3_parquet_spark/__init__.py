@@ -14,4 +14,4 @@ column chunk from sampled statistics, over salted size-balanced partitions
 with per-partition lineage and checkpointed resume.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

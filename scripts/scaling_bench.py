@@ -142,24 +142,53 @@ def main() -> int:
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     baseline = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    summary["commit"] = commit
+    attempt_line = (
+        f"- {time.strftime('%Y-%m-%d %H:%M:%S')} commit {commit}: "
+        f"eff {eff:.3f} at rows={args.rows} levels={levels} "
+        f"wall={t_lo}s/{t_hi}s -> {'PASS' if summary['pass_0p8'] else 'FAIL'}\n"
+    )
     if not summary["pass_0p8"] and os.path.exists(baseline):
-        # never clobber a recorded PASS with a failing run (contended boxes
-        # and too-small inputs produce transient sub-0.8 numbers); park the
-        # attempt next to it for inspection instead
+        # keep the recorded PASS as the headline (contended boxes and
+        # too-small inputs produce transient sub-0.8 numbers), but record the
+        # failing attempt IN BASELINE.md too so a genuine regression is
+        # visible in the baseline history, not only in SCALING_ATTEMPT.json
         attempt = os.path.join(ROOT, "BENCH", "SCALING_ATTEMPT.json")
         with open(attempt, "w") as f:
             json.dump(summary, f, indent=1)
+        with open(baseline) as f:
+            existing = f.read()
+        if "## Attempt history" not in existing:
+            existing += "\n## Attempt history (every run, including failures)\n\n"
+        with open(baseline, "w") as f:
+            f.write(existing + attempt_line)
         sys.stderr.write(
-            f"efficiency {eff:.3f} < 0.8: kept existing BASELINE.md, "
-            f"wrote {attempt}\n"
+            f"efficiency {eff:.3f} < 0.8: kept existing PASS as headline, "
+            f"appended the failing attempt to BASELINE.md and wrote {attempt}\n"
         )
         return 1
+    history = ""
+    if os.path.exists(baseline):
+        with open(baseline) as f:
+            old = f.read()
+        if "## Attempt history" in old:
+            history = old[old.index("## Attempt history"):]
+    if not history:
+        history = "## Attempt history (every run, including failures)\n\n"
     with open(baseline, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured engine numbers\n\n"
             "Protocol (BASELINE.md): same `spark-submit --py-files dist/engine.zip "
             "scripts/run_encode.py` job on identical cached corpus parquet at two "
             "parallelism levels (N and 4N cores stand in for N and 4N executors).\n\n"
+            f"Measured at commit {commit}, {time.strftime('%Y-%m-%d %H:%M:%S')}.\n\n"
             f"- corpus rows: {args.rows} (deterministic seed 42), "
             f"raw bytes: {results[0]['raw_bytes']:,}\n"
             f"- encoded bytes: {results[1]['enc_bytes']:,}\n"
@@ -178,7 +207,8 @@ def main() -> int:
             "so 8->32 measures the box, not the job. The job itself has no serial\n"
             "stages: partition planning is a group-level aggregation + broadcast\n"
             "join, encode is per-scan-partition, and only encoded chunks (~10x\n"
-            "smaller) shuffle to their part files.\n"
+            "smaller) shuffle to their part files.\n\n"
+            + history + attempt_line
         )
     return 0
 
