@@ -310,9 +310,14 @@ def embedding_near_dup_pairs(
             buckets = bits.reshape(len(m), -1, r) @ pow2  # n x bands
             return pd.Series(list(buckets))
 
+        from .reuse import materialize_once
+
         banded = base.select(
             "id", F.posexplode(srp_buckets(F.col("v"))).alias("band", "bucket")
         )
+        # the band stream self-joins below; materialize it once so the BLAS
+        # matmul (the expensive stage) runs a single time, not per join side
+        banded = materialize_once(banded)
         cand = (
             banded.alias("l")
             .join(banded.alias("r"), ["band", "bucket"])
