@@ -100,6 +100,70 @@ def _rt_oracle(table: str, cols: list[str], ts_cols: tuple[str, ...] = ()) -> st
     return f"SELECT {sel} FROM {table}"
 
 
+def _rt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the embeddings table (vector codec: array<float> column).
+
+    The driver canonicalizer can't hash array columns, so the contract
+    projection derives order-stable scalars from the DECODED vectors (dim,
+    l2 norm, element sum, first element); bit-identity of the full arrays is
+    asserted by pytest (tests/test_codecs.py vec grid + e2e)."""
+    from embulk_output_s3_parquet_spark.operators.decode import roundtrip
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = roundtrip(emb, CodecPolicy(chunk_rows=8192))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return out.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 4).alias("l2"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4).alias("ssum"),
+        F.round(F.element_at(v, 1), 4).alias("e0"),
+    )
+
+
+_RT_EMBEDDINGS_SQL = """
+SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+       round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), 'sum')), 4) AS l2,
+       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS ssum,
+       round(CAST(embedding[1] AS DOUBLE), 4) AS e0
+FROM embeddings
+"""
+
+
+def _rt_lineitem_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip DECIMAL columns through the encode path (round-2 gap #2:
+    the cast layer produced decimals the sink couldn't store). Narrow
+    decimal(12,2) exercises the int64-halves codecs (FOR/delta/dict); the
+    decimal(38,10) column's unscaled values also fit int64 here, with the
+    16-byte wide path covered by pytest."""
+    from embulk_output_s3_parquet_spark.operators.decode import roundtrip
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_quantity").cast("decimal(38,10)").alias("qty_dec"),
+    )
+    out = roundtrip(li, CodecPolicy(chunk_rows=8192))
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("price_dec").cast("string").alias("price_str"),
+        F.col("qty_dec").cast("string").alias("qty_str"),
+    )
+
+
+_RT_LINEITEM_DECIMAL_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+       CAST(CAST(l_quantity AS DECIMAL(38,10)) AS VARCHAR) AS qty_str
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # cast layer (SURVEY.md 2.2)
 # ---------------------------------------------------------------------------
@@ -1165,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     q.update(
         {
+            "rt_embeddings": _rt_embeddings,
+            "rt_lineitem_decimal": _rt_lineitem_decimal,
             "cast_matrix_lineitem": _casts_lineitem,
             "cast_timestamps": _casts_timestamp,
             "json_render": _json_render,
@@ -1210,6 +1276,8 @@ def oracle_sql() -> dict[str, str]:
     }
     o.update(
         {
+            "rt_embeddings": _RT_EMBEDDINGS_SQL,
+            "rt_lineitem_decimal": _RT_LINEITEM_DECIMAL_SQL,
             "cast_matrix_lineitem": _CASTS_LINEITEM_SQL,
             "cast_timestamps": _CASTS_TIMESTAMP_SQL,
             "json_render": _JSON_RENDER_SQL,

@@ -59,8 +59,14 @@ def encode_array(
     try:
         body, cmeta = CODECS[name].encode(values)
     except CodecUnsuitable:
-        name = "raw"
-        body, cmeta = raw.encode(values)
+        # universal fallback: raw for scalars, vec for list types (raw has
+        # no nested layout; vec always succeeds on encodable children)
+        name = (
+            "vec"
+            if pa.types.is_list(values.type) or pa.types.is_large_list(values.type)
+            else "raw"
+        )
+        body, cmeta = CODECS[name].encode(values)
     payload = pack_sections([validity, body])
     meta = {
         "c": name,

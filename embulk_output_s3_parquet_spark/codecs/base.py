@@ -125,14 +125,28 @@ def type_from_name(name: str) -> pa.DataType:
         return pa.timestamp(inner)
     if name.startswith("duration["):
         return pa.duration(name[len("duration[") : -1])
+    if name.startswith("decimal128("):
+        p, s = name[len("decimal128(") : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    for prefix, ctor in (("list<", pa.list_), ("large_list<", pa.large_list)):
+        if name.startswith(prefix) and name.endswith(">"):
+            inner = name[len(prefix) : -1]
+            fname, _, itype = inner.partition(": ")
+            return ctor(pa.field(fname, type_from_name(itype)))
     raise ValueError(f"unsupported arrow type name: {name!r}")
 
 
 def is_intlike(t: pa.DataType) -> bool:
+    """Types whose physical view is a single int64 stream. decimal128 counts
+    WHEN the chunk's unscaled values fit in int64 (the overwhelmingly common
+    case: precision <= 18 always fits) -- ``int_view`` raises CodecUnsuitable
+    on a wide chunk and the selector/fallback routes it to raw's 16-byte
+    path instead."""
     return (
         t in _INT_PHYSICAL
         or pa.types.is_timestamp(t)
         or pa.types.is_duration(t)
+        or pa.types.is_decimal128(t)
     )
 
 
@@ -145,11 +159,35 @@ def is_stringlike(t: pa.DataType) -> bool:
     )
 
 
+def decimal_lo_hi(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Null-free decimal128 array -> (lo, hi) int64 halves of the unscaled
+    little-endian 16-byte values (hi == lo >> 63 iff the value fits int64)."""
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pairs = np.frombuffer(
+        arr.buffers()[1], np.int64, count=2 * n, offset=arr.offset * 16
+    ).reshape(-1, 2)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def decimal_from_lo_hi(lo: np.ndarray, hi: np.ndarray, t: pa.DataType) -> pa.Array:
+    inter = np.empty((len(lo), 2), np.int64)
+    inter[:, 0] = lo
+    inter[:, 1] = hi
+    return pa.Array.from_buffers(t, len(lo), [None, pa.py_buffer(inter.tobytes())])
+
+
 def int_view(arr: pa.Array) -> np.ndarray:
     """Null-free int-like arrow array -> int64 numpy view (copy-safe)."""
     t = arr.type
     if pa.types.is_timestamp(t) or pa.types.is_duration(t):
         return arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    if pa.types.is_decimal128(t):
+        lo, hi = decimal_lo_hi(arr)
+        if not np.array_equal(hi, lo >> 63):
+            raise CodecUnsuitable("decimal128 chunk exceeds int64 unscaled range")
+        return lo.astype(np.int64)
     np_t = _INT_PHYSICAL[t]
     return arr.to_numpy(zero_copy_only=False).astype(np_t).astype(np.int64)
 
@@ -157,6 +195,9 @@ def int_view(arr: pa.Array) -> np.ndarray:
 def from_int_view(vals: np.ndarray, t: pa.DataType) -> pa.Array:
     if pa.types.is_timestamp(t) or pa.types.is_duration(t):
         return pa.array(vals.astype(np.int64)).cast(t)
+    if pa.types.is_decimal128(t):
+        lo = vals.astype(np.int64)
+        return decimal_from_lo_hi(lo, lo >> 63, t)
     np_t = _INT_PHYSICAL[t]
     return pa.array(vals.astype(np_t), type=t)
 

@@ -26,7 +26,12 @@ NAME = "dict"
 
 
 def encode(values: pa.Array) -> tuple[bytes, dict]:
-    denc = values.dictionary_encode()
+    try:
+        denc = values.dictionary_encode()
+    except pa.ArrowNotImplementedError as e:  # nested types: no dict kernel
+        from .base import CodecUnsuitable
+
+        raise CodecUnsuitable(f"dict: {e}") from e
     if isinstance(denc, pa.ChunkedArray):
         denc = denc.combine_chunks()
     dictionary = denc.dictionary

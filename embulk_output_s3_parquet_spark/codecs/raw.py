@@ -14,6 +14,8 @@ from .base import (
     CodecUnsuitable,
     block_compress,
     block_decompress,
+    decimal_from_lo_hi,
+    decimal_lo_hi,
     from_int_view,
     int_view,
     is_intlike,
@@ -34,6 +36,17 @@ def encode(values: pa.Array) -> tuple[bytes, dict]:
     if pa.types.is_boolean(t):
         bits = np.packbits(values.to_numpy(zero_copy_only=False).astype(np.uint8))
         return pack_sections([block_compress(bits.tobytes())]), meta
+    if pa.types.is_decimal128(t):
+        # raw is the universal fallback, so unlike int_view it must accept
+        # EVERY decimal chunk: narrow values store the int64 half only,
+        # wide (unscaled > int64) chunks store the full 16-byte pairs
+        lo, hi = decimal_lo_hi(values)
+        if np.array_equal(hi, lo >> 63):
+            return pack_sections([block_compress(lo.tobytes())]), {"d": 8}
+        inter = np.empty((len(lo), 2), np.int64)
+        inter[:, 0] = lo
+        inter[:, 1] = hi
+        return pack_sections([block_compress(inter.tobytes())]), {"d": 16}
     if is_intlike(t):
         return pack_sections([block_compress(int_view(values).tobytes())]), meta
     if pa.types.is_floating(t):
@@ -58,6 +71,13 @@ def decode(payload: bytes, meta: dict, n: int, tname: str) -> pa.Array:
             np.frombuffer(block_decompress(secs[0]), np.uint8), count=n
         ).astype(bool)
         return pa.array(bits, type=pa.bool_())
+    if pa.types.is_decimal128(t):
+        body = block_decompress(secs[0])
+        if meta.get("d", 8) == 8:
+            lo = np.frombuffer(body, np.int64, count=n)
+            return decimal_from_lo_hi(lo, lo >> 63, t)
+        pairs = np.frombuffer(body, np.int64, count=2 * n).reshape(-1, 2)
+        return decimal_from_lo_hi(pairs[:, 0].copy(), pairs[:, 1].copy(), t)
     if is_intlike(t):
         vals = np.frombuffer(block_decompress(secs[0]), np.int64, count=n)
         return from_int_view(vals, t)

@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import alp, bitpack, delta, dictionary, forr, fsst, raw, rle
+from . import alp, bitpack, delta, dictionary, forr, fsst, raw, rle, veclist
 from .base import CodecUnsuitable, is_intlike, is_stringlike
 
 _SAMPLE_ROWS = 1024
@@ -27,12 +27,13 @@ CODECS = {
     "delta": delta,
     "alp": alp,
     "fsst": fsst,
+    "vec": veclist,
 }
 
 # stable preference when trial sizes tie (cheapest decode first)
 _ORDER = {
     "bitpack": 0, "for": 1, "delta": 2, "alp": 3, "rle": 4, "dict": 5,
-    "fsst": 6, "raw": 7,
+    "fsst": 6, "raw": 7, "vec": 8,
 }
 
 # encode-cost multiplier: a codec must beat the alternatives by this factor
@@ -51,12 +52,15 @@ def chunk_stats(values: pa.Array) -> dict:
     stats: dict = {"n": n}
     if n == 0:
         return stats
-    stats["distinct"] = pc.count_distinct(sample).as_py()
+    try:
+        stats["distinct"] = pc.count_distinct(sample).as_py()
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass  # nested types: distinct-count is neither cheap nor needed
     try:
         np_vals = sample.to_numpy(zero_copy_only=False)
         if np_vals.dtype != object and len(np_vals) > 1:
             stats["runs"] = int(np.count_nonzero(np_vals[1:] != np_vals[:-1]) + 1)
-    except (pa.ArrowInvalid, TypeError):
+    except (pa.ArrowInvalid, TypeError, ValueError):
         pass
     return stats
 
@@ -67,6 +71,8 @@ def candidates(values: pa.Array, stats: dict) -> list[str]:
     distinct = stats.get("distinct", n)
     runs = stats.get("runs", n)
     out: list[str] = []
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ["vec"]  # vec recursively auto-selects on the flattened child
     if pa.types.is_boolean(t):
         out = ["bitpack"] + (["rle"] if runs <= n // 2 else [])
     elif is_intlike(t):

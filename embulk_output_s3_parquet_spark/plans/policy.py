@@ -29,6 +29,19 @@ _ENCODABLE = (
 )
 
 
+def _is_encodable(dt: T.DataType) -> bool:
+    """Scalar types from _ENCODABLE, decimals (any Spark precision -- the
+    codec layer stores narrow chunks as int64 halves, wide as 16-byte pairs),
+    and arrays of encodable element types (vector codec, recursively)."""
+    if isinstance(dt, _ENCODABLE):
+        return True
+    if isinstance(dt, T.DecimalType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _is_encodable(dt.elementType)
+    return False
+
+
 @dataclass
 class CodecPolicy:
     """Engine knobs (the analogue of the reference's writer tuning,
@@ -75,7 +88,7 @@ class CodecPolicy:
         if self.target_partition_bytes < 1 << 16:
             raise ConfigException("target_partition_bytes must be >= 64KiB")
         for f in schema.fields:
-            if not isinstance(f.dataType, _ENCODABLE):
+            if not _is_encodable(f.dataType):
                 raise ConfigException(
                     f"column {f.name!r}: type {f.dataType.simpleString()} not encodable"
                 )

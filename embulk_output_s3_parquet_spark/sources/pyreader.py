@@ -98,13 +98,19 @@ _SPARK_TO_ARROW = {
 
 
 def _arrow_type(spark_type) -> pa.DataType:
-    """Spark schema-JSON type name -> arrow type (Spark-free mirror of
+    """Spark schema-JSON type -> arrow type (Spark-free mirror of
     pyspark.sql.pandas.types.to_arrow_schema for the types the engine
-    encodes)."""
+    encodes). Handles nested array types so an empty committed table with an
+    ``array<float>`` column decodes with the same schema as a non-empty one."""
     if isinstance(spark_type, str):
         if spark_type.startswith("decimal"):
             p, s = spark_type[len("decimal(") : -1].split(",")
             return pa.decimal128(int(p), int(s))
         if spark_type in _SPARK_TO_ARROW:
             return _SPARK_TO_ARROW[spark_type]
+    if isinstance(spark_type, dict) and spark_type.get("type") == "array":
+        elem = _arrow_type(spark_type["elementType"])
+        return pa.list_(
+            pa.field("element", elem, nullable=spark_type.get("containsNull", True))
+        )
     raise NotImplementedError(f"no arrow mapping for spark type {spark_type!r}")

@@ -41,6 +41,39 @@ from pyspark.sql import types as T
 
 from ..plans.policy import CodecPolicy, ConfigException
 
+_GLUE_SCALARS = {
+    "boolean": "BOOLEAN", "tinyint": "TINYINT", "smallint": "SMALLINT",
+    "int": "INT", "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+    "string": "STRING", "binary": "BINARY", "date": "DATE",
+    "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def _glue_type(dt: T.DataType) -> str | None:
+    """Spark type -> Glue catalog type name, recursively for nested types
+    (reference GlueDataType.scala:42-56: ARRAY<t>, MAP<k,v>, STRUCT<n:t,..>)."""
+    simple = dt.simpleString()
+    if simple in _GLUE_SCALARS:
+        return _GLUE_SCALARS[simple]
+    if isinstance(dt, T.DecimalType):
+        return simple.upper()
+    if isinstance(dt, T.ArrayType):
+        inner = _glue_type(dt.elementType)
+        return None if inner is None else f"ARRAY<{inner}>"
+    if isinstance(dt, T.MapType):
+        k, v = _glue_type(dt.keyType), _glue_type(dt.valueType)
+        return None if k is None or v is None else f"MAP<{k},{v}>"
+    if isinstance(dt, T.StructType):
+        parts = []
+        for f in dt.fields:
+            inner = _glue_type(f.dataType)
+            if inner is None:
+                return None
+            parts.append(f"{f.name}:{inner}")
+        return "STRUCT<" + ",".join(parts) + ">"
+    return None
+
+
 MANIFEST = "manifest.json"
 # lineage rows are sharded into parts/shard-<pid // SHARD_SIZE>.json so a
 # commit wave rewrites only the shards it touches: commit cost is
@@ -197,23 +230,16 @@ class EncodedTable:
     def catalog_schema(self, overrides: dict[str, str] | None = None) -> list[dict]:
         """Hive/Glue-style column descriptors with per-column overrides --
         the analogue of the reference's Glue schema derivation
-        (CatalogRegistrator.scala:180-191, type algebra GlueDataType.scala:5-57)."""
-        type_map = {
-            "boolean": "BOOLEAN", "tinyint": "TINYINT", "smallint": "SMALLINT",
-            "int": "INT", "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
-            "string": "STRING", "binary": "BINARY", "date": "DATE",
-            "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
-        }
+        (CatalogRegistrator.scala:180-191, type algebra GlueDataType.scala:5-57,
+        incl. the nested ARRAY/MAP/STRUCT names of GlueDataType.scala:42-56)."""
         overrides = overrides or {}
         out = []
         for f in self.schema().fields:
-            simple = f.dataType.simpleString()
-            if f.name not in overrides and simple.startswith("decimal"):
-                glue = simple.upper()
-            else:
-                glue = overrides.get(f.name) or type_map.get(simple)
+            glue = overrides.get(f.name) or _glue_type(f.dataType)
             if glue is None:
-                raise ConfigException(f"no catalog type for column {f.name!r}: {simple}")
+                raise ConfigException(
+                    f"no catalog type for column {f.name!r}: {f.dataType.simpleString()}"
+                )
             out.append({"name": f.name, "type": glue, "nullable": f.nullable})
         return out
 

@@ -75,10 +75,44 @@ def _misc_chunks():
     }
 
 
+def _nested_chunks():
+    import decimal
+
+    D = decimal.Decimal
+    emb = [RNG.normal(size=64).astype(np.float32) for _ in range(150)]
+    return {
+        "dec_narrow": pa.array(
+            [D(f"{i}.{i % 100:02d}") for i in range(500)], pa.decimal128(12, 2)
+        ),
+        "dec_wide": pa.array(
+            [D("12345678901234567890.12"), D("-98765432109876543210.99"), D("0.01")] * 50,
+            pa.decimal128(38, 2),
+        ),
+        "dec_mixed_nulls": pa.array(
+            [D("1.50"), None, D("-2.25"), None] * 60, pa.decimal128(10, 2)
+        ),
+        "dec_constant": pa.array([D("7.00")] * 400, pa.decimal128(5, 2)),
+        "dec_all_null": pa.array([None] * 40, pa.decimal128(18, 4)),
+        "dec_empty": pa.array([], pa.decimal128(18, 4)),
+        "vec_embeddings": pa.array(emb, pa.list_(pa.float32())),
+        "vec_ragged_ints": pa.array(
+            [[1, 2, 3], [4], None, [], [5, 6, 7, 8]] * 40, pa.list_(pa.int64())
+        ),
+        "vec_strings": pa.array([["a", "bb"], ["ccc"], [None, "d"]] * 30, pa.list_(pa.string())),
+        "vec_nested": pa.array([[[1, 2], [3]], [[4]], [[]]] * 20, pa.list_(pa.list_(pa.int32()))),
+        "vec_all_null": pa.array([None, None], pa.list_(pa.float64())),
+        "vec_empty": pa.array([], pa.list_(pa.float32())),
+        "vec_large_list": pa.array(
+            [np.arange(8, dtype=np.float64) for _ in range(50)], pa.large_list(pa.float64())
+        ),
+    }
+
+
 ALL_CHUNKS = {
     **{f"int/{k}": v for k, v in _int_chunks().items()},
     **{f"str/{k}": v for k, v in _string_chunks().items()},
     **{f"misc/{k}": v for k, v in _misc_chunks().items()},
+    **{f"nested/{k}": v for k, v in _nested_chunks().items()},
 }
 
 
@@ -150,6 +184,47 @@ def test_fsst_actually_substitutes():
 def test_unknown_codec_rejected():
     with pytest.raises(ValueError, match="unknown codec"):
         encode_array(pa.array([1, 2]), "lzo")
+
+
+def test_decimal_narrow_uses_int_codecs():
+    """Narrow decimals encode through the int64 codec suite, not raw."""
+    import decimal
+
+    arr = pa.array(
+        [decimal.Decimal(f"{100 + i}.00") for i in range(2000)], pa.decimal128(12, 2)
+    )
+    payload, meta = encode_array(arr, "auto")
+    assert meta["c"] in ("delta", "for", "dict", "rle"), meta["c"]
+    assert decode_array(payload, meta).equals(arr)
+
+
+def test_decimal_wide_falls_to_raw_16byte():
+    import decimal
+
+    arr = pa.array(
+        [decimal.Decimal("99999999999999999999999999999999999.99")] * 10,
+        pa.decimal128(38, 2),
+    )
+    payload, meta = encode_array(arr, "auto")
+    assert meta["c"] == "raw" and meta["m"]["d"] == 16
+    assert decode_array(payload, meta).equals(arr)
+
+
+def test_vec_inner_codec_recorded_and_recursive():
+    """vec delegates the flattened child to the auto-selector: a sorted-int
+    list column's child must land on an int codec, and the recorded child
+    meta must round-trip through JSON."""
+    arr = pa.array([[i * 3, i * 3 + 1, i * 3 + 2] for i in range(1000)], pa.list_(pa.int64()))
+    payload, meta = encode_array(arr, "auto")
+    meta = meta_from_json(meta_to_json(meta))
+    assert meta["c"] == "vec"
+    assert meta["m"]["child"]["c"] == "delta", meta["m"]["child"]
+    assert decode_array(payload, meta).equals(arr)
+    # fixed-dim vectors: FOR over lengths collapses to width 0 (constant dim)
+    emb = pa.array([RNG.normal(size=16).astype(np.float32) for _ in range(100)], pa.list_(pa.float32()))
+    p2, m2 = encode_array(emb, "auto")
+    assert m2["m"]["w"] == 0 and m2["m"]["b"] == 16
+    assert decode_array(p2, m2).equals(emb)
 
 
 def test_delta_wins_on_sorted():

@@ -113,8 +113,9 @@ def test_config_errors_fail_fast(spark, corpus):
         encode_job(spark, corpus, "/tmp/x", _policy(column_options={"nope": "rle"}))
     with pytest.raises(ConfigException, match="unknown codec"):
         encode_job(spark, corpus, "/tmp/x", _policy(column_options={"lang": "lzo"}))
+    # arrays became encodable in round 3 (vec codec); maps are still not
     with pytest.raises(ConfigException, match="not encodable"):
-        roundtrip(corpus.select(F.array(F.col("lang")).alias("a")))
+        roundtrip(corpus.select(F.create_map(F.col("lang"), F.col("repo")).alias("m")))
 
 
 def test_forced_column_policy_respected(spark, corpus, tmp_path):
