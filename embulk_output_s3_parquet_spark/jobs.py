@@ -108,7 +108,7 @@ def encode_job(
         # shuffle AFTER encoding: only compressed chunks move to part files
         encoded = encode_local(dfp, policy).repartition("part_id")
     staging = table.new_staging()
-    encoded.write.partitionBy("part_id").parquet(staging, compression="none")
+    _write_chunk_files(encoded, staging)
 
     import os
 
@@ -169,7 +169,7 @@ def compact_job(
     encoded = encode_local(dfp, policy).repartition("part_id")
     staging = table.new_staging()
     t0 = time.time()
-    encoded.write.partitionBy("part_id").parquet(staging, compression="none")
+    _write_chunk_files(encoded, staging)
     on_disk = spark.read.parquet(staging)
     lineage = _lineage_rows(on_disk, table.schema().fields[0].name, time.time() - t0)
 
@@ -193,6 +193,28 @@ def compact_job(
     for pid in old_parts:
         shutil.rmtree(os.path.join(table.data_dir, f"part_id={pid}"), ignore_errors=True)
     return table
+
+
+# chunk files are laid out for the two-pass pruning scan
+# (sources/chunkscan.py): rows sorted by (col, chunk_seq) make parquet
+# row-group min/max stats on those two columns tight, so a projected or
+# zone-filtered read skips whole row groups' payload BYTES -- not just their
+# decode CPU. Row groups are kept small (4 MiB vs the 128 MiB default) so a
+# skipped column/chunk range actually maps to skippable row groups; the
+# footer overhead at 64 MiB parts is noise.
+_CHUNK_ROW_GROUP_BYTES = 4 * 1024 * 1024
+
+
+def _write_chunk_files(encoded: DataFrame, staging: str) -> None:
+    # part_id MUST lead the sort: partitionBy's writer requires ordering by
+    # the partition columns and would otherwise inject its own (non-stable)
+    # sort, destroying the (col, chunk_seq) run layout the scanner prunes on
+    (
+        encoded.sortWithinPartitions("part_id", "col", "chunk_seq")
+        .write.option("parquet.block.size", _CHUNK_ROW_GROUP_BYTES)
+        .partitionBy("part_id")
+        .parquet(staging, compression="none")
+    )
 
 
 def _plan(df: DataFrame, policy: CodecPolicy):

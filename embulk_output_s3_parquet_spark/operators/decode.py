@@ -85,32 +85,26 @@ def decode_table_scan(
     Spark-side. Zero shuffle of encoded bytes; parallelism = parts; file
     listing happens in the tasks, not on the driver.
 
-    ``where=(col, op, literal)`` (op in ==, >=, <=, >, <) enables zone-map
-    chunk skipping: chunks whose recorded [min, max] proves no row can match
-    are never decoded OR emitted, so the result contains only rows that MAY
-    match -- callers apply the exact filter on the decoded frame (which is
-    what a query does anyway). The filter column must be in the
-    projection."""
+    ``where=(col, op, literal)`` or a list of such conjuncts (ANDed; op in
+    ==, >=, <=, >, <) enables zone-map chunk skipping with REAL payload-IO
+    pruning: the shared scanner (sources/chunkscan.py) first reads only the
+    chunk metadata columns, then fetches payload bytes solely from parquet
+    row groups that hold a wanted column AND a surviving chunk -- excluded
+    chunks' payloads are never read from disk. The filter column must be in
+    the projection; the result contains rows that MAY match (callers apply
+    the exact filter on the decoded frame, which is what a query does
+    anyway)."""
     import glob
     import os
     from collections.abc import Iterator
 
-    import pyarrow.parquet as pq
-
-    from ..codecs import zone_excludes
+    from ..sources.chunkscan import normalize_where
 
     out_schema = _prune_schema(table.schema(), columns)
     arrow_schema = to_arrow_schema(out_schema)
     names = [f.name for f in out_schema.fields]
-    # normalize to a list of conjuncts: (col, op, v) or [(col, op, v), ...]
-    conjuncts: list[tuple] = []
-    if where is not None:
-        conjuncts = [where] if isinstance(where, tuple) else list(where)
-        for w_col, w_op, _ in conjuncts:
-            if w_col not in names:
-                raise ValueError(f"where column {w_col!r} not in projection {names}")
-            if w_op not in ("==", ">=", "<=", ">", "<"):
-                raise ValueError(f"unsupported zone op {w_op!r}")
+    fields = [(f.name, f.type) for f in arrow_schema]
+    conjuncts = normalize_where(where, names)  # fail fast on the driver
 
     dirs = table.committed_part_dirs()
     if not dirs:
@@ -121,46 +115,15 @@ def decode_table_scan(
     path_df = spark.createDataFrame([(d,) for d in dirs], "dir string").repartition(par)
 
     def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..sources.chunkscan import iter_part_tables
+
         for b in batches:
             for d in b.column(0).to_pylist():
                 files = sorted(glob.glob(os.path.join(d, "*.parquet")))
                 if not files:
                     raise FileNotFoundError(f"committed part missing: {d}")
-                enc = pa.concat_tables(
-                    pq.read_table(
-                        f,
-                        columns=["chunk_seq", "col", "meta", "payload"],
-                        # row-group/scan-level pruning: unwanted columns'
-                        # payload rows are filtered during the read
-                        filters=[("col", "in", names)],
-                    )
-                    for f in files
-                )
-                by_chunk: dict[int, dict[str, tuple]] = {}
-                for row in enc.to_pylist():
-                    if row["col"] in names:
-                        by_chunk.setdefault(row["chunk_seq"], {})[row["col"]] = (
-                            row["payload"],
-                            row["meta"],
-                        )
-                for seq in sorted(by_chunk):
-                    if conjuncts and any(
-                        zone_excludes(
-                            meta_from_json(by_chunk[seq][c][1]).get("mm"), op, v
-                        )
-                        for c, op, v in conjuncts
-                    ):
-                        continue  # some zone proves no row can match
-                    arrays = []
-                    for name, field in zip(names, arrow_schema):
-                        payload, meta = by_chunk[seq][name]
-                        arr = decode_array(payload, meta_from_json(meta))
-                        if arr.type != field.type:
-                            arr = arr.cast(field.type)
-                        arrays.append(arr)
-                    yield from pa.table(
-                        dict(zip(names, arrays)), schema=arrow_schema
-                    ).to_batches()
+                for tbl in iter_part_tables(files, fields, conjuncts):
+                    yield from tbl.to_batches()
 
     return path_df.mapInArrow(dec, schema=out_schema)
 

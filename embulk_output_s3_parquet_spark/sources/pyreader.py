@@ -22,19 +22,30 @@ from ..codecs import decode_array, meta_from_json
 def read_table(
     path: str,
     columns: list[str] | None = None,
-    where: tuple | None = None,
+    where=None,
+    scan_stats: dict | None = None,
 ) -> pa.Table:
     """Decode a committed EncodedTable directory into an arrow Table.
 
-    ``where=(col, op, literal)`` applies the same zone-map chunk skipping as
-    ``operators.decode.decode_table_scan``: chunks whose [min, max] proves
-    no row can match are not decoded or returned (may-match contract; apply
-    the exact filter on the result)."""
+    ``where`` is one (col, op, literal) conjunct or a list ANDed together --
+    the SAME contract, validation, and zone-map + row-group payload pruning
+    as ``operators.decode.decode_table_scan``, because both delegate to
+    ``sources.chunkscan`` (the filter column must be in the projection).
+    ``scan_stats`` (optional dict) accumulates rg_total/rg_read/
+    chunks_total/chunks_skipped counters for pruning assertions."""
+    from .chunkscan import iter_part_tables, normalize_where
+
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     schema_fields = json.loads(manifest["schema"])["fields"]
     names = [f["name"] for f in schema_fields]
     want = columns or names
+    missing = set(want) - set(names)
+    if missing:
+        raise ValueError(f"unknown columns: {sorted(missing)}")
+    by_name = {f["name"]: _arrow_type(f["type"]) for f in schema_fields}
+    fields = [(n, by_name[n]) for n in want]
+    conjuncts = normalize_where(where, want)
 
     # committed parts = legacy inline entries + the current generation's
     # lineage shards (sources/tables.py commit protocol)
@@ -52,32 +63,14 @@ def read_table(
         files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
         if not files:
             raise FileNotFoundError(f"committed part {pid} missing at {part_dir}")
-        enc = pa.concat_tables([pq.read_table(f) for f in files])
-        by_chunk: dict[int, dict[str, tuple[bytes, dict]]] = {}
-        for row in enc.to_pylist():
-            by_chunk.setdefault(row["chunk_seq"], {})[row["col"]] = (
-                row["payload"],
-                meta_from_json(row["meta"]),
-            )
-        for seq in sorted(by_chunk):
-            if where is not None:
-                from ..codecs import zone_excludes
-
-                w_col, w_op, w_val = where
-                if zone_excludes(by_chunk[seq][w_col][1].get("mm"), w_op, w_val):
-                    continue
-            cols = {
-                name: decode_array(*by_chunk[seq][name]) for name in want
-            }
-            batches.append(pa.table(cols))
+        batches.extend(iter_part_tables(files, fields, conjuncts, scan_stats))
     if batches:
         return pa.concat_tables(batches)
     # empty committed table: honor the manifest schema's types instead of
     # null-typed columns, so empty and non-empty tables decode alike
-    by_name = {f["name"]: _arrow_type(f["type"]) for f in schema_fields}
     return pa.table(
         {n: pa.array([], type=by_name[n]) for n in want},
-        schema=pa.schema([(n, by_name[n]) for n in want]),
+        schema=pa.schema(fields),
     )
 
 

@@ -426,3 +426,26 @@ def test_zone_map_multi_conjunct(spark, tmp_path):
         spark, t, columns=["x", "y"], where=[("x", ">=", 0), ("y", ">", 5000)]
     )
     assert none.count() == 0
+
+
+def test_chunk_files_sorted_for_pruning(spark, corpus, tmp_path):
+    """Job-written chunk files must be (col, chunk_seq)-sorted so the
+    chunkscan row-group pruning has tight stats (round-3 IO layout), and the
+    Spark-free reader must report payload row groups actually skipped when
+    projecting."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from embulk_output_s3_parquet_spark.sources.pyreader import read_table
+
+    path = str(tmp_path / "layout")
+    encode_job(spark, corpus, path, CodecPolicy(), if_exists="error")
+    for f in glob.glob(path + "/data/part_id=*/*.parquet"):
+        t = pq.read_table(f, columns=["col", "chunk_seq"])
+        pairs = list(zip(t.column("col").to_pylist(), t.column("chunk_seq").to_pylist()))
+        assert pairs == sorted(pairs), f
+    stats: dict = {}
+    out = read_table(path, columns=["lang"], scan_stats=stats)
+    assert out.num_rows == corpus.count()
+    assert stats["rg_total"] >= stats.get("rg_read", 0)
