@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import alp, bitpack, delta, dictionary, forr, fsst, raw, rle, veclist
+from . import alp, bitpack, byteplane, delta, dictionary, forr, fsst, raw, rle, veclist
 from .base import CodecUnsuitable, is_intlike, is_stringlike
 
 _SAMPLE_ROWS = 1024
@@ -28,12 +28,13 @@ CODECS = {
     "alp": alp,
     "fsst": fsst,
     "vec": veclist,
+    "bsplit": byteplane,
 }
 
 # stable preference when trial sizes tie (cheapest decode first)
 _ORDER = {
     "bitpack": 0, "for": 1, "delta": 2, "alp": 3, "rle": 4, "dict": 5,
-    "fsst": 6, "raw": 7, "vec": 8,
+    "fsst": 6, "bsplit": 7, "raw": 8, "vec": 9,
 }
 
 # encode-cost multiplier: a codec must beat the alternatives by this factor
@@ -88,6 +89,7 @@ def candidates(values: pa.Array, stats: dict) -> list[str]:
             out.append("rle")
         if distinct <= max(64, n // 8):
             out.append("dict")
+        out.append("bsplit")
         out.append("raw")
     elif is_stringlike(t):
         out = []

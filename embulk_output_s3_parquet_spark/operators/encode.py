@@ -138,8 +138,18 @@ def _encode_slices(
     return pa.table(cols, schema=_ENC_ARROW)
 
 
-def encode_grouped(df_with_part: DataFrame, policy: CodecPolicy) -> DataFrame:
-    """Encode a partition-planned DataFrame (must carry ``part_id``)."""
+def encode_grouped(
+    df_with_part: DataFrame,
+    policy: CodecPolicy,
+    cluster_by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode a partition-planned DataFrame (must carry ``part_id``).
+
+    ``cluster_by`` sorts each part's rows by the named columns before
+    slicing into chunks, so those columns' per-chunk zone maps become tight
+    disjoint ranges -- the sort-order/clustering-key analogue of Iceberg
+    write ordering, bought at one in-memory Arrow sort per part."""
+
     schema = T.StructType([f for f in df_with_part.schema.fields if f.name != "part_id"])
     policy.validate(schema)
     colmap = _resolve_policy(df_with_part.schema, policy)
@@ -149,14 +159,25 @@ def encode_grouped(df_with_part: DataFrame, policy: CodecPolicy) -> DataFrame:
         k = key[0]
         part_id = k.as_py() if hasattr(k, "as_py") else int(k)
         data = table.drop_columns(["part_id"])
+        if cluster_by:
+            data = data.sort_by([(c, "ascending") for c in cluster_by])
         eff = _effective_chunk_rows(data, chunk_rows, policy.chunk_bytes)
         return _encode_slices(part_id, data, colmap, eff)
 
     return df_with_part.groupBy("part_id").applyInArrow(enc, schema=ENCODED_SCHEMA)
 
 
-def encode_local(df_with_part: DataFrame, policy: CodecPolicy) -> DataFrame:
+def encode_local(
+    df_with_part: DataFrame,
+    policy: CodecPolicy,
+    cluster_by: tuple[str, ...] = (),
+) -> DataFrame:
     """Shuffle-free encode of a partition-planned DataFrame.
+
+    ``cluster_by`` extends the task-local sort to (part_id, *cluster_by):
+    chunks then cover tight disjoint value ranges of the cluster columns, so
+    their zone maps actually exclude chunks under range predicates (an
+    unsorted column's zones all span ~the full domain and never skip).
 
     Instead of shuffling RAW rows to co-locate each planned part
     (``encode_grouped``), rows are sorted by ``part_id`` *within* each scan
@@ -234,7 +255,7 @@ def encode_local(df_with_part: DataFrame, policy: CodecPolicy) -> DataFrame:
             if out is not None:
                 yield from out.to_batches()
 
-    return df_with_part.sortWithinPartitions("part_id").mapInArrow(
+    return df_with_part.sortWithinPartitions("part_id", *cluster_by).mapInArrow(
         enc, schema=ENCODED_SCHEMA
     )
 

@@ -35,6 +35,11 @@ def main() -> int:
     )
     ap.add_argument("--if-exists", default="skip", choices=["error", "skip", "delete"])
     ap.add_argument("--max-parts", type=int, default=None, help="commit at most N partitions (kill simulation)")
+    ap.add_argument(
+        "--cluster-by", default=None, metavar="COL[,COL...]",
+        help="sort rows by these columns within each part before chunking "
+        "(tight zone maps; Iceberg write-order analogue)",
+    )
     ap.add_argument("--verify", action="store_true", help="decode + per-row sha256 equality check")
     args = ap.parse_args()
 
@@ -102,7 +107,11 @@ def main() -> int:
     spark.range(0, n_cores * 2, 1, n_cores * 2).mapInArrow(_noop, "n int").count()
 
     t0 = time.time()
-    table = encode_job(spark, df, args.out, policy, if_exists=args.if_exists, max_parts=args.max_parts)
+    table = encode_job(
+        spark, df, args.out, policy, if_exists=args.if_exists,
+        max_parts=args.max_parts,
+        cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+    )
     wall = time.time() - t0
     m = table_metrics(table)
     m.update(wall_s=round(wall, 2), gbps=round(m["raw_bytes"] / max(wall, 1e-9) / 1e9, 4))

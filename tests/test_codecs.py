@@ -272,3 +272,27 @@ def test_alp_nan_and_negatives():
     p2, m2 = encode_array(neg, "alp")
     assert m2["c"] == "alp"
     assert decode_array(p2, m2).equals(neg)
+
+
+def test_bsplit_wins_on_gaussian_floats():
+    """Byte-plane split groups exponent bytes: must beat plain raw+zstd on
+    high-entropy floats and be chosen by the selector."""
+    vals = pa.array(RNG.normal(size=4000).astype(np.float32), pa.float32())
+    p_auto, m_auto = encode_array(vals, "auto")
+    p_raw, _ = encode_array(vals, "raw")
+    assert m_auto["c"] == "bsplit"
+    assert len(p_auto) < len(p_raw)
+    assert decode_array(p_auto, m_auto).equals(vals)
+
+
+def test_bsplit_special_values_bit_exact():
+    odd = pa.array([float("nan"), float("inf"), float("-inf"), -0.0, 5e-324] * 40, pa.float64())
+    payload, meta = encode_array(odd, "bsplit")
+    back = decode_array(payload, meta)
+    assert np.array_equal(
+        odd.to_numpy(zero_copy_only=False),
+        back.to_numpy(zero_copy_only=False),
+        equal_nan=True,
+    )
+    # -0.0 must stay -0.0 (bit-identity, not value equality)
+    assert np.signbit(back.to_numpy(zero_copy_only=False)[3])

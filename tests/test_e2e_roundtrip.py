@@ -449,3 +449,51 @@ def test_chunk_files_sorted_for_pruning(spark, corpus, tmp_path):
     out = read_table(path, columns=["lang"], scan_stats=stats)
     assert out.num_rows == corpus.count()
     assert stats["rg_total"] >= stats.get("rg_read", 0)
+
+
+def test_cluster_by_makes_zones_skip(spark, tmp_path):
+    """cluster_by (Iceberg write-order analogue) must turn useless zone maps
+    (shuffled values: every chunk spans ~the whole domain) into tight
+    disjoint ranges that actually skip chunk payloads under a range
+    predicate -- same data, same query, measured via pyreader scan stats."""
+    from embulk_output_s3_parquet_spark.sources.pyreader import read_table
+
+    # shape matters: clustering separates values ACROSS chunks within one
+    # (part, task) segment, so segments must span many chunks -- the generic
+    # planner makes >=16 surrogate parts, so 20k rows / 2 tasks / 16 parts
+    # gives ~625-row segments; chunk_rows=64 -> ~10 chunks per segment (the
+    # production shape: 64MB parts hold 40+ chunks)
+    df = (
+        spark.range(0, 20000, 1, 2)
+        .select(
+            F.col("id"),
+            F.pmod(F.xxhash64("id"), F.lit(100000)).alias("v"),
+        )
+    )
+    pol = CodecPolicy(chunk_rows=64, chunk_bytes=0, target_partition_bytes=1 << 20)
+    hi = 95000  # ~5% of rows match
+
+    plain, clustered = {}, {}
+    p1 = str(tmp_path / "plain")
+    encode_job(spark, df, p1, pol, if_exists="error")
+    t1 = read_table(p1, where=("v", ">=", hi), scan_stats=plain)
+
+    p2 = str(tmp_path / "clustered")
+    encode_job(spark, df, p2, pol, if_exists="error", cluster_by=["v"])
+    t2 = read_table(p2, where=("v", ">=", hi), scan_stats=clustered)
+
+    # identical may-match semantics: both supersets of the true result,
+    # clustered returns far fewer false-positive rows
+    exact = df.filter(F.col("v") >= hi).count()
+    assert t1.num_rows >= exact and t2.num_rows >= exact
+    assert clustered["chunks_skipped"] > plain.get("chunks_skipped", 0)
+    assert clustered["chunks_skipped"] >= clustered["chunks_total"] * 0.8, clustered
+    # and the clustered decode returns the same matching set
+    import pyarrow.compute as pc
+
+    got = sorted(pc.filter(t2.column("id"), pc.greater_equal(t2.column("v"), hi)).to_pylist())
+    want = sorted(r["id"] for r in df.filter(F.col("v") >= hi).collect())
+    assert got == want
+
+    with pytest.raises(ConfigException, match="cluster_by"):
+        encode_job(spark, df, str(tmp_path / "bad"), pol, cluster_by=["nope"])
