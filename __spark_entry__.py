@@ -1100,6 +1100,43 @@ FROM documents WHERE doc_id >= 400 ORDER BY doc_id
 """
 
 
+def _filter_clustered_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_by write ordering + zone scan, oracle-checked: documents are
+    re-clustered on n_chars at encode time, so the n_chars range predicate
+    skips most chunks' payload IO (zones are tight disjoint ranges instead
+    of full-domain); values must still match the plain-table oracle
+    exactly."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from embulk_output_s3_parquet_spark.jobs import decode_job, encode_job
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"clusterscan_{_h.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    encode_job(
+        spark, docs, path, CodecPolicy(chunk_rows=64), if_exists="delete",
+        cluster_by=["n_chars"],
+    )
+    scan = decode_job(
+        spark, path, columns=["doc_id", "n_chars"], where=("n_chars", ">=", 450)
+    )
+    return (
+        scan.filter(F.col("n_chars") >= 450)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_FILTER_CLUSTERED_SQL = """
+SELECT doc_id, n_chars FROM documents WHERE n_chars >= 450 ORDER BY doc_id
+"""
+
+
 def _encoded_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE over the encoded format: per-column rows/nulls plus the
     zone-map min/max aggregated from chunk metadata alone (payloads never
@@ -1261,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_near_dups": _emb_near_dups,
             "encode_stats_documents": _encode_stats,
             "filter_over_encoded": _filter_over_encoded,
+            "filter_clustered_encoded": _filter_clustered_encoded,
             "encoded_table_stats": _encoded_table_stats,
             "multimodal_features": _mm_features,
             "multimodal_resize": _mm_resize,
@@ -1302,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_cosine_topk": _ANN_TOPK_SQL,
             "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
             "filter_over_encoded": _FILTER_OVER_ENCODED_SQL,
+            "filter_clustered_encoded": _FILTER_CLUSTERED_SQL,
             "encoded_table_stats": _table_stats_sql(),
             "multimodal_features": _MM_FEATURES_SQL,
             "multimodal_resize": _MM_RESIZE_SQL,

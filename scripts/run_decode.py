@@ -3,15 +3,38 @@
 Usage:
     spark-submit --master local[8] --py-files dist/engine.zip \
         scripts/run_decode.py --table /tmp/enc --out /tmp/decoded.parquet \
-        [--columns repo,lang]
+        [--columns repo,lang] [--where 'lang==go' --where 'n>=100']
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 import time
+
+_WHERE_RE = re.compile(r"^(\w+)\s*(==|>=|<=|>|<)\s*(.+)$")
+
+
+def _parse_where(exprs: list[str]) -> list[tuple] | None:
+    """'col==lit' / 'col>=lit' strings -> zone conjuncts; numeric literals
+    are coerced so they compare against int/float zone bounds."""
+    out = []
+    for e in exprs:
+        m = _WHERE_RE.match(e.strip())
+        if not m:
+            raise SystemExit(f"--where must look like 'col>=literal', got {e!r}")
+        col, op, lit = m.groups()
+        try:
+            val = int(lit)
+        except ValueError:
+            try:
+                val = float(lit)
+            except ValueError:
+                val = lit.strip("'\"")
+        out.append((col, op, val))
+    return out or None
 
 
 def main() -> int:
@@ -19,6 +42,12 @@ def main() -> int:
     ap.add_argument("--table", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--columns", help="comma-separated projection (pruned scan)")
+    ap.add_argument(
+        "--where", action="append", default=[], metavar="COL OP LIT",
+        help="zone-map conjunct, e.g. 'n_chars>=100' (repeatable, ANDed; "
+        "may-match contract -- rows are pre-filtered by chunk zones, the "
+        "exact filter is applied after decode)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -28,8 +57,15 @@ def main() -> int:
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     cols = args.columns.split(",") if args.columns else None
+    where = _parse_where(args.where)
     t0 = time.time()
-    df = decode_job(spark, args.table, columns=cols)
+    df = decode_job(spark, args.table, columns=cols, where=where)
+    if where:
+        from pyspark.sql import functions as F
+
+        ops = {"==": "==", ">=": ">=", "<=": "<=", ">": ">", "<": "<"}
+        for col, op, val in where:  # exact filter over the may-match scan
+            df = df.filter(F.expr(f"`{col}` {ops[op]} {val!r}"))
     df.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"rows": n, "wall_s": round(time.time() - t0, 2), "out": args.out}))

@@ -175,9 +175,16 @@ def main() -> int:
         )
         return 1
     history = ""
+    notes = ""
     if os.path.exists(baseline):
         with open(baseline) as f:
             old = f.read()
+        # preserve the hand-written measurement-history/notes section and
+        # the machine-appended attempt log across headline rewrites
+        if "## Measurement history" in old:
+            notes = old[old.index("## Measurement history"):]
+            if "## Attempt history" in notes:
+                notes = notes[: notes.index("## Attempt history")]
         if "## Attempt history" in old:
             history = old[old.index("## Attempt history"):]
     if not history:
@@ -208,7 +215,7 @@ def main() -> int:
             "stages: partition planning is a group-level aggregation + broadcast\n"
             "join, encode is per-scan-partition, and only encoded chunks (~10x\n"
             "smaller) shuffle to their part files.\n\n"
-            + history + attempt_line
+            + notes + history + attempt_line
         )
     return 0
 
