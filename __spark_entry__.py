@@ -1157,14 +1157,18 @@ def _encoded_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _table_stats_sql() -> str:
+    # int columns: zones are the values; timestamp columns (round-3 typed
+    # zones): zones are the raw int64 storage = epoch micros
     int_cols = {"event_id", "user_id"}
+    ts_cols = {"ts"}
     parts = []
     for c in sorted(["event_id", "ts", "user_id", "event_type", "value", "props"]):
-        mm = (
-            (f"CAST(min({c}) AS BIGINT)", f"CAST(max({c}) AS BIGINT)")
-            if c in int_cols
-            else ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
-        )
+        if c in int_cols:
+            mm = (f"CAST(min({c}) AS BIGINT)", f"CAST(max({c}) AS BIGINT)")
+        elif c in ts_cols:
+            mm = (f"epoch_us(min({c}))", f"epoch_us(max({c}))")
+        else:
+            mm = ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
         parts.append(
             f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS rows, "
             f"CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nulls, "

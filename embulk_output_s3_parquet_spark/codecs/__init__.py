@@ -83,9 +83,12 @@ def encode_array(
     return payload, meta
 
 
-# zone-map bounds are only recorded for types whose min/max is JSON-safe and
-# whose comparison semantics match python's (ints, finite floats, short
-# strings); everything else simply has no zone and is never skipped.
+# zone-map bounds are only recorded for types whose min/max is JSON-safe
+# (ints, finite floats, short strings; decimals as exact strings;
+# timestamps/dates as their raw int64/int32 storage values -- readers
+# coerce predicate literals to the same representation via the chunk meta's
+# type, see sources/chunkscan.py). Everything else has no zone and is
+# never skipped.
 _ZONE_MAX_STR = 64
 
 
@@ -96,17 +99,26 @@ def _zone_of(values: pa.Array):
     if len(values) == 0:
         return None
     t = values.type
+    temporal = (
+        pa.types.is_timestamp(t) or pa.types.is_date32(t) or pa.types.is_date64(t)
+    )
     if not (
         pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_string(t)
-        or pa.types.is_large_string(t)
+        or pa.types.is_large_string(t) or pa.types.is_decimal128(t) or temporal
     ):
         return None
     import pyarrow.compute as pc
 
-    mm = pc.min_max(values)
+    if temporal:
+        width = pa.int32() if pa.types.is_date32(t) else pa.int64()
+        mm = pc.min_max(values.cast(width))
+    else:
+        mm = pc.min_max(values)
     lo, hi = mm["min"].as_py(), mm["max"].as_py()
     if lo is None or hi is None:
         return None
+    if pa.types.is_decimal128(t):
+        return [str(lo), str(hi)]
     if pa.types.is_floating(t) and not (math.isfinite(lo) and math.isfinite(hi)):
         return None
     if isinstance(lo, str) and (len(lo) > _ZONE_MAX_STR or len(hi) > _ZONE_MAX_STR):

@@ -54,6 +54,69 @@ def normalize_where(where, names: list[str]) -> list[tuple]:
     return [tuple(c) for c in conjuncts]
 
 
+_TS_UNIT_US = {"s": 10**6, "ms": 10**3, "us": 1, "ns": None}  # ns handled below
+
+
+def coerce_literal(tname: str, value):
+    """Coerce a predicate literal into the representation the column's zone
+    map stores (see codecs._zone_of): decimals compare as exact Decimals,
+    timestamps as their raw int64 storage in the column's unit (naive
+    datetimes and ISO strings are taken as UTC), date32 as epoch days.
+    Anything unconvertible is returned as-is -- an incomparable pair makes
+    zone_excludes keep the chunk, never wrongly skip it."""
+    import datetime as _dt
+    from decimal import Decimal, InvalidOperation
+
+    if tname.startswith("decimal128("):
+        try:
+            return Decimal(str(value))
+        except InvalidOperation:
+            return value
+    if tname.startswith("timestamp["):
+        unit = tname[len("timestamp[") : -1].split(",")[0]
+        if isinstance(value, str):
+            try:
+                value = _dt.datetime.fromisoformat(value)
+            except ValueError:
+                return value
+        if isinstance(value, _dt.datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=_dt.timezone.utc)
+            epoch = value - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            us = epoch // _dt.timedelta(microseconds=1)
+            return us * 1000 if unit == "ns" else us // _TS_UNIT_US.get(unit, 1)
+        return value
+    if tname == "date32[day]":
+        if isinstance(value, str):
+            try:
+                value = _dt.date.fromisoformat(value)
+            except ValueError:
+                return value
+        if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+            return (value - _dt.date(1970, 1, 1)).days
+        return value
+    return value
+
+
+def _survives(cols_meta: dict, conjuncts: list[tuple]) -> bool:
+    """True when no conjunct's zone map can exclude the chunk."""
+    for c, op, v in conjuncts:
+        meta = cols_meta.get(c)
+        if meta is None:
+            continue
+        zone = meta.get("mm")
+        if zone is None:
+            continue
+        tname = meta.get("t", "")
+        if tname.startswith("decimal128("):
+            from decimal import Decimal
+
+            zone = [Decimal(zone[0]), Decimal(zone[1])]
+        if zone_excludes(zone, op, coerce_literal(tname, v)):
+            return False
+    return True
+
+
 def _any_in_range(sorted_vals: list, lo, hi) -> bool:
     """True when any of ``sorted_vals`` falls in [lo, hi]."""
     i = bisect_left(sorted_vals, lo)
@@ -99,13 +162,7 @@ def scan_file(
         if col in want:
             meta_by.setdefault(seq, {})[col] = meta_from_json(meta)
     surviving = sorted(
-        seq
-        for seq, cols in meta_by.items()
-        if not any(
-            zone_excludes(cols[c].get("mm"), op, v)
-            for c, op, v in conjuncts
-            if c in cols
-        )
+        seq for seq, cols in meta_by.items() if _survives(cols, conjuncts)
     )
     if stats_out is not None:
         stats_out["chunks_total"] = stats_out.get("chunks_total", 0) + len(meta_by)

@@ -139,3 +139,69 @@ def test_unsorted_legacy_layout_still_correct(tmp_path):
     got = pa.concat_tables(iter_part_tables([path], fields, []))
     assert got.column("k").to_pylist() == want["k"]
     assert got.column("s").to_pylist() == want["s"]
+
+
+def test_typed_zones_decimal_timestamp_date(tmp_path):
+    """Round-3 typed zones: decimal/timestamp/date columns record zone maps
+    (decimals as exact strings, temporals as raw storage ints) and readers
+    coerce predicate literals so range scans skip chunks of those types."""
+    import datetime
+    from decimal import Decimal
+
+    rows = {"chunk_seq": [], "col": [], "meta": [], "payload": []}
+    base = datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc)
+    want_rows = 0
+    for seq in range(6):
+        price = pa.array(
+            [Decimal(f"{seq * 100 + i}.50") for i in range(4)], pa.decimal128(12, 2)
+        )
+        ts = pa.array(
+            [base + datetime.timedelta(days=seq * 10 + i) for i in range(4)],
+            pa.timestamp("us", tz="UTC"),
+        )
+        d = pa.array(
+            [(base + datetime.timedelta(days=seq * 10 + i)).date() for i in range(4)],
+            pa.date32(),
+        )
+        for col, arr in (("price", price), ("ts", ts), ("d", d)):
+            payload, meta = encode_array(arr)
+            assert meta.get("mm") is not None, (col, meta)
+            rows["chunk_seq"].append(seq)
+            rows["col"].append(col)
+            rows["meta"].append(meta_to_json(meta))
+            rows["payload"].append(payload)
+    path = str(tmp_path / "typed.parquet")
+    pq.write_table(pa.table(rows), path, row_group_size=4, compression="none")
+    fields = [
+        ("price", pa.decimal128(12, 2)),
+        ("ts", pa.timestamp("us", tz="UTC")),
+        ("d", pa.date32()),
+    ]
+    # decimal range: only chunks 4,5 can hold price >= 400
+    stats = {}
+    got = pa.concat_tables(
+        iter_part_tables([path], fields, [("price", ">=", Decimal("400.00"))], stats)
+    )
+    assert stats["chunks_skipped"] == 4, stats
+    assert min(got.column("price").to_pylist()) == Decimal("400.50")
+    # timestamp range via datetime AND via ISO string literal
+    for lit in (base + datetime.timedelta(days=40), "2020-02-10T00:00:00+00:00"):
+        stats = {}
+        got = pa.concat_tables(
+            iter_part_tables([path], fields, [("ts", ">=", lit)], stats)
+        )
+        assert stats["chunks_skipped"] >= 3, (lit, stats)
+        assert got.num_rows == 8
+    # date range
+    stats = {}
+    got = pa.concat_tables(
+        iter_part_tables([path], fields, [("d", "<", datetime.date(2020, 1, 11))], stats)
+    )
+    assert stats["chunks_skipped"] == 5, stats
+    assert got.num_rows == 4
+    # incomparable literal never skips (conservative)
+    stats = {}
+    got = pa.concat_tables(
+        iter_part_tables([path], fields, [("ts", ">=", "not-a-time")], stats)
+    )
+    assert stats["chunks_skipped"] == 0 and got.num_rows == 24

@@ -497,3 +497,31 @@ def test_cluster_by_makes_zones_skip(spark, tmp_path):
 
     with pytest.raises(ConfigException, match="cluster_by"):
         encode_job(spark, df, str(tmp_path / "bad"), pol, cluster_by=["nope"])
+
+
+def test_timestamp_zone_scan_e2e(spark, tmp_path):
+    """Typed zones end-to-end: encode events clustered by ts, range-scan on
+    a datetime literal through decode_job AND pyreader; both skip chunks and
+    return exactly the matching rows after the exact filter."""
+    import datetime
+
+    from embulk_output_s3_parquet_spark.sources.pyreader import read_table
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "ev_ts")
+    encode_job(
+        spark, ev, path, CodecPolicy(chunk_rows=16, chunk_bytes=0), if_exists="error",
+        cluster_by=["ts"],
+    )
+    cut = datetime.datetime(2024, 1, 25, tzinfo=datetime.timezone.utc)
+    want = ev.filter(F.col("ts") >= F.lit("2024-01-25 00:00:00")).count()
+    assert want > 0
+
+    scan = decode_job(spark, path, columns=["event_id", "ts"], where=("ts", ">=", cut))
+    got = scan.filter(F.col("ts") >= F.lit("2024-01-25 00:00:00")).count()
+    assert got == want
+
+    stats: dict = {}
+    t = read_table(path, columns=["event_id", "ts"], where=("ts", ">=", cut), scan_stats=stats)
+    assert stats["chunks_skipped"] > 0, stats
+    assert t.num_rows < ev.count()  # zone skipping actually reduced the scan
