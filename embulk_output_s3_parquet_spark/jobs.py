@@ -102,6 +102,8 @@ def encode_job(
     if part_base:
         dfp = dfp.withColumn("part_id", (F.col("part_id") + F.lit(part_base)).cast("long"))
     table = EncodedTable.create(table_path, df.schema, policy, if_exists=if_exists)
+    if cluster and table.properties().get("write-order") != list(cluster):
+        table.set_property("write-order", list(cluster))
     table.clean_staging()
 
     done = table.completed_parts()

@@ -215,6 +215,18 @@ class EncodedTable:
         self._write_manifest(m)
         shutil.rmtree(os.path.join(self.path, f"parts-{old_gen}"), ignore_errors=True)
 
+    def set_property(self, key: str, value) -> None:
+        """Set a table property in the core manifest (atomic rewrite) --
+        e.g. ``write-order`` records the cluster_by layout like Iceberg's
+        sort-order metadata, so readers and audits can see how the table's
+        zone maps were clustered."""
+        m = self._core_manifest()
+        m.setdefault("properties", {})[key] = value
+        self._write_manifest(m)
+
+    def properties(self) -> dict:
+        return self._core_manifest().get("properties", {})
+
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.manifest()["schema"]))
 

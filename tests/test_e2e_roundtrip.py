@@ -525,3 +525,19 @@ def test_timestamp_zone_scan_e2e(spark, tmp_path):
     t = read_table(path, columns=["event_id", "ts"], where=("ts", ">=", cut), scan_stats=stats)
     assert stats["chunks_skipped"] > 0, stats
     assert t.num_rows < ev.count()  # zone skipping actually reduced the scan
+
+
+def test_write_order_recorded_in_manifest(spark, tmp_path):
+    """cluster_by is recorded as the Iceberg-sort-order-style 'write-order'
+    table property so audits can see how zone maps were clustered."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "wo")
+    t = encode_job(
+        spark, ev, path, CodecPolicy(chunk_rows=256), if_exists="error",
+        cluster_by=["ts", "event_type"],
+    )
+    assert t.properties()["write-order"] == ["ts", "event_type"]
+    assert "codec-policy" in t.properties()
+    p2 = str(tmp_path / "wo2")
+    t2 = encode_job(spark, ev, p2, CodecPolicy(chunk_rows=256), if_exists="error")
+    assert "write-order" not in t2.properties()
