@@ -140,15 +140,20 @@ def decode_job(
     table_path: str,
     columns: list[str] | None = None,
     where=None,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Decode a committed table. Default: the shuffle-free part-aligned scan
     (decode_table_scan) with optional zone-map predicate skipping (``where``
     is one (col, op, literal) conjunct or a list ANDed together); use
-    decode_job_chunks for encoded layouts not produced by encode_job."""
+    decode_job_chunks for encoded layouts not produced by encode_job.
+    ``counters`` (from ``operators.decode.scan_counters``) surfaces
+    chunks/row-groups skipped after an action runs."""
     from .operators.decode import decode_table_scan
 
     table = EncodedTable(table_path)
-    return decode_table_scan(spark, table, columns=columns, where=where)
+    return decode_table_scan(
+        spark, table, columns=columns, where=where, counters=counters
+    )
 
 
 def decode_job_chunks(

@@ -69,11 +69,25 @@ def _prune_schema(
     return T.StructType([f for f in out_schema.fields if f.name in columns])
 
 
+SCAN_COUNTER_KEYS = ("chunks_total", "chunks_skipped", "rg_total", "rg_read")
+
+
+def scan_counters(spark) -> dict:
+    """Accumulators for decode_table_scan observability: pass the returned
+    dict as ``counters=`` and read ``counters[k].value`` after an action to
+    see how many chunks / payload row groups the scan actually skipped --
+    the per-job visibility a 100-TB operator needs to confirm zone maps and
+    projections are biting (pyreader exposes the same numbers via
+    ``scan_stats``)."""
+    return {k: spark.sparkContext.accumulator(0) for k in SCAN_COUNTER_KEYS}
+
+
 def decode_table_scan(
     spark,
     table,
     columns: list[str] | None = None,
     where: tuple | None = None,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Shuffle-free decode of a committed EncodedTable.
 
@@ -122,8 +136,12 @@ def decode_table_scan(
                 files = sorted(glob.glob(os.path.join(d, "*.parquet")))
                 if not files:
                     raise FileNotFoundError(f"committed part missing: {d}")
-                for tbl in iter_part_tables(files, fields, conjuncts):
+                st: dict | None = {} if counters is not None else None
+                for tbl in iter_part_tables(files, fields, conjuncts, st):
                     yield from tbl.to_batches()
+                if counters is not None:
+                    for k, acc in counters.items():
+                        acc.add(st.get(k, 0))
 
     return path_df.mapInArrow(dec, schema=out_schema)
 

@@ -541,3 +541,25 @@ def test_write_order_recorded_in_manifest(spark, tmp_path):
     p2 = str(tmp_path / "wo2")
     t2 = encode_job(spark, ev, p2, CodecPolicy(chunk_rows=256), if_exists="error")
     assert "write-order" not in t2.properties()
+
+
+def test_scan_counters_observability(spark, tmp_path):
+    """Spark-side scan counters (accumulators) report how many chunks and
+    payload row groups the distributed scan skipped -- the operator-facing
+    proof that zone maps bite in a real job, not only in the pyreader."""
+    from embulk_output_s3_parquet_spark.operators.decode import scan_counters
+
+    df = spark.range(0, 20000, 1, 2).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(100000)).alias("v")
+    )
+    pol = CodecPolicy(chunk_rows=64, chunk_bytes=0, target_partition_bytes=1 << 20)
+    path = str(tmp_path / "ctr")
+    encode_job(spark, df, path, pol, if_exists="error", cluster_by=["v"])
+
+    ctr = scan_counters(spark)
+    out = decode_job(spark, path, where=("v", ">=", 95000), counters=ctr)
+    n = out.count()
+    assert n >= df.filter(F.col("v") >= 95000).count()
+    assert ctr["chunks_total"].value > 0
+    assert ctr["chunks_skipped"].value >= ctr["chunks_total"].value * 0.8
+    assert ctr["rg_read"].value <= ctr["rg_total"].value
