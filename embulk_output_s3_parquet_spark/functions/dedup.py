@@ -50,24 +50,32 @@ def keep_first_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingle_stream(
-    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedupe: bool = True,
 ) -> DataFrame:
-    """Flat (id, shingle) stream of distinct k-word shingles.
+    """Flat (id, shingle) stream of k-word shingles.
 
     posexplode + ``lead`` window: one shuffle on the doc id, then C-speed
     window evaluation -- measured 16x faster than building shingle arrays
-    with transform/slice, and it feeds the joins below without re-exploding."""
+    with transform/slice, and it feeds the joins below without re-exploding.
+
+    ``dedupe=True`` (set semantics, a second shuffle) is required by exact
+    Jaccard; min/max-style consumers (MinHash) are duplicate-invariant and
+    pass False to skip that shuffle entirely."""
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     ex = df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("i", "t"))
     w = Window.partitionBy("id").orderBy("i")
     parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
     complete = F.lead("t", k - 1).over(w).isNotNull() if k > 1 else F.lit(True)
-    return (
+    stream = (
         ex.select("id", F.concat_ws(" ", *parts).alias("shingle"), complete.alias("c"))
         .where("c")
         .drop("c")
-        .distinct()
     )
+    return stream.distinct() if dedupe else stream
 
 
 def capped_shingle_stream(
@@ -190,7 +198,9 @@ def minhash_signatures(
         h1 = F.pmod(portable_hash32(F.col("s"), 0), F.lit(m))
         h2 = F.pmod(portable_hash32(F.col("s"), 7), F.lit(m)) + 1
     ex = (
-        shingle_stream(df, k, text_col, id_col)
+        # MinHash is duplicate-invariant (min over a multiset == min over
+        # its set), so skip the distinct(): one shuffle less, same values
+        shingle_stream(df, k, text_col, id_col, dedupe=False)
         .withColumnRenamed("shingle", "s")
         .withColumn("h1", h1)
         .withColumn("h2", h2)
