@@ -868,6 +868,30 @@ LIMIT 10
 """
 
 
+def _ann_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over the ENCODED format: the embeddings table goes
+    through encode_job (vec codec over array<float>), is decoded by the
+    shuffle-free table scan, and brute-force cosine top-k runs on the
+    decoded vectors -- values must match the oracle on the PLAIN table,
+    proving an ANN corpus stored in the engine's format stays queryable."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from embulk_output_s3_parquet_spark.functions.similarity import cosine_topk
+    from embulk_output_s3_parquet_spark.jobs import decode_job, encode_job
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(), f"annenc_{_h.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    encode_job(spark, emb, path, CodecPolicy(chunk_rows=128), if_exists="delete")
+    decoded = decode_job(spark, path)
+    q = _query_vec(spark, sf_dir)
+    return cosine_topk(decoded, q, k=10)
+
+
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_output_s3_parquet_spark.functions.similarity import lsh_topk
 
@@ -1297,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "simhash64": _simhash,
             "simhash_near_dups": _simhash_near_dups,
             "ann_cosine_topk": _ann_topk,
+            "ann_over_encoded": _ann_over_encoded,
             "ann_lsh_topk": _ann_lsh,
             "ann_ivf_topk": _ann_ivf,
             "embedding_near_dups": _emb_near_dups,
@@ -1342,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
             "clean_documents_pipeline": _CLEAN_PIPELINE_SQL,
             "clean_encode_roundtrip": _CLEAN_PIPELINE_SQL,
             "ann_cosine_topk": _ANN_TOPK_SQL,
+            "ann_over_encoded": _ANN_TOPK_SQL,
             "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
             "filter_over_encoded": _FILTER_OVER_ENCODED_SQL,
             "filter_clustered_encoded": _FILTER_CLUSTERED_SQL,

@@ -166,7 +166,10 @@ def decode_job_chunks(
 
 
 def compact_job(
-    spark: SparkSession, table_path: str, policy: CodecPolicy | None = None
+    spark: SparkSession,
+    table_path: str,
+    policy: CodecPolicy | None = None,
+    cluster_by: list[str] | None = None,
 ) -> EncodedTable:
     """Rewrite an EncodedTable into freshly planned, byte-balanced parts.
 
@@ -174,17 +177,26 @@ def compact_job(
     compaction decodes the committed data, re-plans partitions at the
     current target size, encodes into staging, then atomically swaps the
     manifest to the new part set and removes the old dirs -- the
-    maintenance-compaction analogue of Iceberg's rewrite_data_files."""
+    maintenance-compaction analogue of Iceberg's rewrite_data_files.
+
+    ``cluster_by`` re-clusters the rewritten parts (and records the new
+    write-order property): the way to retrofit tight zone maps onto a table
+    that was originally appended unordered."""
     import os
     import shutil
 
     table = EncodedTable(table_path)
     old_parts = table.completed_parts()
     policy = policy or table.policy()
+    cluster = tuple(cluster_by or ())
+    names = {f.name for f in table.schema().fields}
+    for c in cluster:
+        if c not in names:
+            raise ConfigException(f"cluster_by: unknown column {c!r}")
     df = decode_chunks(table.read_encoded(spark), table.schema())
 
     dfp, plan = _plan(df, policy)
-    encoded = encode_local(dfp, policy).repartition("part_id")
+    encoded = encode_local(dfp, policy, cluster_by=cluster).repartition("part_id")
     staging = table.new_staging()
     t0 = time.time()
     _write_chunk_files(encoded, staging)
@@ -207,6 +219,8 @@ def compact_job(
             shutil.rmtree(dst)
         os.rename(os.path.join(staging, name), dst)
     table._replace_parts({remap[pid]: row for pid, row in lineage.items()})
+    if cluster:
+        table.set_property("write-order", list(cluster))
     shutil.rmtree(staging, ignore_errors=True)
     for pid in old_parts:
         shutil.rmtree(os.path.join(table.data_dir, f"part_id={pid}"), ignore_errors=True)

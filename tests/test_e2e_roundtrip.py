@@ -563,3 +563,33 @@ def test_scan_counters_observability(spark, tmp_path):
     assert ctr["chunks_total"].value > 0
     assert ctr["chunks_skipped"].value >= ctr["chunks_total"].value * 0.8
     assert ctr["rg_read"].value <= ctr["rg_total"].value
+
+
+def test_compact_recluster_retrofits_zone_maps(spark, tmp_path):
+    """compact_job(cluster_by=) retrofits tight zone maps onto a table that
+    was appended unordered: same rows, better skipping, write-order
+    recorded."""
+    from embulk_output_s3_parquet_spark.jobs import compact_job
+    from embulk_output_s3_parquet_spark.sources.pyreader import read_table
+
+    df = spark.range(0, 20000, 1, 2).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(100000)).alias("v")
+    )
+    pol = CodecPolicy(chunk_rows=64, chunk_bytes=0, target_partition_bytes=1 << 20)
+    path = str(tmp_path / "recluster")
+    encode_job(spark, df, path, pol, if_exists="error")  # unordered append
+    before: dict = {}
+    read_table(path, where=("v", ">=", 95000), scan_stats=before)
+
+    t = compact_job(spark, path, pol, cluster_by=["v"])
+    assert t.properties()["write-order"] == ["v"]
+    after: dict = {}
+    got = read_table(path, where=("v", ">=", 95000), scan_stats=after)
+    assert after["chunks_skipped"] > before.get("chunks_skipped", 0)
+    # row set identical post-compaction
+    import pyarrow.compute as pc
+
+    ids = sorted(
+        pc.filter(got.column("id"), pc.greater_equal(got.column("v"), 95000)).to_pylist()
+    )
+    assert ids == sorted(r["id"] for r in df.filter(F.col("v") >= 95000).collect())
