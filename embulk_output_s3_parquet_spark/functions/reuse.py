@@ -24,11 +24,21 @@ def materialize_once(df: DataFrame, eager: bool = True) -> DataFrame:
     two join-side map stages are scheduled concurrently (no partition-level
     lock -- both stages race to compute the same partition).
 
+    Fault tolerance at cluster scale: localCheckpoint blocks are NOT
+    recoverable -- a lost executor fails the query. When the session has a
+    reliable checkpoint dir configured (``sc.setCheckpointDir``), the
+    RELIABLE ``checkpoint()`` is used instead (HDFS/S3-backed, survives
+    executor loss) at the cost of one write+read of the banded stream. On
+    local[.] there is no executor loss to survive, so no dir -> local path.
+
     At cluster scale the stored footprint is the operator's banded/candidate
     stream (rows x bands of small ints), orders of magnitude below the text
     it derives from; the one extra job is ~half the cost it saves.
     """
     try:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=eager)
         return df.localCheckpoint(eager=eager)
     except Exception:  # pragma: no cover - non-classic sessions
         return df.persist()

@@ -349,3 +349,28 @@ def test_token_count_bpe(spark):
     assert out[1] == 3
     assert out[2] > 4  # operators/digits/comment split into several segments
     assert out[3] == 0
+
+
+def test_materialize_once_uses_reliable_checkpoint_when_configured(spark, tmp_path):
+    """With a reliable checkpoint dir set, self-join reuse must go through
+    checkpoint() (executor-loss-safe) instead of localCheckpoint; values
+    unchanged either way."""
+    from pyspark.sql import functions as F
+
+    from embulk_output_s3_parquet_spark.functions.reuse import materialize_once
+
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 7).alias("b"))
+    want = sorted(r["id"] for r in df.collect())
+    local = materialize_once(df)
+    assert sorted(r["id"] for r in local.collect()) == want
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = materialize_once(df)
+        assert sorted(r["id"] for r in reliable.collect()) == want
+        import glob
+        assert glob.glob(str(tmp_path / "ckpt" / "*")), "no reliable checkpoint written"
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
