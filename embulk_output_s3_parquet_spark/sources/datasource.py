@@ -1,0 +1,137 @@
+"""Python DataSource V2 for EncodedTable: ``spark.read.format("enctable")``.
+
+The idiomatic-Spark face of the engine: once
+``spark.dataSource.register(EncodedTableDataSource)`` has run, an encoded
+table is a first-class Catalyst source --
+
+    df = spark.read.format("enctable").load("/path/to/table")
+    df.filter(df.n_chars >= 450).select(...)    # or spark.sql over a view
+
+and Catalyst hands the query's predicates to ``pushFilters``: supported
+comparisons become zone-map conjuncts for the shared chunk scan
+(sources/chunkscan.py), so chunks the zones exclude never have their
+payload bytes read. Zone pruning is may-match, so EVERY filter is also
+returned back to Spark for exact re-application -- pushdown here prunes IO,
+it never changes semantics.
+
+Projection: the Python DataSource API (4.1) has no column-pruning hook yet,
+so pass ``.option("columns", "a,b")`` to prune payload reads to a
+projection (same effect as decode_job(columns=...)).
+
+Partitions = committed part dirs (manifest-pruned, like decode_table_scan);
+``read`` yields Arrow record batches straight from the decode kernels.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+_FILTER_OPS = {
+    EqualTo: "==",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def filter_to_conjunct(f: Filter, names: set[str]) -> tuple | None:
+    """Catalyst Filter -> zone conjunct (col, op, literal), or None when the
+    filter shape isn't zone-prunable (it is still applied by Spark)."""
+    op = _FILTER_OPS.get(type(f))
+    if op is None:
+        return None
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1 or attr[0] not in names:
+        return None  # nested paths / unknown columns: not prunable
+    return (attr[0], op, f.value)
+
+
+class EncodedTableReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType, columns: list[str] | None):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from .tables import EncodedTable
+
+        table = EncodedTable(path)
+        want = columns or [f.name for f in schema.fields]
+        missing = set(want) - {f.name for f in schema.fields}
+        if missing:
+            raise ValueError(f"unknown columns: {sorted(missing)}")
+        pruned = StructType([f for f in schema.fields if f.name in want])
+        arrow_schema = to_arrow_schema(pruned)
+        # pa.DataType pickles, so fields computed once on the driver ship
+        # to every read() task
+        self._fields = [(f.name, f.type) for f in arrow_schema]
+        self._names = {n for n, _ in self._fields}
+        self._dirs = table.committed_part_dirs()
+        self._conjuncts: list[tuple] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        for f in filters:
+            c = filter_to_conjunct(f, self._names)
+            if c is not None:
+                self._conjuncts.append(c)
+            # zone pruning is may-match: Spark must re-apply EVERY filter,
+            # so all of them are yielded back as "unsupported"
+            yield f
+
+    def partitions(self):
+        return [InputPartition(d) for d in self._dirs]
+
+    def read(self, partition):
+        from .chunkscan import iter_part_tables
+
+        files = sorted(glob.glob(os.path.join(partition.value, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"committed part missing: {partition.value}")
+        for tbl in iter_part_tables(files, self._fields, self._conjuncts):
+            yield from tbl.to_batches()
+
+
+class EncodedTableDataSource(DataSource):
+    """Usage: spark.dataSource.register(EncodedTableDataSource);
+    spark.read.format("enctable").option("columns", "a,b").load(path)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "enctable"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("enctable: .load(<table path>) is required")
+        return path
+
+    def schema(self) -> StructType:
+        with open(os.path.join(self._path(), "manifest.json")) as f:
+            manifest = json.load(f)
+        full = StructType.fromJson(json.loads(manifest["schema"]))
+        columns = self.options.get("columns")
+        if not columns:
+            return full
+        want = [c.strip() for c in columns.split(",")]
+        missing = set(want) - {f.name for f in full.fields}
+        if missing:
+            raise ValueError(f"unknown columns: {sorted(missing)}")
+        return StructType([f for f in full.fields if f.name in want])
+
+    def reader(self, schema: StructType) -> EncodedTableReader:
+        columns = self.options.get("columns")
+        want = [c.strip() for c in columns.split(",")] if columns else None
+        return EncodedTableReader(self._path(), schema, want)
