@@ -164,6 +164,45 @@ FROM lineitem
 """
 
 
+def _rt_nested_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip STRUCT and MAP columns (round-3 nested codecs: the struct
+    shreds into recursively auto-encoded fields, the map stores FOR-packed
+    entry counts + encoded key/item children -- reference
+    GlueDataType.scala:42-56 names these types but delegates encoding to
+    parquet-mr). The driver canonicalizer can't hash nested values, so the
+    contract projection extracts every leaf back out of the DECODED nested
+    columns; full bit-identity is asserted by pytest
+    (test_struct_and_map_columns_full_job, nested codec grids)."""
+    from embulk_output_s3_parquet_spark.operators.decode import roundtrip
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("ck"), F.col("o_orderstatus").alias("st")
+        ).alias("s"),
+        F.create_map(
+            F.lit("total"), F.col("o_totalprice"),
+            F.lit("key2x"), F.col("o_orderkey").cast("double") * 2,
+        ).alias("m"),
+    )
+    out = roundtrip(o, CodecPolicy(chunk_rows=8192))
+    return out.select(
+        "o_orderkey",
+        F.col("s.ck").alias("ck"),
+        F.col("s.st").alias("st"),
+        F.element_at("m", F.lit("total")).alias("total"),
+        F.element_at("m", F.lit("key2x")).alias("key2x"),
+    )
+
+
+_RT_NESTED_SQL = """
+SELECT o_orderkey, o_custkey AS ck, o_orderstatus AS st,
+       o_totalprice AS total, CAST(o_orderkey AS DOUBLE) * 2 AS key2x
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # cast layer (SURVEY.md 2.2)
 # ---------------------------------------------------------------------------
@@ -1296,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "rt_embeddings": _rt_embeddings,
             "rt_lineitem_decimal": _rt_lineitem_decimal,
+            "rt_nested_struct_map": _rt_nested_struct_map,
             "cast_matrix_lineitem": _casts_lineitem,
             "cast_timestamps": _casts_timestamp,
             "json_render": _json_render,
@@ -1345,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         {
             "rt_embeddings": _RT_EMBEDDINGS_SQL,
             "rt_lineitem_decimal": _RT_LINEITEM_DECIMAL_SQL,
+            "rt_nested_struct_map": _RT_NESTED_SQL,
             "cast_matrix_lineitem": _CASTS_LINEITEM_SQL,
             "cast_timestamps": _CASTS_TIMESTAMP_SQL,
             "json_render": _JSON_RENDER_SQL,

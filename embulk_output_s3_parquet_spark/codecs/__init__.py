@@ -59,13 +59,18 @@ def encode_array(
     try:
         body, cmeta = CODECS[name].encode(values)
     except CodecUnsuitable:
-        # universal fallback: raw for scalars, vec for list types (raw has
-        # no nested layout; vec always succeeds on encodable children)
-        name = (
-            "vec"
-            if pa.types.is_list(values.type) or pa.types.is_large_list(values.type)
-            else "raw"
-        )
+        # universal fallback: raw for scalars, the structural codec for
+        # nested types (raw has no nested layout; vec/struct/map always
+        # succeed on encodable children)
+        t = values.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            name = "vec"
+        elif pa.types.is_struct(t):
+            name = "struct"
+        elif pa.types.is_map(t):
+            name = "map"
+        else:
+            name = "raw"
         body, cmeta = CODECS[name].encode(values)
     payload = pack_sections([validity, body])
     meta = {

@@ -130,10 +130,52 @@ def type_from_name(name: str) -> pa.DataType:
         return pa.decimal128(int(p), int(s))
     for prefix, ctor in (("list<", pa.list_), ("large_list<", pa.large_list)):
         if name.startswith(prefix) and name.endswith(">"):
-            inner = name[len(prefix) : -1]
-            fname, _, itype = inner.partition(": ")
-            return ctor(pa.field(fname, type_from_name(itype)))
+            return ctor(_field_from_name(name[len(prefix) : -1]))
+    if name.startswith("struct<") and name.endswith(">"):
+        inner = name[len("struct<") : -1]
+        if not inner:
+            return pa.struct([])
+        return pa.struct([_field_from_name(p) for p in _split_toplevel(inner)])
+    if name.startswith("map<") and name.endswith(">"):
+        parts = _split_toplevel(name[len("map<") : -1])
+        keys_sorted = parts[-1] == "keys_sorted"
+        if keys_sorted:
+            parts = parts[:-1]
+        kname, vname = parts
+        return pa.map_(
+            type_from_name(kname), type_from_name(vname), keys_sorted=keys_sorted
+        )
     raise ValueError(f"unsupported arrow type name: {name!r}")
+
+
+def _field_from_name(part: str) -> pa.Field:
+    """Parse one ``name: type[ not null]`` arrow field rendering."""
+    fname, _, tname = part.partition(": ")
+    nullable = True
+    if tname.endswith(" not null"):
+        tname, nullable = tname[: -len(" not null")], False
+    return pa.field(fname, type_from_name(tname), nullable=nullable)
+
+
+def _split_toplevel(s: str) -> list[str]:
+    """Split ``s`` on ", " at bracket depth 0 (tracks ``<>[]()``) -- arrow
+    type strings nest commas inside struct/map/list/timestamp brackets."""
+    parts: list[str] = []
+    depth = start = i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "<[(":
+            depth += 1
+        elif ch in ">])":
+            depth -= 1
+        elif depth == 0 and ch == "," and s.startswith(", ", i):
+            parts.append(s[start:i])
+            i += 2
+            start = i
+            continue
+        i += 1
+    parts.append(s[start:])
+    return parts
 
 
 def is_intlike(t: pa.DataType) -> bool:
@@ -269,8 +311,8 @@ def drop_nulls_with_mask(arr: pa.Array) -> tuple[pa.Array, bytes, int]:
 
 def reinsert_nulls(values: pa.Array, validity: bytes, n: int) -> pa.Array:
     valid = np.unpackbits(np.frombuffer(validity, np.uint8), count=n).astype(bool)
-    # gather: position i takes values[rank(i)] when valid else null
+    # gather: position i takes values[rank(i)] when valid else null -- a
+    # null index makes take() emit null, which (unlike if_else) has kernels
+    # for every nested type (map/struct/list) as well as scalars
     idx = np.cumsum(valid) - 1
-    idx[~valid] = 0
-    taken = values.take(pa.array(idx.astype(np.int64)))
-    return pc.if_else(pa.array(valid), taken, pa.scalar(None, type=values.type))
+    return values.take(pa.array(idx.astype(np.int64), mask=~valid))

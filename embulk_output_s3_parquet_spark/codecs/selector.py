@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import alp, bitpack, byteplane, delta, dictionary, forr, fsst, raw, rle, veclist
+from . import alp, bitpack, byteplane, delta, dictionary, forr, fsst, nested, raw, rle, veclist
 from .base import CodecUnsuitable, is_intlike, is_stringlike
 
 _SAMPLE_ROWS = 1024
@@ -29,12 +29,14 @@ CODECS = {
     "fsst": fsst,
     "vec": veclist,
     "bsplit": byteplane,
+    "struct": nested.struct_codec,
+    "map": nested.map_codec,
 }
 
 # stable preference when trial sizes tie (cheapest decode first)
 _ORDER = {
     "bitpack": 0, "for": 1, "delta": 2, "alp": 3, "rle": 4, "dict": 5,
-    "fsst": 6, "bsplit": 7, "raw": 8, "vec": 9,
+    "fsst": 6, "bsplit": 7, "raw": 8, "vec": 9, "struct": 10, "map": 11,
 }
 
 # encode-cost multiplier: a codec must beat the alternatives by this factor
@@ -74,6 +76,10 @@ def candidates(values: pa.Array, stats: dict) -> list[str]:
     out: list[str] = []
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return ["vec"]  # vec recursively auto-selects on the flattened child
+    if pa.types.is_struct(t):
+        return ["struct"]  # shredded: children recursively auto-select
+    if pa.types.is_map(t):
+        return ["map"]
     if pa.types.is_boolean(t):
         out = ["bitpack"] + (["rle"] if runs <= n // 2 else [])
     elif is_intlike(t):

@@ -36,6 +36,27 @@ class PartitionPlan:
     groups: DataFrame  # lang, repo, gbytes, start_part, splits (driver-reusable)
 
 
+def _contains_map(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _hash_safe(df: DataFrame, name: str):
+    """Column expression usable inside xxhash64: Spark prohibits hashing
+    anything containing a MAP (undefined entry order), so map-bearing
+    columns are rendered to JSON first -- entry order then only perturbs
+    the salt distribution, never correctness."""
+    dt = df.schema[name].dataType
+    return F.to_json(F.col(name)) if _contains_map(dt) else F.col(name)
+
+
 def assign_partitions(
     df: DataFrame,
     target_bytes: int = 64 * 1024 * 1024,
@@ -124,7 +145,10 @@ def assign_partitions(
         k1, k2, "gbytes", "start_part", "splits"
     )
 
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_keys]), F.col("splits").cast("long")).cast("int")
+    salt = F.pmod(
+        F.xxhash64(*[_hash_safe(df, c) for c in salt_keys]),
+        F.col("splits").cast("long"),
+    ).cast("int")
     # broadcast the (lang, repo) plan when it's small; beyond ~2M groups let
     # AQE pick a shuffled join (broadcasting 10^8 groups would OOM executors)
     plan_side = groups.withColumnRenamed(k1, "__g1").withColumnRenamed(k2, "__g2")
@@ -149,9 +173,19 @@ def assign_partitions_generic(
     group table stays collectable at any scale) and the byte weight is the
     octet length of all columns rendered to text -- still deterministic,
     byte-balanced, and salt-split on hot surrogate groups."""
-    cols = [F.col(c) for c in df.columns]
+    cols = [_hash_safe(df, c) for c in df.columns]
     weight = sum(
-        (F.coalesce(F.octet_length(c.cast("string")), F.lit(0)) for c in cols),
+        (
+            F.coalesce(
+                F.octet_length(
+                    # map-to-string casts are also prohibited under ANSI;
+                    # the JSON rendering doubles as the byte weight there
+                    c if _contains_map(df.schema[n].dataType) else F.col(n).cast("string")
+                ),
+                F.lit(0),
+            )
+            for n, c in zip(df.columns, cols)
+        ),
         F.lit(16),
     )
     aug = (

@@ -32,13 +32,18 @@ _ENCODABLE = (
 def _is_encodable(dt: T.DataType) -> bool:
     """Scalar types from _ENCODABLE, decimals (any Spark precision -- the
     codec layer stores narrow chunks as int64 halves, wide as 16-byte pairs),
-    and arrays of encodable element types (vector codec, recursively)."""
+    and nested types whose leaves are encodable: arrays (vector codec),
+    structs (shredded per-field), maps (entry-list) -- all recursive."""
     if isinstance(dt, _ENCODABLE):
         return True
     if isinstance(dt, T.DecimalType):
         return True
     if isinstance(dt, T.ArrayType):
         return _is_encodable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_encodable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.MapType):
+        return _is_encodable(dt.keyType) and _is_encodable(dt.valueType)
     return False
 
 

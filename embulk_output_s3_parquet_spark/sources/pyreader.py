@@ -106,4 +106,17 @@ def _arrow_type(spark_type) -> pa.DataType:
         return pa.list_(
             pa.field("element", elem, nullable=spark_type.get("containsNull", True))
         )
+    if isinstance(spark_type, dict) and spark_type.get("type") == "struct":
+        return pa.struct(
+            [
+                pa.field(
+                    f["name"], _arrow_type(f["type"]), nullable=f.get("nullable", True)
+                )
+                for f in spark_type["fields"]
+            ]
+        )
+    if isinstance(spark_type, dict) and spark_type.get("type") == "map":
+        return pa.map_(
+            _arrow_type(spark_type["keyType"]), _arrow_type(spark_type["valueType"])
+        )
     raise NotImplementedError(f"no arrow mapping for spark type {spark_type!r}")

@@ -296,3 +296,81 @@ def test_bsplit_special_values_bit_exact():
     )
     # -0.0 must stay -0.0 (bit-identity, not value equality)
     assert np.signbit(back.to_numpy(zero_copy_only=False)[3])
+
+
+# ---------------------------------------------------------------- nested
+
+
+_NESTED_CASES = [
+    pa.array(
+        [{"x": 1, "y": "p"}, None, {"x": 3, "y": None}, {"x": None, "y": "q"}],
+        type=pa.struct([("x", pa.int64()), ("y", pa.string())]),
+    ),
+    pa.array([{"a": 1}, {"b": 2, "c": 3}, None, {}], type=pa.map_(pa.string(), pa.int64())),
+    pa.array([None, None], type=pa.struct([("x", pa.int64())])),
+    pa.array([], type=pa.map_(pa.string(), pa.float64())),
+    pa.array(
+        [[{"s": {"k": [1, 2]}}], [], None],
+        type=pa.list_(pa.struct([("s", pa.struct([("k", pa.list_(pa.int32()))]))])),
+    ),
+    pa.array(
+        [{"m": {"a": [1.5]}}, {"m": None}],
+        type=pa.struct([("m", pa.map_(pa.string(), pa.list_(pa.float64())))]),
+    ),
+    pa.array(
+        [{"d": None, "t": None}],
+        type=pa.struct([("d", pa.decimal128(12, 2)), ("t", pa.timestamp("us", tz="UTC"))]),
+    ),
+]
+
+
+@pytest.mark.parametrize("arr", _NESTED_CASES, ids=lambda a: str(a.type)[:48])
+def test_nested_struct_map_roundtrip(arr):
+    """struct/map chunks shred into recursively auto-encoded children and
+    round-trip bit-identical through the JSON meta path (round-3 nested
+    coverage; reference GlueDataType.scala:42-56 names these types but
+    delegates their encoding to parquet-mr -- this engine owns it)."""
+    import json
+
+    payload, meta = encode_array(arr)
+    meta = json.loads(json.dumps(meta))  # the manifest round-trip
+    out = decode_array(payload, meta)
+    assert out.equals(arr) or out.cast(arr.type).equals(arr)
+
+
+def test_struct_children_get_lightweight_codecs():
+    """A struct of (constant int, low-card string) must shred into real
+    per-field codecs, not a raw dump of the whole struct."""
+    arr = pa.array(
+        [{"x": 7, "y": "go"}] * 4000,
+        type=pa.struct([("x", pa.int64()), ("y", pa.string())]),
+    )
+    payload, meta = encode_array(arr)
+    assert meta["c"] == "struct"
+    child_codecs = {f[0]: f[1]["c"] for f in meta["m"]["f"]}
+    assert child_codecs["x"] in ("rle", "for", "dict")
+    assert child_codecs["y"] in ("rle", "dict")
+    assert len(payload) < 600  # 4000 rows of constant struct collapse
+
+
+def test_map_constant_fanout_width_zero():
+    """Fixed-fanout maps store zero per-row length bits (FOR collapse,
+    same as vec on fixed-dim embeddings)."""
+    arr = pa.array(
+        [{"a": 1, "b": 2}] * 1000, type=pa.map_(pa.string(), pa.int64())
+    )
+    payload, meta = encode_array(arr)
+    assert meta["c"] == "map"
+    assert meta["m"]["w"] == 0 and meta["m"]["b"] == 2
+
+
+def test_sliced_map_chunk_windows_children():
+    """Map offsets are absolute into the child arrays: a sliced chunk must
+    window .keys/.items to its own range (the chunker slices batches)."""
+    base = pa.array(
+        [{"k%d" % i: i} for i in range(64)], type=pa.map_(pa.string(), pa.int64())
+    )
+    sl = base.slice(10, 20)
+    payload, meta = encode_array(sl)
+    out = decode_array(payload, meta)
+    assert out.to_pylist() == sl.to_pylist()

@@ -101,3 +101,47 @@ def test_fuzz_date32(vals):
     arr = pa.array(vals, pa.int32()).cast(pa.date32())
     for codec in ("auto", "for", "rle", "raw"):
         _roundtrip(arr, codec)
+
+
+structs = st.lists(
+    st.one_of(
+        st.none(),
+        st.fixed_dictionaries(
+            {
+                "x": st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+                "y": st.one_of(st.none(), st.text(max_size=24)),
+            }
+        ),
+    ),
+    max_size=120,
+)
+maps = st.lists(
+    st.one_of(
+        st.none(),
+        st.dictionaries(
+            st.text(min_size=1, max_size=8),
+            st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+            max_size=6,
+        ),
+    ),
+    max_size=100,
+)
+
+
+@settings(**_SETTINGS)
+@given(structs)
+def test_fuzz_struct(vals):
+    arr = pa.array(vals, pa.struct([("x", pa.int64()), ("y", pa.string())]))
+    _roundtrip(arr, "auto")
+    _roundtrip(arr, "struct")
+
+
+@settings(**_SETTINGS)
+@given(maps)
+def test_fuzz_map(vals):
+    arr = pa.array(
+        [None if v is None else sorted(v.items()) for v in vals],
+        pa.map_(pa.string(), pa.int64()),
+    )
+    _roundtrip(arr, "auto")
+    _roundtrip(arr, "map")

@@ -113,9 +113,13 @@ def test_config_errors_fail_fast(spark, corpus):
         encode_job(spark, corpus, "/tmp/x", _policy(column_options={"nope": "rle"}))
     with pytest.raises(ConfigException, match="unknown codec"):
         encode_job(spark, corpus, "/tmp/x", _policy(column_options={"lang": "lzo"}))
-    # arrays became encodable in round 3 (vec codec); maps are still not
+    # arrays/structs/maps all became encodable in round 3; a NullType leaf
+    # (untyped literal) is the remaining fail-fast case
     with pytest.raises(ConfigException, match="not encodable"):
-        roundtrip(corpus.select(F.create_map(F.col("lang"), F.col("repo")).alias("m")))
+        roundtrip(corpus.select(F.lit(None).alias("v")))
+    # ...including buried inside a nested type
+    with pytest.raises(ConfigException, match="not encodable"):
+        roundtrip(corpus.select(F.create_map(F.col("lang"), F.lit(None)).alias("m")))
 
 
 def test_forced_column_policy_respected(spark, corpus, tmp_path):
