@@ -112,6 +112,13 @@ def _zone_of(values: pa.Array):
         or pa.types.is_large_string(t) or pa.types.is_decimal128(t) or temporal
     ):
         return None
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)) and (
+        values.nbytes > _ZONE_MAX_STR * len(values)
+    ):
+        # document-sized text: the lexical min/max would be discarded by the
+        # _ZONE_MAX_STR cap below anyway -- skip the full-chunk scan (zones
+        # are optional pruning metadata, absence is always correct)
+        return None
     import pyarrow.compute as pc
 
     if temporal:

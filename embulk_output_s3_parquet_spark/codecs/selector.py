@@ -51,7 +51,13 @@ _STRING_SAMPLE_ROWS = 512
 def chunk_stats(values: pa.Array) -> dict:
     """Cheap sampled stats driving candidate gating (logged into lineage)."""
     n = len(values)
-    sample = values.slice(0, min(n, _SAMPLE_ROWS))
+    rows = min(n, _SAMPLE_ROWS)
+    if n and values.nbytes > n * 512:
+        # document-sized values: cap the stats sample by bytes, not rows --
+        # hashing 1024 multi-KB strings costs more than the decision is worth
+        # (the dict gate only needs a cardinality order-of-magnitude)
+        rows = min(rows, max(64, (512 * 1024 * n) // values.nbytes))
+    sample = values.slice(0, rows)
     stats: dict = {"n": n}
     if n == 0:
         return stats
