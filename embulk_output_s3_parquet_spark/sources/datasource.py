@@ -31,6 +31,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -64,22 +65,10 @@ def filter_to_conjunct(f: Filter, names: set[str]) -> tuple | None:
 
 class EncodedTableReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType, columns: list[str] | None):
-        from pyspark.sql.pandas.types import to_arrow_schema
-
         from .tables import EncodedTable
 
-        table = EncodedTable(path)
-        want = columns or [f.name for f in schema.fields]
-        missing = set(want) - {f.name for f in schema.fields}
-        if missing:
-            raise ValueError(f"unknown columns: {sorted(missing)}")
-        pruned = StructType([f for f in schema.fields if f.name in want])
-        arrow_schema = to_arrow_schema(pruned)
-        # pa.DataType pickles, so fields computed once on the driver ship
-        # to every read() task
-        self._fields = [(f.name, f.type) for f in arrow_schema]
-        self._names = {n for n, _ in self._fields}
-        self._dirs = table.committed_part_dirs()
+        self._fields, self._names = _prepare_fields(path, schema, columns)
+        self._dirs = EncodedTable(path).committed_part_dirs()
         self._conjuncts: list[tuple] = []
 
     def pushFilters(self, filters: list[Filter]):
@@ -102,6 +91,100 @@ class EncodedTableReader(DataSourceReader):
             raise FileNotFoundError(f"committed part missing: {partition.value}")
         for tbl in iter_part_tables(files, self._fields, self._conjuncts):
             yield from tbl.to_batches()
+
+
+def _prepare_fields(path: str, schema: StructType, columns: list[str] | None):
+    """(fields, names) shared by the batch and stream readers: pa.DataType
+    pickles, so the arrow projection computed once on the driver ships to
+    every read() task."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    want = columns or [f.name for f in schema.fields]
+    missing = set(want) - {f.name for f in schema.fields}
+    if missing:
+        raise ValueError(f"unknown columns: {sorted(missing)}")
+    pruned = StructType([f for f in schema.fields if f.name in want])
+    arrow_schema = to_arrow_schema(pruned)
+    fields = [(f.name, f.type) for f in arrow_schema]
+    return fields, {n for n, _ in fields}
+
+
+class EncodedTableStreamReader(DataSourceStreamReader):
+    """Tail an APPEND-ONLY encoded table as a Structured Streaming source:
+    ``spark.readStream.format("enctable").load(path)``.
+
+    Offsets are ``{"gen": parts_gen, "next": max committed part_id + 1}`` --
+    each committed part lands in exactly one micro-batch, decoded
+    executor-side by the same chunk kernels as the batch reader (the tuple
+    iterator never routes rows through the driver; this is the partitioned
+    DataSourceStreamReader, not the Simple driver-side variant).
+
+    Contract (documented, checked where possible): the source assumes
+    part_ids commit in non-decreasing order, which is what the engine's
+    streaming encode sink guarantees (batch_id-strided part_id bases,
+    streaming/encode_stream.py) and what single-wave batch encode_job
+    commits trivially satisfy. A table mid kill/resume repair can commit a
+    LOWER part_id later -- start the stream after the repair completes
+    (verify_table audits that). A compaction rewrite bumps ``parts_gen``;
+    the reader detects the generation change and fails the stream loudly
+    instead of replaying rewritten data.
+    """
+
+    def __init__(self, path: str, schema: StructType, columns: list[str] | None):
+        from .tables import EncodedTable
+
+        self._path = path
+        self._fields, _ = _prepare_fields(path, schema, columns)
+        self._gen = EncodedTable(path).manifest().get("parts_gen", 0)
+
+    def _table(self):
+        from .tables import EncodedTable
+
+        t = EncodedTable(self._path)
+        gen = t.manifest().get("parts_gen", 0)
+        if gen != self._gen:
+            raise RuntimeError(
+                f"enctable stream: table was compacted (parts_gen {self._gen} "
+                f"-> {gen}); restart the stream from a fresh checkpoint"
+            )
+        return t
+
+    def initialOffset(self) -> dict:
+        return {"gen": self._gen, "next": 0}
+
+    def latestOffset(self) -> dict:
+        parts = self._table().completed_parts()
+        return {"gen": self._gen, "next": (max(parts) + 1) if parts else 0}
+
+    def partitions(self, start: dict, end: dict):
+        if start.get("gen", 0) != self._gen:
+            # a restarted stream re-inits the reader at the CURRENT gen; the
+            # checkpointed offset still carries the gen it was reading --
+            # a mismatch means compaction rewrote parts under the checkpoint
+            raise RuntimeError(
+                f"enctable stream: checkpoint is from parts_gen "
+                f"{start.get('gen', 0)} but the table was compacted to "
+                f"parts_gen {self._gen}; restart from a fresh checkpoint"
+            )
+        ids = sorted(
+            p for p in self._table().completed_parts() if start["next"] <= p < end["next"]
+        )
+        return [
+            InputPartition(os.path.join(self._path, "data", f"part_id={p}"))
+            for p in ids
+        ]
+
+    def read(self, partition):
+        from .chunkscan import iter_part_tables
+
+        files = sorted(glob.glob(os.path.join(partition.value, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"committed part missing: {partition.value}")
+        for tbl in iter_part_tables(files, self._fields, []):
+            yield from tbl.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: parts are immutable once committed
 
 
 class EncodedTableDataSource(DataSource):
@@ -135,3 +218,8 @@ class EncodedTableDataSource(DataSource):
         columns = self.options.get("columns")
         want = [c.strip() for c in columns.split(",")] if columns else None
         return EncodedTableReader(self._path(), schema, want)
+
+    def streamReader(self, schema: StructType) -> EncodedTableStreamReader:
+        columns = self.options.get("columns")
+        want = [c.strip() for c in columns.split(",")] if columns else None
+        return EncodedTableStreamReader(self._path(), schema, want)

@@ -85,3 +85,80 @@ def test_columns_option_prunes_schema(spark, enc_docs):
     assert df.count() == docs.count()
     with pytest.raises(Exception, match="unknown columns"):
         spark.read.format("enctable").option("columns", "nope").load(path).count()
+
+
+def _drain(spark, table, out_dir, chk):
+    q = (
+        spark.readStream.format("enctable")
+        .load(table)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_source_tails_appended_parts(spark, tmp_path):
+    """readStream over an encoded table: the first drain sees every
+    committed part; appending a second wave (the streaming sink's
+    part_base-strided append) and draining again delivers ONLY the new
+    rows (offset = max part_id + 1, parts are immutable)."""
+    from embulk_output_s3_parquet_spark.streaming.encode_stream import PART_STRIDE
+
+    table = str(tmp_path / "t")
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pol = CodecPolicy(chunk_rows=64)
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    encode_job(spark, wave1, table, pol, if_exists="error")
+    spark.dataSource.register(EncodedTableDataSource)
+    _drain(spark, table, out_dir, chk)
+    assert spark.read.parquet(out_dir).count() == wave1.count()
+
+    encode_job(spark, wave2, table, pol, if_exists="skip", part_base=PART_STRIDE)
+    _drain(spark, table, out_dir, chk)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == docs.count()
+    assert got.select(F.sum("n_chars")).first()[0] == docs.select(F.sum("n_chars")).first()[0]
+
+    # idempotent re-drain: no new parts, no new rows
+    _drain(spark, table, out_dir, chk)
+    assert spark.read.parquet(out_dir).count() == docs.count()
+
+
+def test_stream_source_detects_compaction(spark, tmp_path):
+    """A parts_gen bump (compaction rewrote parts) must fail the stream
+    loudly instead of silently replaying rewritten data."""
+    from embulk_output_s3_parquet_spark.jobs import compact_job
+    from embulk_output_s3_parquet_spark.streaming.encode_stream import PART_STRIDE
+
+    table = str(tmp_path / "t2")
+    out_dir, chk = str(tmp_path / "out2"), str(tmp_path / "chk2")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pol = CodecPolicy(chunk_rows=64)
+    encode_job(spark, docs, table, pol, if_exists="error")
+    spark.dataSource.register(EncodedTableDataSource)
+    _drain(spark, table, out_dir, chk)
+
+    # compaction rewrites parts under new ids; a later append then plans a
+    # batch whose checkpointed start offset belongs to the OLD generation --
+    # delivering it would replay rewritten rows, so the source must fail
+    compact_job(spark, table)
+    encode_job(spark, docs.limit(10), table, pol, if_exists="skip", part_base=2 * PART_STRIDE)
+    q = (
+        spark.readStream.format("enctable")
+        .load(table)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="compacted|parts_gen"):
+        q.awaitTermination(120)
+        if q.exception():
+            raise q.exception()
