@@ -140,7 +140,8 @@ def _zone_of(values: pa.Array):
 
 def zone_excludes(zone, op: str, value) -> bool:
     """True when [lo, hi] proves NO row in the chunk can satisfy
-    ``col <op> value`` (op in ==, >=, <=, >, <). None zone never excludes."""
+    ``col <op> value`` (op in ==, >=, <=, >, <, in, startswith). None zone
+    never excludes."""
     if zone is None:
         return False
     lo, hi = zone
@@ -155,9 +156,30 @@ def zone_excludes(zone, op: str, value) -> bool:
             return lo > value
         if op == "<":
             return lo >= value
+        if op == "in":
+            return all(v < lo or v > hi for v in value)
+        if op == "startswith":
+            # any v with prefix p satisfies p <= v < next(p); exclude when
+            # the zone lies entirely outside that interval
+            if not isinstance(value, str) or not isinstance(hi, str):
+                return False
+            if hi < value:
+                return True
+            nxt = _prefix_upper_bound(value)
+            return nxt is not None and lo >= nxt
     except TypeError:
         return False  # incomparable literal: never skip
     raise ValueError(f"unsupported zone op {op!r}")
+
+
+def _prefix_upper_bound(p: str) -> str | None:
+    """Smallest string > every string with prefix ``p`` (increment the last
+    incrementable code point); None when no such bound exists."""
+    for i in range(len(p) - 1, -1, -1):
+        cp = ord(p[i])
+        if cp < 0x10FFFF:
+            return p[:i] + chr(cp + 1)
+    return None
 
 
 def decode_array(payload: bytes, meta: dict) -> pa.Array:

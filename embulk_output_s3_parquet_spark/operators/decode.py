@@ -100,8 +100,9 @@ def decode_table_scan(
     listing happens in the tasks, not on the driver.
 
     ``where=(col, op, literal)`` or a list of such conjuncts (ANDed; op in
-    ==, >=, <=, >, <) enables zone-map chunk skipping with REAL payload-IO
-    pruning: the shared scanner (sources/chunkscan.py) first reads only the
+    ==, >=, <=, >, <, in, startswith, isnull, notnull -- the last two take
+    literal None and prune on per-chunk null counts) enables zone-map chunk
+    skipping with REAL payload-IO pruning: the shared scanner (sources/chunkscan.py) first reads only the
     chunk metadata columns, then fetches payload bytes solely from parquet
     row groups that hold a wanted column AND a surviving chunk -- excluded
     chunks' payloads are never read from disk. The filter column must be in

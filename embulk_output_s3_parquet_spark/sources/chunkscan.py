@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from ..codecs import decode_array, meta_from_json, zone_excludes
 
-_ZONE_OPS = ("==", ">=", "<=", ">", "<")
+_ZONE_OPS = ("==", ">=", "<=", ">", "<", "in", "startswith", "isnull", "notnull")
 
 
 def normalize_where(where, names: list[str]) -> list[tuple]:
@@ -99,10 +99,18 @@ def coerce_literal(tname: str, value):
 
 
 def _survives(cols_meta: dict, conjuncts: list[tuple]) -> bool:
-    """True when no conjunct's zone map can exclude the chunk."""
+    """True when no conjunct's zone map or null count can exclude the chunk."""
     for c, op, v in conjuncts:
         meta = cols_meta.get(c)
         if meta is None:
+            continue
+        if op == "notnull":
+            if meta.get("z", 0) >= meta.get("n", 0) and meta.get("n", 0) > 0:
+                return False  # all-null chunk: no row satisfies IS NOT NULL
+            continue
+        if op == "isnull":
+            if meta.get("z", 0) == 0 and meta.get("n", 0) > 0:
+                return False  # null-free chunk: no row satisfies IS NULL
             continue
         zone = meta.get("mm")
         if zone is None:
@@ -112,7 +120,12 @@ def _survives(cols_meta: dict, conjuncts: list[tuple]) -> bool:
             from decimal import Decimal
 
             zone = [Decimal(zone[0]), Decimal(zone[1])]
-        if zone_excludes(zone, op, coerce_literal(tname, v)):
+        lit = (
+            [coerce_literal(tname, x) for x in v]
+            if op == "in"
+            else coerce_literal(tname, v)
+        )
+        if zone_excludes(zone, op, lit):
             return False
     return True
 

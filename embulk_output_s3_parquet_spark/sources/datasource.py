@@ -36,9 +36,13 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
 )
 from pyspark.sql.types import StructType
 
@@ -48,19 +52,29 @@ _FILTER_OPS = {
     GreaterThanOrEqual: ">=",
     LessThan: "<",
     LessThanOrEqual: "<=",
+    In: "in",
+    StringStartsWith: "startswith",
+    IsNull: "isnull",
+    IsNotNull: "notnull",
 }
 
 
 def filter_to_conjunct(f: Filter, names: set[str]) -> tuple | None:
     """Catalyst Filter -> zone conjunct (col, op, literal), or None when the
-    filter shape isn't zone-prunable (it is still applied by Spark)."""
+    filter shape isn't zone-prunable (it is still applied by Spark).
+    In -> zone-disjoint value list; IsNull/IsNotNull prune on the per-chunk
+    null counts; StringStartsWith prunes on the [prefix, next(prefix))
+    interval."""
     op = _FILTER_OPS.get(type(f))
     if op is None:
         return None
     attr = getattr(f, "attribute", None)
     if not attr or len(attr) != 1 or attr[0] not in names:
         return None  # nested paths / unknown columns: not prunable
-    return (attr[0], op, f.value)
+    value = getattr(f, "value", None)
+    if op == "in":
+        value = list(value)
+    return (attr[0], op, value)
 
 
 class EncodedTableReader(DataSourceReader):

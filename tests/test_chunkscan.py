@@ -205,3 +205,62 @@ def test_typed_zones_decimal_timestamp_date(tmp_path):
         iter_part_tables([path], fields, [("ts", ">=", "not-a-time")], stats)
     )
     assert stats["chunks_skipped"] == 0 and got.num_rows == 24
+
+
+def _write_nullable_chunk_file(path: str):
+    """3 chunks of column v: all-null, null-free, mixed."""
+    rows = {"chunk_seq": [], "col": [], "meta": [], "payload": []}
+    arrays = [
+        pa.array([None, None, None, None], pa.int64()),
+        pa.array([1, 2, 3, 4], pa.int64()),
+        pa.array([5, None, 6, None], pa.int64()),
+    ]
+    for seq, arr in enumerate(arrays):
+        payload, meta = encode_array(arr)
+        rows["chunk_seq"].append(seq)
+        rows["col"].append("v")
+        rows["meta"].append(meta_to_json(meta))
+        rows["payload"].append(payload)
+    pq.write_table(pa.table(rows), path, row_group_size=1, compression="none")
+
+
+def test_null_count_pruning(tmp_path):
+    """isnull/notnull conjuncts prune on the per-chunk null counts: notnull
+    drops the all-null chunk, isnull drops the null-free chunk, and the
+    mixed chunk always survives (may-match)."""
+    path = str(tmp_path / "nulls.parquet")
+    _write_nullable_chunk_file(path)
+    fields = [("v", pa.int64())]
+
+    surv, _, _ = scan_file(path, ["v"], [("v", "notnull", None)])
+    assert surv == [1, 2]
+    surv, _, _ = scan_file(path, ["v"], [("v", "isnull", None)])
+    assert surv == [0, 2]
+    surv, _, _ = scan_file(path, ["v"], [])
+    assert surv == [0, 1, 2]
+
+
+def test_in_and_startswith_pruning(chunk_file):
+    """in-lists prune chunks whose zone is disjoint from every value;
+    startswith prunes on the [prefix, next(prefix)) interval."""
+    path, data = chunk_file
+    # k chunks hold disjoint ranges [4*seq, 4*seq+3]
+    st = {}
+    surv, _, dec = scan_file(path, ["k"], [("k", "in", [2, 13])], stats_out=st)
+    assert surv == [0, 3]
+    assert st["rg_read"] < st["rg_total"]
+    # s values are "s000".."s031": prefix "s01" matches s010..s019
+    surv, _, dec = scan_file(path, ["s"], [("s", "startswith", "s01")])
+    got = [v for seq in surv for v in dec["s"][seq].to_pylist()]
+    assert {v for v in got if v.startswith("s01")} == {f"s{v:03d}" for v in range(10, 20)}
+    assert surv == [2, 3, 4]  # chunks covering s008-s019
+    # disjoint prefix prunes everything
+    surv, _, _ = scan_file(path, ["s"], [("s", "startswith", "t")])
+    assert surv == []
+
+
+def test_normalize_where_new_ops():
+    assert normalize_where(("v", "notnull", None), ["v"]) == [("v", "notnull", None)]
+    assert normalize_where([("v", "in", [1, 2])], ["v"]) == [("v", "in", [1, 2])]
+    with pytest.raises(ValueError, match="unsupported zone op"):
+        normalize_where(("v", "contains", "x"), ["v"])

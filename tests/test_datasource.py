@@ -12,9 +12,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     EqualTo,
     GreaterThanOrEqual,
+    In,
     IsNotNull,
+    IsNull,
     LessThan,
     StringContains,
+    StringStartsWith,
 )
 
 from embulk_output_s3_parquet_spark.jobs import encode_job
@@ -44,7 +47,12 @@ def test_filter_translation():
     assert filter_to_conjunct(LessThan(("n",), 5), names) == ("n", "<", 5)
     assert filter_to_conjunct(EqualTo(("a",), "x"), names) == ("a", "==", "x")
     assert filter_to_conjunct(EqualTo(("zz",), 1), names) is None  # unknown col
-    assert filter_to_conjunct(IsNotNull(("n",)), names) is None  # shape unsupported
+    assert filter_to_conjunct(IsNotNull(("n",)), names) == ("n", "notnull", None)
+    assert filter_to_conjunct(IsNull(("n",)), names) == ("n", "isnull", None)
+    assert filter_to_conjunct(In(("n",), (1, 2, 3)), names) == ("n", "in", [1, 2, 3])
+    assert filter_to_conjunct(StringStartsWith(("a",), "py"), names) == (
+        "a", "startswith", "py",
+    )
     assert filter_to_conjunct(StringContains(("a",), "x"), names) is None
 
 
@@ -55,7 +63,7 @@ def test_push_filters_collects_conjuncts_and_returns_all(spark, enc_docs):
     filters = [GreaterThanOrEqual(("n_chars",), 450), IsNotNull(("lang",))]
     leftover = list(reader.pushFilters(filters))
     assert leftover == filters  # may-match: Spark must re-apply everything
-    assert reader._conjuncts == [("n_chars", ">=", 450)]
+    assert reader._conjuncts == [("n_chars", ">=", 450), ("lang", "notnull", None)]
     assert len(reader.partitions()) >= 1
 
 
@@ -162,3 +170,35 @@ def test_stream_source_detects_compaction(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception():
             raise q.exception()
+
+
+def test_in_and_null_filters_end_to_end(spark, enc_docs):
+    """isin / isNotNull / startswith through Catalyst -> pushFilters ->
+    zone + null-count pruning, results identical to the plain table."""
+    path, docs = enc_docs
+    df = spark.read.format("enctable").load(path)
+    for q in (
+        lambda d: d.filter(F.col("lang").isin("en", "zh")).select("doc_id", "lang"),
+        lambda d: d.filter(F.col("lang").isNotNull() & F.col("lang").startswith("e")).select("doc_id"),
+    ):
+        got = sorted(q(df).collect())
+        want = sorted(q(docs).collect())
+        assert got == want and len(got) > 0
+
+
+def test_null_filters_end_to_end(spark, tmp_path):
+    """isNull/isNotNull over a table with null-bearing chunks: null-count
+    pruning must never change results vs the source frame."""
+    table = str(tmp_path / "nullable")
+    src = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"v{i}") for i in range(64)], "id long, v string"
+    )
+    encode_job(spark, src, table, CodecPolicy(chunk_rows=8), if_exists="error")
+    df = spark.read.format("enctable").load(table)
+    for q in (
+        lambda d: d.filter(F.col("v").isNull()).select("id"),
+        lambda d: d.filter(F.col("v").isNotNull()).select("id", "v"),
+    ):
+        got = sorted(q(df).collect())
+        want = sorted(q(src).collect())
+        assert got == want and len(got) > 0
