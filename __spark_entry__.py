@@ -1200,6 +1200,49 @@ SELECT doc_id, n_chars FROM documents WHERE n_chars >= 450 ORDER BY doc_id
 """
 
 
+def _count_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-first COUNT over the encoded format (jobs.count_job): chunks
+    whose zone + null metadata prove full inclusion/exclusion never have
+    payload bytes read; only boundary chunks decode, and only the predicate
+    column. Re-uses the clustered table so range predicates resolve almost
+    entirely from metadata. Counts must equal the plain-table oracle."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from embulk_output_s3_parquet_spark.jobs import count_job, encode_job
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"countscan_{_h.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    encode_job(
+        spark, docs, path, CodecPolicy(chunk_rows=64), if_exists="delete",
+        cluster_by=["n_chars"],
+    )
+    rows = [
+        ("all", count_job(spark, path)),
+        ("range", count_job(spark, path, where=("n_chars", ">=", 450))),
+        ("band", count_job(spark, path, where=[("n_chars", ">=", 200), ("n_chars", "<", 400)])),
+        ("inlist", count_job(spark, path, where=("lang", "in", ["en", "zh"]))),
+        ("notnull", count_job(spark, path, where=("lang", "notnull", None))),
+    ]
+    return spark.createDataFrame(rows, "pred string, cnt long").orderBy("pred")
+
+
+_COUNT_OVER_ENCODED_SQL = """
+SELECT pred, cnt FROM (
+  SELECT 'all' AS pred, count(*) AS cnt FROM documents
+  UNION ALL SELECT 'range', count(*) FROM documents WHERE n_chars >= 450
+  UNION ALL SELECT 'band', count(*) FROM documents WHERE n_chars >= 200 AND n_chars < 400
+  UNION ALL SELECT 'inlist', count(*) FROM documents WHERE lang IN ('en','zh')
+  UNION ALL SELECT 'notnull', count(*) FROM documents WHERE lang IS NOT NULL
+) ORDER BY pred
+"""
+
+
 def _encoded_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE over the encoded format: per-column rows/nulls plus the
     zone-map min/max aggregated from chunk metadata alone (payloads never
@@ -1368,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "encode_stats_documents": _encode_stats,
             "filter_over_encoded": _filter_over_encoded,
             "filter_clustered_encoded": _filter_clustered_encoded,
+            "count_over_encoded": _count_over_encoded,
             "encoded_table_stats": _encoded_table_stats,
             "multimodal_features": _mm_features,
             "multimodal_resize": _mm_resize,
@@ -1412,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
             "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
             "filter_over_encoded": _FILTER_OVER_ENCODED_SQL,
             "filter_clustered_encoded": _FILTER_CLUSTERED_SQL,
+            "count_over_encoded": _COUNT_OVER_ENCODED_SQL,
             "encoded_table_stats": _table_stats_sql(),
             "multimodal_features": _MM_FEATURES_SQL,
             "multimodal_resize": _MM_RESIZE_SQL,

@@ -172,6 +172,39 @@ def zone_excludes(zone, op: str, value) -> bool:
     raise ValueError(f"unsupported zone op {op!r}")
 
 
+def zone_includes(zone, op: str, value) -> bool:
+    """True when [lo, hi] proves EVERY (non-null) row in the chunk satisfies
+    ``col <op> value`` -- the dual of zone_excludes, used by metadata-only
+    counting (jobs.count_job): a fully-included chunk contributes its row
+    count without its payload ever being read. Conservative: False whenever
+    inclusion can't be proven."""
+    if zone is None:
+        return False
+    lo, hi = zone
+    try:
+        if op == "==":
+            return lo == hi == value
+        if op == ">=":
+            return lo >= value
+        if op == ">":
+            return lo > value
+        if op == "<=":
+            return hi <= value
+        if op == "<":
+            return hi < value
+        if op == "in":
+            return lo == hi and lo in value
+        if op == "startswith":
+            if not isinstance(value, str) or not isinstance(lo, str):
+                return False
+            nxt = _prefix_upper_bound(value)
+            # every string in [p, next(p)) starts with p
+            return lo >= value and nxt is not None and hi < nxt
+    except TypeError:
+        return False  # incomparable literal: can't prove inclusion
+    return False
+
+
 def _prefix_upper_bound(p: str) -> str | None:
     """Smallest string > every string with prefix ``p`` (increment the last
     incrementable code point); None when no such bound exists."""

@@ -156,6 +156,53 @@ def decode_job(
     )
 
 
+def count_job(spark: SparkSession, table_path: str, where=None) -> int:
+    """Exact COUNT(*) with metadata-only pruning: chunks whose zone + null
+    metadata prove full inclusion contribute their row count with NO payload
+    read; fully-excluded chunks contribute zero; only boundary chunks decode
+    (and only the predicate columns). On a clustered table a range COUNT
+    touches O(boundary) payload bytes instead of the whole column.
+
+    Distributed the same way as decode_table_scan: part dirs (tiny strings)
+    fan out to tasks, per-part counts sum on the driver -- the only data
+    that moves is one long per part."""
+    from pyspark.sql import functions as F
+
+    from .sources.chunkscan import normalize_where
+
+    table = EncodedTable(table_path)
+    names = [f.name for f in table.schema().fields]
+    conjuncts = normalize_where(where, names)  # fail fast on the driver
+    dirs = table.committed_part_dirs()
+    if not dirs:
+        from .plans.policy import ConfigException
+
+        raise ConfigException(f"table {table_path} has no committed partitions")
+    par = min(len(dirs), spark.sparkContext.defaultParallelism * 2)
+    path_df = spark.createDataFrame([(d,) for d in dirs], "dir string").repartition(par)
+
+    def cnt(it):
+        import glob as _glob
+        import os as _os
+
+        from embulk_output_s3_parquet_spark.sources.chunkscan import count_file
+
+        for pdf in it:
+            n = 0
+            for d in pdf["dir"]:
+                files = sorted(_glob.glob(_os.path.join(d, "*.parquet")))
+                if not files:
+                    raise FileNotFoundError(f"committed part missing: {d}")
+                for f in files:
+                    n += count_file(f, conjuncts)
+            import pandas as pd
+
+            yield pd.DataFrame({"n": [n]})
+
+    out = path_df.mapInPandas(cnt, schema="n long")
+    return int(out.agg(F.sum("n")).first()[0] or 0)
+
+
 def decode_job_chunks(
     spark: SparkSession, table_path: str, columns: list[str] | None = None
 ) -> DataFrame:

@@ -31,7 +31,7 @@ from bisect import bisect_left
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..codecs import decode_array, meta_from_json, zone_excludes
+from ..codecs import decode_array, meta_from_json, zone_excludes, zone_includes
 
 _ZONE_OPS = ("==", ">=", "<=", ">", "<", "in", "startswith", "isnull", "notnull")
 
@@ -210,6 +210,149 @@ def scan_file(
                 # are compact arrow buffers, never a whole-part pylist
                 decoded[col][seq] = decode_array(payloads[i].as_py(), meta_by[seq][col])
     return surviving, meta_by, decoded
+
+
+def _conjunct_state(meta: dict, op: str, v) -> str:
+    """Tri-state chunk verdict for one conjunct: 'none' (no row can match),
+    'all' (every row provably matches), 'maybe'."""
+    n, z = meta.get("n", 0), meta.get("z", 0)
+    if op == "notnull":
+        if z >= n:
+            return "none"
+        return "all" if z == 0 else "maybe"
+    if op == "isnull":
+        if z == 0:
+            return "none"
+        return "all" if z >= n else "maybe"
+    zone = meta.get("mm")
+    tname = meta.get("t", "")
+    if zone is not None and tname.startswith("decimal128("):
+        from decimal import Decimal
+
+        zone = [Decimal(zone[0]), Decimal(zone[1])]
+    lit = [coerce_literal(tname, x) for x in v] if op == "in" else coerce_literal(tname, v)
+    if zone_excludes(zone, op, lit):
+        return "none"
+    # value predicates are never satisfied by nulls: full inclusion needs a
+    # null-free chunk on top of a zone-inclusion proof
+    if z == 0 and zone_includes(zone, op, lit):
+        return "all"
+    return "maybe"
+
+
+def _exact_matches(arr: pa.Array, op: str, v) -> int:
+    """Exact match count over one decoded column chunk (boundary chunks of
+    count_file). Null rows never satisfy value predicates."""
+    import pyarrow.compute as pc
+
+    if op == "notnull":
+        return len(arr) - arr.null_count
+    if op == "isnull":
+        return arr.null_count
+    if op == "in":
+        m = pc.is_in(arr, value_set=pa.array(v, type=arr.type))
+    elif op == "startswith":
+        m = pc.starts_with(arr, pattern=v)
+    else:
+        scalar = pa.scalar(v, type=arr.type)
+        m = {
+            "==": pc.equal,
+            ">=": pc.greater_equal,
+            ">": pc.greater,
+            "<=": pc.less_equal,
+            "<": pc.less,
+        }[op](arr, scalar)
+    return int(pc.sum(pc.and_kleene(m, pc.is_valid(arr))).as_py() or 0)
+
+
+def count_file(path: str, conjuncts: list[tuple], stats_out: dict | None = None) -> int:
+    """Exact COUNT(*) over one chunk file under ANDed ``conjuncts``, reading
+    payload bytes ONLY for boundary chunks (those the zone/null metadata can
+    neither fully include nor fully exclude) -- and then only the predicate
+    columns. With no conjuncts this is a pure metadata pass."""
+    pf = pq.ParquetFile(path)
+    mt = pf.read(columns=["chunk_seq", "col", "meta"])
+    meta_by: dict[int, dict] = {}
+    for seq, col, meta in zip(
+        mt.column("chunk_seq").to_pylist(),
+        mt.column("col").to_pylist(),
+        mt.column("meta").to_pylist(),
+    ):
+        meta_by.setdefault(seq, {})[col] = meta_from_json(meta)
+
+    total = 0
+    boundary: dict[int, list[tuple]] = {}
+    for seq, cols in meta_by.items():
+        n = next(iter(cols.values()))["n"] if cols else 0
+        states = [
+            (_conjunct_state(cols[c], op, v) if c in cols else "maybe", (c, op, v))
+            for c, op, v in conjuncts
+        ]
+        if any(s == "none" for s, _ in states):
+            continue
+        undecided = [cj for s, cj in states if s != "all"]
+        if not undecided:
+            total += n
+            continue
+        boundary[seq] = undecided
+    if stats_out is not None:
+        stats_out["chunks_total"] = stats_out.get("chunks_total", 0) + len(meta_by)
+        stats_out["chunks_decoded"] = stats_out.get("chunks_decoded", 0) + len(boundary)
+    if not boundary:
+        return total
+
+    # decode only the undecided conjuncts' columns of the boundary chunks
+    need_cols = sorted({c for cjs in boundary.values() for c, _, _ in cjs})
+    names_sorted = need_cols
+    surviving_sorted = sorted(boundary)
+    col_idx = {
+        pf.metadata.row_group(0).column(i).path_in_schema: i
+        for i in range(pf.metadata.num_columns)
+    }
+    decoded: dict[int, dict[str, pa.Array]] = {}
+    for rg in range(pf.metadata.num_row_groups):
+        if _rg_prunable(pf.metadata.row_group(rg), col_idx, names_sorted, surviving_sorted):
+            continue
+        t = pf.read_row_group(rg, columns=["chunk_seq", "col", "payload"])
+        payloads = t.column("payload")
+        for i, (seq, col) in enumerate(
+            zip(t.column("chunk_seq").to_pylist(), t.column("col").to_pylist())
+        ):
+            if seq in boundary and col in {c for c, _, _ in boundary[seq]}:
+                decoded.setdefault(seq, {})[col] = decode_array(
+                    payloads[i].as_py(), meta_by[seq][col]
+                )
+    for seq, cjs in boundary.items():
+        arrs = decoded.get(seq, {})
+        if len(cjs) == 1:
+            c, op, v = cjs[0]
+            total += _exact_matches(arrs[c], op, v)
+            continue
+        # multi-conjunct boundary: AND the per-conjunct masks
+        import pyarrow.compute as pc
+
+        mask = None
+        for c, op, v in cjs:
+            arr = arrs[c]
+            if op == "notnull":
+                m = pc.is_valid(arr)
+            elif op == "isnull":
+                m = pc.is_null(arr)
+            elif op == "in":
+                m = pc.and_kleene(
+                    pc.is_in(arr, value_set=pa.array(v, type=arr.type)), pc.is_valid(arr)
+                )
+            elif op == "startswith":
+                m = pc.and_kleene(pc.starts_with(arr, pattern=v), pc.is_valid(arr))
+            else:
+                cmp = {
+                    "==": pc.equal, ">=": pc.greater_equal, ">": pc.greater,
+                    "<=": pc.less_equal, "<": pc.less,
+                }[op](arr, pa.scalar(v, type=arr.type))
+                m = pc.and_kleene(cmp, pc.is_valid(arr))
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        total += int(pc.sum(pc.fill_null(mask, False)).as_py() or 0)
+    return total
 
 
 def iter_part_tables(

@@ -74,6 +74,36 @@ def read_table(
     )
 
 
+def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
+    """Spark-free twin of jobs.count_job: exact COUNT(*) under ``where``
+    reading payload bytes only for boundary chunks (same tri-state
+    metadata logic, sources/chunkscan.count_file)."""
+    from .chunkscan import count_file, normalize_where
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    names = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+    conjuncts = normalize_where(where, names)
+
+    parts: dict[str, dict] = dict(manifest.get("parts", {}))
+    shard_dir = os.path.join(path, f"parts-{manifest.get('parts_gen', 0)}")
+    if os.path.isdir(shard_dir):
+        for name in os.listdir(shard_dir):
+            if name.startswith("shard-") and name.endswith(".json"):
+                with open(os.path.join(shard_dir, name)) as f:
+                    parts.update(json.load(f))
+
+    total = 0
+    for pid in sorted(int(k) for k in parts):
+        part_dir = os.path.join(path, "data", f"part_id={pid}")
+        files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"committed part {pid} missing at {part_dir}")
+        for fpath in files:
+            total += count_file(fpath, conjuncts, scan_stats)
+    return total
+
+
 _SPARK_TO_ARROW = {
     "boolean": pa.bool_(),
     "byte": pa.int8(),

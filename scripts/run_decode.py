@@ -4,6 +4,7 @@ Usage:
     spark-submit --master local[8] --py-files dist/engine.zip \
         scripts/run_decode.py --table /tmp/enc --out /tmp/decoded.parquet \
         [--columns repo,lang] [--where 'lang==go' --where 'n>=100']
+    ... --count [--where ...]   # metadata-first COUNT(*), no --out needed
 """
 
 from __future__ import annotations
@@ -40,7 +41,13 @@ def _parse_where(exprs: list[str]) -> list[tuple] | None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--table", required=True)
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--out")
+    ap.add_argument(
+        "--count", action="store_true",
+        help="exact COUNT(*) under --where via jobs.count_job: payload bytes "
+        "are read only for boundary chunks the zone/null metadata can't "
+        "decide (no --out required)",
+    )
     ap.add_argument("--columns", help="comma-separated projection (pruned scan)")
     ap.add_argument(
         "--where", action="append", default=[], metavar="COL OP LIT",
@@ -59,6 +66,14 @@ def main() -> int:
     cols = args.columns.split(",") if args.columns else None
     where = _parse_where(args.where)
     t0 = time.time()
+    if args.count:
+        from embulk_output_s3_parquet_spark.jobs import count_job
+
+        n = count_job(spark, args.table, where=where)
+        print(json.dumps({"count": n, "wall_s": round(time.time() - t0, 2)}))
+        return 0
+    if not args.out:
+        raise SystemExit("--out is required unless --count is given")
     df = decode_job(spark, args.table, columns=cols, where=where)
     if where:
         from pyspark.sql import functions as F

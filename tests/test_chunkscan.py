@@ -264,3 +264,39 @@ def test_normalize_where_new_ops():
     assert normalize_where([("v", "in", [1, 2])], ["v"]) == [("v", "in", [1, 2])]
     with pytest.raises(ValueError, match="unsupported zone op"):
         normalize_where(("v", "contains", "x"), ["v"])
+
+
+def test_count_file_metadata_only_on_clustered_ranges(chunk_file):
+    """count_file: chunks fully inside a range count from metadata alone
+    (chunks_decoded == boundary chunks only); totals are exact."""
+    from embulk_output_s3_parquet_spark.sources.chunkscan import count_file
+
+    path, data = chunk_file
+    ks = data["k"]  # 0..31, 8 chunks of 4, disjoint sorted ranges
+    st = {}
+    n = count_file(path, [("k", ">=", 10)], stats_out=st)
+    assert n == sum(1 for v in ks if v >= 10)
+    # chunk [8..11] is the single boundary; [12..31] are full-include,
+    # [0..7] full-exclude
+    assert st["chunks_decoded"] == 1
+    st = {}
+    assert count_file(path, [], stats_out=st) == len(ks)
+    assert st["chunks_decoded"] == 0  # pure metadata count
+    assert count_file(path, [("k", ">=", 10), ("k", "<", 13)]) == 3
+    assert count_file(path, [("s", "startswith", "s01")]) == 10
+    assert count_file(path, [("k", "in", [2, 13, 99])]) == 2
+    assert count_file(path, [("k", "<", 0)]) == 0
+
+
+def test_count_file_null_predicates(tmp_path):
+    from embulk_output_s3_parquet_spark.sources.chunkscan import count_file
+
+    path = str(tmp_path / "nulls.parquet")
+    _write_nullable_chunk_file(path)  # all-null(4), null-free(4), mixed(2/4 null)
+    st = {}
+    assert count_file(path, [("v", "notnull", None)], stats_out=st) == 6
+    assert st["chunks_decoded"] == 1  # only the mixed chunk decodes
+    assert count_file(path, [("v", "isnull", None)]) == 6
+    # value predicates never count nulls (mixed chunk: values 5, 6)
+    assert count_file(path, [("v", ">=", 1)]) == 6
+    assert count_file(path, [("v", ">=", 6)]) == 1

@@ -597,3 +597,38 @@ def test_compact_recluster_retrofits_zone_maps(spark, tmp_path):
         pc.filter(got.column("id"), pc.greater_equal(got.column("v"), 95000)).to_pylist()
     )
     assert ids == sorted(r["id"] for r in df.filter(F.col("v") >= 95000).collect())
+
+
+def test_count_job_exact_and_metadata_pruned(spark, tmp_path):
+    """count_job == exact COUNT under every op family, on a table clustered
+    so range counts resolve almost entirely from metadata."""
+    from embulk_output_s3_parquet_spark.jobs import count_job
+    from embulk_output_s3_parquet_spark.sources.pyreader import count_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "cnt")
+    # the generic planner makes >=16 surrogate parts; small chunks give each
+    # part several chunks with DISJOINT n_chars ranges after the cluster_by
+    # sort, so a range predicate leaves ~1 boundary chunk per part
+    encode_job(
+        spark, docs, path, _policy(chunk_rows=8), if_exists="error",
+        cluster_by=["n_chars"],
+    )
+    cases = [
+        (None, docs.count()),
+        (("n_chars", ">=", 450), docs.filter("n_chars >= 450").count()),
+        ([("n_chars", ">=", 200), ("n_chars", "<", 400)],
+         docs.filter("n_chars >= 200 and n_chars < 400").count()),
+        (("lang", "in", ["en", "zh"]), docs.filter("lang in ('en','zh')").count()),
+        (("lang", "startswith", "e"), docs.filter("lang like 'e%'").count()),
+        (("lang", "notnull", None), docs.filter("lang is not null").count()),
+    ]
+    for where, want in cases:
+        assert count_job(spark, path, where=where) == want, where
+        st = {}
+        assert count_table(path, where=where, scan_stats=st) == want, where
+    # clustered on n_chars: a selective range decodes only boundary chunks
+    # (~1 per part); the bulk resolves from zone + null metadata alone
+    st = {}
+    count_table(path, where=("n_chars", ">=", 450), scan_stats=st)
+    assert st["chunks_decoded"] <= st["chunks_total"] / 3
