@@ -1243,6 +1243,46 @@ SELECT pred, cnt FROM (
 """
 
 
+def _point_lookup_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping (CodecPolicy.bloom_columns): equality/IN
+    lookups on a high-cardinality column prune chunks whose per-chunk Bloom
+    filter proves absence -- the skipping signal zones can't provide on
+    unsorted ids. May-match contract: the exact IN filter re-runs on the
+    decoded frame; values must match the plain-table oracle."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from embulk_output_s3_parquet_spark.jobs import decode_job, encode_job
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bloomscan_{_h.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    encode_job(
+        spark, ev, path, CodecPolicy(chunk_rows=128, bloom_columns=("event_id",)),
+        if_exists="delete",
+    )
+    ids = [3, 501, 777]
+    scan = decode_job(
+        spark, path, columns=["event_id", "event_type", "value"],
+        where=("event_id", "in", ids),
+    )
+    return (
+        scan.filter(F.col("event_id").isin(ids))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+_POINT_LOOKUP_SQL = """
+SELECT event_id, event_type, value FROM events
+WHERE event_id IN (3, 501, 777) ORDER BY event_id
+"""
+
+
 def _encoded_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE over the encoded format: per-column rows/nulls plus the
     zone-map min/max aggregated from chunk metadata alone (payloads never
@@ -1412,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "filter_over_encoded": _filter_over_encoded,
             "filter_clustered_encoded": _filter_clustered_encoded,
             "count_over_encoded": _count_over_encoded,
+            "point_lookup_over_encoded": _point_lookup_over_encoded,
             "encoded_table_stats": _encoded_table_stats,
             "multimodal_features": _mm_features,
             "multimodal_resize": _mm_resize,
@@ -1457,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
             "filter_over_encoded": _FILTER_OVER_ENCODED_SQL,
             "filter_clustered_encoded": _FILTER_CLUSTERED_SQL,
             "count_over_encoded": _COUNT_OVER_ENCODED_SQL,
+            "point_lookup_over_encoded": _POINT_LOOKUP_SQL,
             "encoded_table_stats": _table_stats_sql(),
             "multimodal_features": _MM_FEATURES_SQL,
             "multimodal_resize": _MM_RESIZE_SQL,

@@ -42,10 +42,15 @@ def _normalize(arr) -> pa.Array:
 
 
 def encode_array(
-    arr, codec: str = AUTO, exclude: frozenset[str] = frozenset()
+    arr,
+    codec: str = AUTO,
+    exclude: frozenset[str] = frozenset(),
+    bloom: bool = False,
 ) -> tuple[bytes, dict]:
     """Encode one column chunk -> (payload bytes, JSON-safe meta dict).
-    ``exclude`` forwards the hopeless-loser memo to the auto-selector."""
+    ``exclude`` forwards the hopeless-loser memo to the auto-selector;
+    ``bloom`` additionally records a per-chunk Bloom filter in the meta
+    (codecs/bloom.py) for equality/IN data skipping."""
     arr = _normalize(arr)
     n = len(arr)
     values, validity, null_count = drop_nulls_with_mask(arr)
@@ -83,6 +88,12 @@ def encode_array(
     zone = _zone_of(values)
     if zone is not None:
         meta["mm"] = zone
+    if bloom:
+        from . import bloom as _bloom
+
+        bf = _bloom.build(values)
+        if bf is not None:
+            meta["bf"] = bf
     if stats.get("distinct") is not None:
         meta["s"] = {k: v for k, v in stats.items() if k != "n"}
     return payload, meta

@@ -88,6 +88,7 @@ def _encode_slices(
     chunk_rows: int,
     seq0: int = 0,
     sticky: dict[str, str] | None = None,
+    bloom_cols: frozenset[str] = frozenset(),
 ) -> pa.Table:
     """Encode a table as column chunks.
 
@@ -111,7 +112,9 @@ def _encode_slices(
                 prev, uses, excl = sticky.get(name, (None, 0, frozenset()))
                 if prev is not None and uses % _RESELECT_EVERY != 0:
                     use = prev
-                payload, meta = encode_array(arr, use, exclude=excl)
+                payload, meta = encode_array(
+                    arr, use, exclude=excl, bloom=name in bloom_cols
+                )
                 if use == "auto":
                     # hopeless-loser memo: trial-expensive codecs that lost
                     # decisively never get re-trialed within this task
@@ -121,7 +124,7 @@ def _encode_slices(
                     chosen = prev
                 sticky[name] = (chosen, uses + 1, excl)
             else:
-                payload, meta = encode_array(arr, codec)
+                payload, meta = encode_array(arr, codec, bloom=name in bloom_cols)
             cols["part_id"].append(part_id)
             cols["chunk_seq"].append(seq)
             cols["col"].append(name)
@@ -154,6 +157,7 @@ def encode_grouped(
     policy.validate(schema)
     colmap = _resolve_policy(df_with_part.schema, policy)
     chunk_rows = policy.chunk_rows
+    bloom_cols = frozenset(policy.bloom_columns)
 
     def enc(key: tuple, table: pa.Table) -> pa.Table:
         k = key[0]
@@ -162,7 +166,7 @@ def encode_grouped(
         if cluster_by:
             data = data.sort_by([(c, "ascending") for c in cluster_by])
         eff = _effective_chunk_rows(data, chunk_rows, policy.chunk_bytes)
-        return _encode_slices(part_id, data, colmap, eff)
+        return _encode_slices(part_id, data, colmap, eff, bloom_cols=bloom_cols)
 
     return df_with_part.groupBy("part_id").applyInArrow(enc, schema=ENCODED_SCHEMA)
 
@@ -193,6 +197,7 @@ def encode_local(
     policy.validate(schema)
     colmap = _resolve_policy(df_with_part.schema, policy)
     chunk_rows = policy.chunk_rows
+    bloom_cols = frozenset(policy.bloom_columns)
 
     import numpy as np
 
@@ -219,7 +224,7 @@ def encode_local(
             if cut:
                 out = _encode_slices(
                     pid, table.slice(0, cut), colmap, chunk_rows,
-                    seq0=base + seq, sticky=sticky,
+                    seq0=base + seq, sticky=sticky, bloom_cols=bloom_cols,
                 )
                 seq += max(1, -(-cut // chunk_rows))
                 rest = table.slice(cut)
@@ -265,6 +270,7 @@ def encode_map(df: DataFrame, policy: CodecPolicy) -> DataFrame:
     policy.validate(df.schema)
     colmap = _resolve_policy(df.schema, policy)
     chunk_rows = policy.chunk_rows
+    bloom_cols = frozenset(policy.bloom_columns)
 
     def enc(batches):
         pid = TaskContext.get().partitionId()
@@ -275,7 +281,9 @@ def encode_map(df: DataFrame, policy: CodecPolicy) -> DataFrame:
             t = pa.Table.from_batches([batch])
             if seq == 0:
                 eff = _effective_chunk_rows(t, chunk_rows, policy.chunk_bytes)
-            out = _encode_slices(pid, t, colmap, eff, seq0=seq, sticky=sticky)
+            out = _encode_slices(
+                pid, t, colmap, eff, seq0=seq, sticky=sticky, bloom_cols=bloom_cols
+            )
             seq += max(1, -(-t.num_rows // eff))
             yield from out.to_batches()
 

@@ -72,6 +72,9 @@ class CodecPolicy:
     chunk_rows: int = 32768
     chunk_bytes: int = 4 * 1024 * 1024
     target_partition_bytes: int = 64 * 1024 * 1024
+    # per-chunk Bloom filters for equality/IN data skipping on unsorted
+    # high-cardinality columns (codecs/bloom.py); string/binary/int only
+    bloom_columns: tuple[str, ...] = ()
 
     def validate(self, schema: T.StructType) -> None:
         known = set(CODECS) | {AUTO}
@@ -96,6 +99,20 @@ class CodecPolicy:
             if not _is_encodable(f.dataType):
                 raise ConfigException(
                     f"column {f.name!r}: type {f.dataType.simpleString()} not encodable"
+                )
+        bloomable = (
+            T.StringType, T.BinaryType, T.ByteType, T.ShortType,
+            T.IntegerType, T.LongType, T.BooleanType,
+        )
+        by_name = {f.name: f.dataType for f in schema.fields}
+        for col in self.bloom_columns:
+            if col not in by_name:
+                raise ConfigException(f"bloom_columns: unknown column {col!r}")
+            if not isinstance(by_name[col], bloomable):
+                raise ConfigException(
+                    f"bloom_columns[{col}]: type "
+                    f"{by_name[col].simpleString()} has no bloom support "
+                    "(string/binary/int/bool only)"
                 )
 
     def resolve(self, col: str, dtype: T.DataType) -> str:

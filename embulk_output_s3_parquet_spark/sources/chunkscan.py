@@ -98,6 +98,23 @@ def coerce_literal(tname: str, value):
     return value
 
 
+def _bloom_excludes(meta: dict, op: str, v) -> bool:
+    """True when the chunk's Bloom filter (codecs/bloom.py, present only for
+    CodecPolicy.bloom_columns) proves no row equals the literal(s). Probes
+    use the RAW literal -- the canonical serialization is type-driven, not
+    zone-representation-driven."""
+    bf = meta.get("bf")
+    if bf is None:
+        return False
+    from ..codecs import bloom as _bloom
+
+    if op == "==":
+        return not _bloom.might_contain(bf, v)
+    if op == "in":
+        return all(not _bloom.might_contain(bf, x) for x in v)
+    return False
+
+
 def _survives(cols_meta: dict, conjuncts: list[tuple]) -> bool:
     """True when no conjunct's zone map or null count can exclude the chunk."""
     for c, op, v in conjuncts:
@@ -126,6 +143,8 @@ def _survives(cols_meta: dict, conjuncts: list[tuple]) -> bool:
             else coerce_literal(tname, v)
         )
         if zone_excludes(zone, op, lit):
+            return False
+        if _bloom_excludes(meta, op, v):
             return False
     return True
 
@@ -232,6 +251,8 @@ def _conjunct_state(meta: dict, op: str, v) -> str:
         zone = [Decimal(zone[0]), Decimal(zone[1])]
     lit = [coerce_literal(tname, x) for x in v] if op == "in" else coerce_literal(tname, v)
     if zone_excludes(zone, op, lit):
+        return "none"
+    if _bloom_excludes(meta, op, v):
         return "none"
     # value predicates are never satisfied by nulls: full inclusion needs a
     # null-free chunk on top of a zone-inclusion proof

@@ -40,6 +40,11 @@ def main() -> int:
         help="sort rows by these columns within each part before chunking "
         "(tight zone maps; Iceberg write-order analogue)",
     )
+    ap.add_argument(
+        "--bloom-columns", default=None, metavar="COL[,COL...]",
+        help="record per-chunk Bloom filters on these columns (equality/IN "
+        "data skipping for point lookups; string/binary/int only)",
+    )
     ap.add_argument("--verify", action="store_true", help="decode + per-row sha256 equality check")
     args = ap.parse_args()
 
@@ -59,6 +64,7 @@ def main() -> int:
         column_options=col_opts,
         chunk_rows=args.chunk_rows,
         target_partition_bytes=args.target_part_mb * 1024 * 1024,
+        bloom_columns=tuple(args.bloom_columns.split(",")) if args.bloom_columns else (),
     )
     import os
 

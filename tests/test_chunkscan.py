@@ -300,3 +300,72 @@ def test_count_file_null_predicates(tmp_path):
     # value predicates never count nulls (mixed chunk: values 5, 6)
     assert count_file(path, [("v", ">=", 1)]) == 6
     assert count_file(path, [("v", ">=", 6)]) == 1
+
+
+# ---------------------------------------------------------------- blooms
+
+
+def _write_bloom_chunk_file(path: str):
+    """4 chunks of unsorted high-card string ids: zones are useless (every
+    chunk spans the domain), blooms are the only skipping signal."""
+    from embulk_output_s3_parquet_spark.codecs import encode_array
+
+    rows = {"chunk_seq": [], "col": [], "meta": [], "payload": []}
+    vals = []
+    for seq in range(4):
+        # interleaved so every chunk's [min,max] covers the whole domain
+        ids = [f"sha{(i * 4 + seq):05d}" for i in range(32)]
+        vals.append(ids)
+        payload, meta = encode_array(pa.array(ids), bloom=True)
+        assert "bf" in meta
+        rows["chunk_seq"].append(seq)
+        rows["col"].append("id")
+        rows["meta"].append(meta_to_json(meta))
+        rows["payload"].append(payload)
+    pq.write_table(pa.table(rows), path, row_group_size=1, compression="none")
+    return vals
+
+
+def test_bloom_no_false_negatives_and_skips(tmp_path):
+    from embulk_output_s3_parquet_spark.sources.chunkscan import count_file
+
+    path = str(tmp_path / "bloom.parquet")
+    vals = _write_bloom_chunk_file(path)
+    # every present value must be found in exactly its chunk (no false
+    # negatives; false positives only add chunks)
+    for seq in range(4):
+        probe = vals[seq][7]
+        surv, _, _ = scan_file(path, ["id"], [("id", "==", probe)])
+        assert seq in surv
+        assert len(surv) <= 2  # 1 true + rare false positives
+    # absent key: everything pruned (metadata-only empty answer)
+    st = {}
+    surv, _, _ = scan_file(path, ["id"], [("id", "==", "nope")], stats_out=st)
+    assert surv == [] or len(surv) <= 1
+    # IN across two chunks
+    surv, _, _ = scan_file(path, ["id"], [("id", "in", [vals[0][0], vals[3][0]])])
+    assert {0, 3} <= set(surv) and len(surv) <= 3
+    # count_file point lookup decodes at most the surviving chunks
+    st = {}
+    n = count_file(path, [("id", "==", vals[2][5])], stats_out=st)
+    assert n == 1
+    assert st["chunks_decoded"] <= 2
+
+
+def test_bloom_unit_properties():
+    import numpy as np
+
+    from embulk_output_s3_parquet_spark.codecs import bloom
+
+    arr = pa.array([f"k{i}" for i in range(1000)])
+    bf = bloom.build(arr)
+    assert all(bloom.might_contain(bf, f"k{i}") for i in range(1000))
+    fp = sum(bloom.might_contain(bf, f"absent{i}") for i in range(2000))
+    assert fp / 2000 < 0.05  # ~1% design point, generous bound
+    # int canonicalization: python int probes match int64-built filters
+    ib = bloom.build(pa.array(np.arange(100, dtype=np.int64)))
+    assert bloom.might_contain(ib, 42) and not all(
+        bloom.might_contain(ib, v) for v in range(1000, 1100)
+    )
+    # floats unsupported -> no filter, never skips
+    assert bloom.build(pa.array([1.5, 2.5])) is None

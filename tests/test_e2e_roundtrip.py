@@ -632,3 +632,42 @@ def test_count_job_exact_and_metadata_pruned(spark, tmp_path):
     st = {}
     count_table(path, where=("n_chars", ">=", 450), scan_stats=st)
     assert st["chunks_decoded"] <= st["chunks_total"] / 3
+
+
+def test_bloom_point_lookup_full_job(spark, corpus, tmp_path):
+    """bloom_columns through the full job: a commit-sha point lookup prunes
+    most chunks (the unsorted high-card column makes zones useless), results
+    exact; unknown/float columns fail fast."""
+    from embulk_output_s3_parquet_spark.jobs import count_job
+    from embulk_output_s3_parquet_spark.sources.pyreader import count_table, read_table
+
+    path = str(tmp_path / "enc")
+    encode_job(
+        spark, corpus, path, _policy(chunk_rows=64, bloom_columns=("commit",)),
+        if_exists="error",
+    )
+    commit = corpus.select("commit").first()[0]
+    want = corpus.filter(F.col("commit") == commit).count()
+    assert want > 0
+    assert count_job(spark, path, where=("commit", "==", commit)) == want
+    st = {}
+    t = read_table(path, columns=["path", "commit"],
+                   where=("commit", "==", commit), scan_stats=st)
+    import pyarrow.compute as pc
+
+    exact = t.filter(pc.equal(t.column("commit"), commit))
+    assert exact.num_rows == want
+    # the bloom must have excluded a solid majority of chunks
+    assert st["chunks_skipped"] > st["chunks_total"] * 0.5, st
+    # absent key: metadata-only empty/near-empty answer
+    st = {}
+    assert count_table(path, where=("commit", "==", "no-such-sha"), scan_stats=st) == 0
+    assert st["chunks_decoded"] <= st["chunks_total"] * 0.1, st
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ConfigException, match="unknown column"):
+        encode_job(spark, ev, str(tmp_path / "x"),
+                   _policy(bloom_columns=("nope",)), if_exists="error")
+    with pytest.raises(ConfigException, match="no bloom support"):
+        encode_job(spark, ev, str(tmp_path / "y"),
+                   _policy(bloom_columns=("value",)), if_exists="error")
