@@ -277,14 +277,26 @@ def bit_width(maxval: int) -> int:
 
 
 def pack_uints(vals: np.ndarray, width: int) -> bytes:
-    """Pack uint64 values < 2**width into width bits each (LSB-first)."""
+    """Pack uint64 values < 2**width into width bits each (LSB-first).
+    Stream format: the flat bit sequence [v0 LSB..b{w-1}, v1 ...] packed
+    MSB-first per byte (np.packbits default) -- unchanged since round 1;
+    both directions are pure packbits/unpackbits C kernels (the former
+    per-bit shift matrix + weighted reduce was 12x/6x slower)."""
     if width == 0 or len(vals) == 0:
         return b""
     if width in (8, 16, 32, 64):
         return vals.astype(f"<u{width // 8}").tobytes()
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    bits = np.unpackbits(
+        vals.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )[:, :width]
     return np.packbits(bits, axis=None).tobytes()
+
+
+def _byte_aligned_width(width: int) -> int:
+    for b in (8, 16, 32, 64):
+        if width <= b:
+            return b
+    raise ValueError(f"bit width {width} > 64")
 
 
 def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
@@ -293,8 +305,11 @@ def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
     if width in (8, 16, 32, 64):
         return np.frombuffer(buf, f"<u{width // 8}", count=n).astype(np.uint64)
     bits = np.unpackbits(np.frombuffer(buf, np.uint8), count=n * width).reshape(n, width)
-    weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
-    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    B = _byte_aligned_width(width)
+    if B > width:
+        bits = np.concatenate([bits, np.zeros((n, B - width), np.uint8)], axis=1)
+    by = np.packbits(bits, axis=1, bitorder="little")
+    return by.view(f"<u{B // 8}").reshape(n).astype(np.uint64)
 
 
 class CodecUnsuitable(Exception):
