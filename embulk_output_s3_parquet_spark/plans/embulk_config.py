@@ -268,7 +268,17 @@ def load_output_config(cfg: dict, schema: T.StructType) -> OutputPlan:
         spec = _parse_logical(opt, f"column_options[{f_.name}]") if opt else None
         exprs.append(_column_expr(f_.name, f_.dataType, spec, default_tz))
 
-    policy = CodecPolicy()
+    # engine extensions riding the reference surface: per-column `codec`
+    # (forces an engine codec instead of auto-selection) and `bloom: true`
+    # (per-chunk Bloom filter for point-lookup data skipping) inside
+    # column_options -- unknown to the reference, validated eagerly here
+    forced = {
+        cname: opt["codec"] for cname, opt in col_opts.items() if opt.get("codec")
+    }
+    blooms = tuple(
+        cname for cname, opt in col_opts.items() if opt.get("bloom") is True
+    )
+    policy = CodecPolicy(column_options=forced, bloom_columns=blooms)
     return OutputPlan(
         exprs=exprs,
         policy=policy,

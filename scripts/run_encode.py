@@ -101,6 +101,12 @@ def main() -> int:
         cfg = cfg.get("out", cfg)
         plan = load_output_config(cfg, df.schema)
         df = plan.apply(df)
+        # engine-extension keys in the config (per-column codec / bloom)
+        # merge into the CLI policy; explicit CLI flags win on conflict
+        policy.column_options = {**plan.policy.column_options, **policy.column_options}
+        policy.bloom_columns = tuple(
+            dict.fromkeys(plan.policy.bloom_columns + policy.bloom_columns)
+        )
 
     # warm Python UDF workers on all cores so measured wall is steady-state
     import pyarrow as pa

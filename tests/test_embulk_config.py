@@ -117,3 +117,25 @@ def test_roundtrip_after_config_transform(spark, six, tmp_path):
     assert [r["c4"] for r in back] == [
         r["c4"] for r in transformed.orderBy("c1").collect()
     ]
+
+
+def test_engine_extension_codec_and_bloom_options(spark, six):
+    """Engine extensions on the reference surface: column_options carry
+    `codec` (forced engine codec) and `bloom` (per-chunk Bloom filter) --
+    both land in the CodecPolicy; invalid codec names still fail eagerly."""
+    cfg = {
+        "column_options": {
+            "c3": {"codec": "fsst"},
+            "c1": {"bloom": True},
+        }
+    }
+    plan = load_output_config(cfg, six.schema)
+    assert plan.policy.column_options == {"c3": "fsst"}
+    assert plan.policy.bloom_columns == ("c1",)
+    plan.policy.validate(plan.apply(six).schema)
+
+    with pytest.raises(ConfigException, match="unknown codec"):
+        bad = load_output_config(
+            {"column_options": {"c3": {"codec": "lzo"}}}, six.schema
+        )
+        bad.policy.validate(bad.apply(six).schema)
