@@ -30,6 +30,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -43,6 +44,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -201,6 +203,142 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         pass  # nothing to clean up: parts are immutable once committed
 
 
+class _PartCommit(WriterCommitMessage):
+    def __init__(self, part_id: int, lineage: dict):
+        self.part_id = part_id
+        self.lineage = lineage
+
+
+class EncodedTableArrowWriter(DataSourceArrowWriter):
+    """Catalyst write path: ``df.write.format("enctable").save(path)``.
+
+    Each Spark partition becomes one part (the shuffle-free encode_map
+    layout): the task encodes its Arrow batches through the shared chunk
+    kernels, writes one (col, chunk_seq)-sorted chunk parquet into the
+    table's staging dir, and reports its lineage row; the driver-side
+    commit() is the SAME atomic staging->data rename + sharded-lineage
+    append the job API uses, so the result is indistinguishable from an
+    encode_job table (decode_job, pyreader, verify_table, the enctable
+    reader, and count_job all work on it).
+
+    Modes: default/append errors if the table exists (part_id collision
+    semantics are the job API's business -- use encode_job part_base for
+    append); overwrite recreates. Options: chunk_rows, codec,
+    bloom_columns (comma-separated), cluster_by (comma-separated).
+    """
+
+    def __init__(self, path: str, schema: StructType, options, overwrite: bool):
+        from ..plans.policy import CodecPolicy
+        from .tables import EncodedTable
+
+        policy = CodecPolicy(
+            default=options.get("codec", "auto"),
+            chunk_rows=int(options.get("chunk_rows", 32768)),
+            bloom_columns=tuple(
+                options["bloom_columns"].split(",")
+            ) if options.get("bloom_columns") else (),
+        )
+        policy.validate(schema)  # fail fast on the driver, before tasks run
+        self._cluster = (
+            options["cluster_by"].split(",") if options.get("cluster_by") else []
+        )
+        unknown = set(self._cluster) - {f.name for f in schema.fields}
+        if unknown:
+            raise ValueError(f"cluster_by: unknown columns {sorted(unknown)}")
+        table = EncodedTable.create(
+            path, schema, policy, if_exists="delete" if overwrite else "error"
+        )
+        if self._cluster and table.properties().get("write-order") != self._cluster:
+            table.set_property("write-order", self._cluster)
+        table.clean_staging()
+        self._path = path
+        self._staging = table.new_staging()
+        self._schema = schema
+        self._policy = policy
+        self._first_col = schema.fields[0].name
+
+    def write(self, iterator) -> _PartCommit:
+        import time
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        from ..operators.encode import (
+            _effective_chunk_rows,
+            _encode_slices,
+            _resolve_policy,
+        )
+
+        t0 = time.time()
+        pid = TaskContext.get().partitionId()
+        colmap = _resolve_policy(self._schema, self._policy)
+        bloom_cols = frozenset(self._policy.bloom_columns)
+        sticky: dict = {}
+        seq = 0
+        eff = self._policy.chunk_rows
+        outs = []
+        for batch in iterator:
+            t = pa.Table.from_batches([batch])
+            if self._cluster:
+                t = t.sort_by([(c, "ascending") for c in self._cluster])
+            if seq == 0:
+                eff = _effective_chunk_rows(
+                    t, self._policy.chunk_rows, self._policy.chunk_bytes
+                )
+            out = _encode_slices(
+                pid, t, colmap, eff, seq0=seq, sticky=sticky, bloom_cols=bloom_cols
+            )
+            seq += max(1, -(-t.num_rows // eff))
+            outs.append(out)
+        if not outs:
+            return _PartCommit(pid, {})
+        enc = pa.concat_tables(outs).drop_columns(["part_id"])
+        enc = enc.sort_by([("col", "ascending"), ("chunk_seq", "ascending")])
+        part_dir = os.path.join(self._staging, f"part_id={pid}")
+        os.makedirs(part_dir, exist_ok=True)
+        rows_per_group = max(
+            1, int(4 * 1024 * 1024 * enc.num_rows // max(enc.nbytes, 1))
+        )
+        pq.write_table(
+            enc,
+            os.path.join(part_dir, f"part-{uuid.uuid4().hex[:12]}.parquet"),
+            row_group_size=rows_per_group,
+            compression="none",
+        )
+        seqs = enc.column("chunk_seq").to_pylist()
+        cols = enc.column("col").to_pylist()
+        shas = enc.column("payload_sha").to_pylist()
+        manifest_sha = __import__("hashlib").sha256(
+            "".join(s for _, _, s in sorted(zip(seqs, cols, shas))).encode()
+        ).hexdigest()
+        lineage = {
+            "rows": sum(
+                n for c, n in zip(cols, enc.column("n").to_pylist())
+                if c == self._first_col
+            ),
+            "chunks": len(set(seqs)),
+            "raw_bytes": sum(enc.column("raw_bytes").to_pylist()),
+            "enc_bytes": sum(enc.column("enc_bytes").to_pylist()),
+            "sha256_manifest": manifest_sha,
+            "codecs": sorted(set(enc.column("codec").to_pylist())),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        return _PartCommit(pid, lineage)
+
+    def commit(self, messages) -> None:
+        from .tables import EncodedTable
+
+        lineage = {m.part_id: m.lineage for m in messages if m is not None and m.lineage}
+        EncodedTable(self._path).commit_staging(self._staging, lineage)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
 class EncodedTableDataSource(DataSource):
     """Usage: spark.dataSource.register(EncodedTableDataSource);
     spark.read.format("enctable").option("columns", "a,b").load(path)."""
@@ -237,3 +375,6 @@ class EncodedTableDataSource(DataSource):
         columns = self.options.get("columns")
         want = [c.strip() for c in columns.split(",")] if columns else None
         return EncodedTableStreamReader(self._path(), schema, want)
+
+    def writer(self, schema: StructType, overwrite: bool) -> EncodedTableArrowWriter:
+        return EncodedTableArrowWriter(self._path(), schema, self.options, overwrite)

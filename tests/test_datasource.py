@@ -202,3 +202,44 @@ def test_null_filters_end_to_end(spark, tmp_path):
         got = sorted(q(df).collect())
         want = sorted(q(src).collect())
         assert got == want and len(got) > 0
+
+
+def test_catalyst_write_path(spark, tmp_path):
+    """df.write.format("enctable"): the writer produces a table
+    indistinguishable from encode_job output -- decode_job, pyreader,
+    verify_table (sha lineage audit), count_job, and the enctable reader
+    all work on it; overwrite recreates, append-to-existing errors."""
+    from embulk_output_s3_parquet_spark.jobs import count_job, decode_job, verify_table
+    from embulk_output_s3_parquet_spark.sources.pyreader import count_table, read_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "w")
+    (
+        docs.repartition(4).write.format("enctable").mode("append")
+        .option("chunk_rows", "64")
+        .option("bloom_columns", "lang")
+        .option("cluster_by", "n_chars")
+        .save(path)
+    )
+    out = decode_job(spark, path)
+    assert out.count() == docs.count()
+    assert (
+        out.groupBy().sum("n_chars").first() == docs.groupBy().sum("n_chars").first()
+    )
+    assert read_table(path).num_rows == docs.count()
+    assert verify_table(spark, path) == []  # sha lineage audit green
+    assert count_job(spark, path, where=("lang", "==", "en")) == docs.filter(
+        F.col("lang") == "en"
+    ).count()
+    # cluster_by applied per batch: a range count resolves mostly metadata-only
+    st = {}
+    count_table(path, where=("n_chars", ">=", 450), scan_stats=st)
+    assert st["chunks_decoded"] < st["chunks_total"]
+    # round-trip through the reader face too
+    df2 = spark.read.format("enctable").load(path)
+    assert df2.count() == docs.count()
+
+    docs.limit(10).write.format("enctable").mode("overwrite").save(path)
+    assert decode_job(spark, path).count() == 10
+    with pytest.raises(Exception, match="already exists"):
+        docs.write.format("enctable").mode("append").save(path)
