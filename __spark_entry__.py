@@ -1200,6 +1200,40 @@ SELECT doc_id, n_chars FROM documents WHERE n_chars >= 450 ORDER BY doc_id
 """
 
 
+def _rt_via_catalyst_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the Catalyst write path:
+    ``df.write.format("enctable")`` (per-task arrow encode + the job commit
+    protocol) then ``spark.read.format("enctable")`` -- the fully idiomatic
+    user surface. Values must match SELECT * on the plain table."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    try:
+        spark.dataSource.register(EncodedTableDataSource)
+    except Exception:
+        pass  # already registered in this session
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"writerscan_{_h.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    (
+        docs.write.format("enctable").mode("overwrite")
+        .option("chunk_rows", "512").save(path)
+    )
+    return spark.read.format("enctable").load(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+_RT_VIA_WRITER_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
 def _count_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-first COUNT over the encoded format (jobs.count_job): chunks
     whose zone + null metadata prove full inclusion/exclusion never have
@@ -1452,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "filter_over_encoded": _filter_over_encoded,
             "filter_clustered_encoded": _filter_clustered_encoded,
             "count_over_encoded": _count_over_encoded,
+            "rt_via_catalyst_writer": _rt_via_catalyst_writer,
             "point_lookup_over_encoded": _point_lookup_over_encoded,
             "encoded_table_stats": _encoded_table_stats,
             "multimodal_features": _mm_features,
@@ -1498,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
             "filter_over_encoded": _FILTER_OVER_ENCODED_SQL,
             "filter_clustered_encoded": _FILTER_CLUSTERED_SQL,
             "count_over_encoded": _COUNT_OVER_ENCODED_SQL,
+            "rt_via_catalyst_writer": _RT_VIA_WRITER_SQL,
             "point_lookup_over_encoded": _POINT_LOOKUP_SQL,
             "encoded_table_stats": _table_stats_sql(),
             "multimodal_features": _MM_FEATURES_SQL,
