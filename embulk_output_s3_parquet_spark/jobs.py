@@ -228,14 +228,18 @@ def compact_job(
 
     ``cluster_by`` re-clusters the rewritten parts (and records the new
     write-order property): the way to retrofit tight zone maps onto a table
-    that was originally appended unordered."""
+    that was originally appended unordered. ``None`` (default) inherits the
+    table's recorded write-order so compaction never silently un-clusters a
+    clustered table; pass ``[]`` to explicitly drop the clustering."""
     import os
     import shutil
 
     table = EncodedTable(table_path)
     old_parts = table.completed_parts()
     policy = policy or table.policy()
-    cluster = tuple(cluster_by or ())
+    if cluster_by is None:
+        cluster_by = table.properties().get("write-order") or []
+    cluster = tuple(cluster_by)
     names = {f.name for f in table.schema().fields}
     for c in cluster:
         if c not in names:
@@ -268,6 +272,10 @@ def compact_job(
     table._replace_parts({remap[pid]: row for pid, row in lineage.items()})
     if cluster:
         table.set_property("write-order", list(cluster))
+    elif table.properties().get("write-order"):
+        # explicitly un-clustered rewrite: the stale property would claim an
+        # ordering the new parts don't have
+        table.set_property("write-order", None)
     shutil.rmtree(staging, ignore_errors=True)
     for pid in old_parts:
         shutil.rmtree(os.path.join(table.data_dir, f"part_id={pid}"), ignore_errors=True)

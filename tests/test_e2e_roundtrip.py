@@ -671,3 +671,43 @@ def test_bloom_point_lookup_full_job(spark, corpus, tmp_path):
     with pytest.raises(ConfigException, match="no bloom support"):
         encode_job(spark, ev, str(tmp_path / "y"),
                    _policy(bloom_columns=("value",)), if_exists="error")
+
+
+def test_compact_inherits_write_order_and_policy(spark, tmp_path):
+    """compact_job with no cluster_by must inherit the table's recorded
+    write-order (never silently un-cluster), and [] must both un-cluster
+    and clear the stale property. The stored policy (incl. bloom_columns)
+    carries over too."""
+    from embulk_output_s3_parquet_spark.jobs import compact_job
+    from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "c")
+    encode_job(
+        spark, docs, path,
+        _policy(chunk_rows=64, bloom_columns=("lang",)),
+        if_exists="error", cluster_by=["n_chars"],
+    )
+    compact_job(spark, path)  # default: inherit
+    t = EncodedTable(path)
+    assert t.properties().get("write-order") == ["n_chars"]
+    assert tuple(t.policy().bloom_columns) == ("lang",)
+    assert decode_job(spark, path).count() == docs.count()
+    # blooms actually re-recorded by the inherited policy
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from embulk_output_s3_parquet_spark.codecs import meta_from_json
+
+    f = sorted(_glob.glob(t.data_dir + "/part_id=*/*.parquet"))[0]
+    mt = pq.read_table(f, columns=["col", "meta"])
+    has_bf = any(
+        c == "lang" and "bf" in meta_from_json(m)
+        for c, m in zip(mt.column("col").to_pylist(), mt.column("meta").to_pylist())
+    )
+    assert has_bf
+
+    compact_job(spark, path, cluster_by=[])  # explicit un-cluster
+    assert not EncodedTable(path).properties().get("write-order")
+    assert decode_job(spark, path).count() == docs.count()
