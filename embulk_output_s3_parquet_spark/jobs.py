@@ -22,6 +22,78 @@ from .plans.policy import CodecPolicy, ConfigException
 from .sources.tables import EncodedTable
 
 
+def merge_zone(t: str, a, b):
+    """Combine two chunk-zone [lo, hi] pairs of the same column type into
+    their union. Decimal zones are exact strings (see codecs._zone_of) and
+    must compare as Decimals, not lexically; None (either side zoneless)
+    poisons the union -- a part zone must bound EVERY chunk or not exist."""
+    if a is None or b is None:
+        return None
+    if t.startswith("decimal128("):
+        from decimal import Decimal
+
+        lo = min(Decimal(a[0]), Decimal(b[0]))
+        hi = max(Decimal(a[1]), Decimal(b[1]))
+        return [str(lo), str(hi)]
+    try:
+        return [min(a[0], b[0]), max(a[1], b[1])]
+    except TypeError:
+        return None
+
+
+def _part_zones(encoded_on_disk: DataFrame) -> dict[int, dict]:
+    """Per-part, per-column zone summaries aggregated from the chunk
+    metadata: {part_id: {col: {"t", "n", "z", "mm"}}}. Stored in each
+    part's lineage row so readers can prune WHOLE PARTS driver-side (at
+    10^6-part scale a range predicate then schedules only matching parts,
+    no tasks for the rest). Shape-compatible with chunkscan._survives /
+    _conjunct_state."""
+    import json as _json
+
+    sel = encoded_on_disk.select("part_id", "col", "meta")
+
+    def agg(it):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in it:
+            for pid, col, meta in zip(pdf["part_id"], pdf["col"], pdf["meta"]):
+                m = _json.loads(meta)
+                entry = {
+                    "t": m.get("t", ""),
+                    "n": int(m.get("n", 0)),
+                    "z": int(m.get("z", 0)),
+                    "mm": m.get("mm"),
+                }
+                cur = acc.get((int(pid), col))
+                if cur is None:
+                    acc[(int(pid), col)] = entry
+                else:
+                    cur["n"] += entry["n"]
+                    cur["z"] += entry["z"]
+                    cur["mm"] = merge_zone(cur["t"], cur["mm"], entry["mm"])
+        yield pd.DataFrame(
+            {
+                "part_id": [k[0] for k in acc],
+                "col": [k[1] for k in acc],
+                "zj": [_json.dumps(v) for v in acc.values()],
+            }
+        )
+
+    out: dict[int, dict] = {}
+    for r in sel.mapInPandas(agg, "part_id long, col string, zj string").collect():
+        e = _json.loads(r["zj"])
+        cols = out.setdefault(int(r["part_id"]), {})
+        cur = cols.get(r["col"])
+        if cur is None:
+            cols[r["col"]] = e
+        else:  # a part's chunks can span scan partitions: merge driver-side
+            cur["n"] += e["n"]
+            cur["z"] += e["z"]
+            cur["mm"] = merge_zone(cur["t"], cur["mm"], e["mm"])
+    return out
+
+
 def _lineage_rows(encoded_on_disk: DataFrame, first_col: str, wall_s: float) -> dict[int, dict]:
     per_part = (
         encoded_on_disk.groupBy("part_id")
@@ -46,6 +118,7 @@ def _lineage_rows(encoded_on_disk: DataFrame, first_col: str, wall_s: float) -> 
         )
         .collect()
     )
+    zones = _part_zones(encoded_on_disk)
     return {
         int(r["part_id"]): {
             "rows": int(r["rows"]),
@@ -55,6 +128,7 @@ def _lineage_rows(encoded_on_disk: DataFrame, first_col: str, wall_s: float) -> 
             "sha256_manifest": r["sha256_manifest"],
             "codecs": list(r["codecs"]),
             "wall_s": round(wall_s, 3),
+            "zones": zones.get(int(r["part_id"]), {}),
         }
         for r in per_part
     }
@@ -170,14 +244,43 @@ def count_job(spark: SparkSession, table_path: str, where=None) -> int:
 
     from .sources.chunkscan import normalize_where
 
+    import os
+
+    from .sources.chunkscan import _conjunct_state
+
     table = EncodedTable(table_path)
     names = [f.name for f in table.schema().fields]
     conjuncts = normalize_where(where, names)  # fail fast on the driver
-    dirs = table.committed_part_dirs()
-    if not dirs:
+    lineage = table.lineage()
+    if not lineage:
         from .plans.policy import ConfigException
 
         raise ConfigException(f"table {table_path} has no committed partitions")
+
+    # part-level tri-state first: a fully-included part contributes its
+    # audited lineage row count, a fully-excluded part contributes zero --
+    # neither gets a task. COUNT(*) with no predicate is a pure driver-side
+    # lineage sum (no Spark job at all).
+    total = 0
+    dirs = []
+    for pid in sorted(lineage):
+        row = lineage[pid]
+        if not conjuncts:
+            total += int(row["rows"])
+            continue
+        zones = row.get("zones", {})
+        states = [
+            _conjunct_state(zones[c], op, v) if c in zones else "maybe"
+            for c, op, v in conjuncts
+        ]
+        if any(s == "none" for s in states):
+            continue
+        if all(s == "all" for s in states):
+            total += int(row["rows"])
+            continue
+        dirs.append(os.path.join(table.data_dir, f"part_id={pid}"))
+    if not dirs:
+        return total
     par = min(len(dirs), spark.sparkContext.defaultParallelism * 2)
     path_df = spark.createDataFrame([(d,) for d in dirs], "dir string").repartition(par)
 
@@ -200,7 +303,7 @@ def count_job(spark: SparkSession, table_path: str, where=None) -> int:
             yield pd.DataFrame({"n": [n]})
 
     out = path_df.mapInPandas(cnt, schema="n long")
-    return int(out.agg(F.sum("n")).first()[0] or 0)
+    return total + int(out.agg(F.sum("n")).first()[0] or 0)
 
 
 def decode_job_chunks(

@@ -121,7 +121,13 @@ def decode_table_scan(
     fields = [(f.name, f.type) for f in arrow_schema]
     conjuncts = normalize_where(where, names)  # fail fast on the driver
 
-    dirs = table.committed_part_dirs()
+    # driver-side part pruning from the lineage zone summaries: excluded
+    # parts never even get a task (at 10^6 parts the scheduler, not the
+    # IO, would otherwise be the bottleneck of a selective query)
+    dirs = table.pruned_part_dirs(conjuncts)
+    if not dirs and table.completed_parts():
+        # every part provably excluded: empty frame, no job at all
+        return spark.createDataFrame([], out_schema)
     if not dirs:
         from ..plans.policy import ConfigException
 

@@ -81,10 +81,8 @@ def filter_to_conjunct(f: Filter, names: set[str]) -> tuple | None:
 
 class EncodedTableReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType, columns: list[str] | None):
-        from .tables import EncodedTable
-
         self._fields, self._names = _prepare_fields(path, schema, columns)
-        self._dirs = EncodedTable(path).committed_part_dirs()
+        self._table_path = path
         self._conjuncts: list[tuple] = []
 
     def pushFilters(self, filters: list[Filter]):
@@ -97,11 +95,19 @@ class EncodedTableReader(DataSourceReader):
             yield f
 
     def partitions(self):
-        return [InputPartition(d) for d in self._dirs]
+        # called after pushFilters: part-zone lineage summaries prune whole
+        # parts driver-side, so excluded parts never become input partitions
+        from .tables import EncodedTable
+
+        dirs = EncodedTable(self._table_path).pruned_part_dirs(self._conjuncts)
+        # the API needs >=1 partition; a fully-pruned scan gets one no-op
+        return [InputPartition(d) for d in dirs] or [InputPartition(None)]
 
     def read(self, partition):
         from .chunkscan import iter_part_tables
 
+        if partition.value is None:  # fully-pruned scan: one no-op split
+            return
         files = sorted(glob.glob(os.path.join(partition.value, "*.parquet")))
         if not files:
             raise FileNotFoundError(f"committed part missing: {partition.value}")
@@ -313,11 +319,30 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
         manifest_sha = __import__("hashlib").sha256(
             "".join(s for _, _, s in sorted(zip(seqs, cols, shas))).encode()
         ).hexdigest()
+        import json as _json
+
+        from ..jobs import merge_zone
+
+        zones: dict[str, dict] = {}
+        for c, mj in zip(cols, enc.column("meta").to_pylist()):
+            m = _json.loads(mj)
+            e = {
+                "t": m.get("t", ""), "n": int(m.get("n", 0)),
+                "z": int(m.get("z", 0)), "mm": m.get("mm"),
+            }
+            cur = zones.get(c)
+            if cur is None:
+                zones[c] = e
+            else:
+                cur["n"] += e["n"]
+                cur["z"] += e["z"]
+                cur["mm"] = merge_zone(cur["t"], cur["mm"], e["mm"])
         lineage = {
             "rows": sum(
                 n for c, n in zip(cols, enc.column("n").to_pylist())
                 if c == self._first_col
             ),
+            "zones": zones,
             "chunks": len(set(seqs)),
             "raw_bytes": sum(enc.column("raw_bytes").to_pylist()),
             "enc_bytes": sum(enc.column("enc_bytes").to_pylist()),

@@ -57,8 +57,19 @@ def read_table(
                 with open(os.path.join(shard_dir, name)) as f:
                     parts.update(json.load(f))
 
+    from .chunkscan import _survives
+
     batches: list[pa.Table] = []
     for pid in sorted(int(k) for k in parts):
+        row = parts.get(str(pid)) or parts.get(pid) or {}
+        if scan_stats is not None:
+            scan_stats["parts_total"] = scan_stats.get("parts_total", 0) + 1
+        if conjuncts and not _survives(row.get("zones", {}), conjuncts):
+            # part-zone pruning: the lineage summary proves no chunk in this
+            # part can match -- its files are never opened
+            if scan_stats is not None:
+                scan_stats["parts_skipped"] = scan_stats.get("parts_skipped", 0) + 1
+            continue
         part_dir = os.path.join(path, "data", f"part_id={pid}")
         files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
         if not files:
@@ -93,8 +104,34 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
                 with open(os.path.join(shard_dir, name)) as f:
                     parts.update(json.load(f))
 
+    from .chunkscan import _conjunct_state
+
     total = 0
     for pid in sorted(int(k) for k in parts):
+        row = parts.get(str(pid)) or parts.get(pid) or {}
+        if scan_stats is not None:
+            scan_stats["parts_total"] = scan_stats.get("parts_total", 0) + 1
+        # part-level tri-state from the lineage zone summary: fully
+        # included parts contribute their audited row count, excluded
+        # parts zero -- files opened only for boundary parts
+        if conjuncts and row.get("zones") is not None and "rows" in row:
+            zones = row.get("zones", {})
+            states = [
+                _conjunct_state(zones[c], op, v) if c in zones else "maybe"
+                for c, op, v in conjuncts
+            ]
+            if any(s == "none" for s in states):
+                if scan_stats is not None:
+                    scan_stats["parts_skipped"] = scan_stats.get("parts_skipped", 0) + 1
+                continue
+            if all(s == "all" for s in states):
+                if scan_stats is not None:
+                    scan_stats["parts_skipped"] = scan_stats.get("parts_skipped", 0) + 1
+                total += int(row["rows"])
+                continue
+        elif not conjuncts and "rows" in row:
+            total += int(row["rows"])
+            continue
         part_dir = os.path.join(path, "data", f"part_id={pid}")
         files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
         if not files:

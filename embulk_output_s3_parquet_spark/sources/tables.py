@@ -299,6 +299,29 @@ class EncodedTable:
             for p in sorted(self.completed_parts())
         ]
 
+    def part_zones(self) -> dict[int, dict]:
+        """Per-part column zone summaries from the lineage rows
+        ({part_id: {col: {"t","n","z","mm"}}}, written by jobs._part_zones).
+        Empty dicts for parts committed before zones existed -- those are
+        never pruned."""
+        return {pid: row.get("zones", {}) for pid, row in self.lineage().items()}
+
+    def pruned_part_dirs(self, conjuncts: list[tuple]) -> list[str]:
+        """Committed part dirs that survive driver-side part-zone pruning
+        under the ANDed conjuncts (chunkscan zone semantics: may-match,
+        pruning never changes results). With 10^6 parts this is what keeps
+        a selective query from scheduling a task per part."""
+        if not conjuncts:
+            return self.committed_part_dirs()
+        from .chunkscan import _survives
+
+        zones = self.part_zones()
+        return [
+            os.path.join(self.data_dir, f"part_id={p}")
+            for p in sorted(self.completed_parts())
+            if _survives(zones.get(p, {}), conjuncts)
+        ]
+
     def read_encoded(self, spark: SparkSession) -> DataFrame:
         """Scan of exactly the committed part dirs (manifest-pruned file
         listing -- uncommitted/garbage dirs are never even listed, and no
