@@ -40,5 +40,19 @@ def materialize_once(df: DataFrame, eager: bool = True) -> DataFrame:
         if sc.getCheckpointDir() is not None:
             return df.checkpoint(eager=eager)
         return df.localCheckpoint(eager=eager)
-    except Exception:  # pragma: no cover - non-classic sessions
-        return df.persist()
+    except Exception as exc:  # pragma: no cover - non-classic sessions
+        import warnings
+
+        warnings.warn(
+            f"materialize_once: checkpoint unavailable ({exc!r}); falling "
+            "back to persist+count (weaker: no lineage truncation)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        out = df.persist()
+        if eager:
+            # a LAZY persist still double-computes under concurrent
+            # join-side stages; forcing the cache now restores the
+            # compute-once guarantee the caller asked for
+            out.count()
+        return out

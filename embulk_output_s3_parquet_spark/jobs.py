@@ -41,97 +41,70 @@ def merge_zone(t: str, a, b):
         return None
 
 
-def _part_zones(encoded_on_disk: DataFrame) -> dict[int, dict]:
-    """Per-part, per-column zone summaries aggregated from the chunk
-    metadata: {part_id: {col: {"t", "n", "z", "mm"}}}. Stored in each
-    part's lineage row so readers can prune WHOLE PARTS driver-side (at
-    10^6-part scale a range predicate then schedules only matching parts,
-    no tasks for the rest). Shape-compatible with chunkscan._survives /
-    _conjunct_state."""
+def _lineage_rows(encoded_on_disk: DataFrame, first_col: str, wall_s: float) -> dict[int, dict]:
+    """One metadata job per commit: group the chunk metadata columns
+    (payloads never move) by part and compute the whole lineage row --
+    rows/chunks/bytes, the order-canonical sha256 chunk manifest, and the
+    per-column zone summaries readers use for driver-side part pruning
+    ({col: {"t","n","z","mm"}}, shape-compatible with chunkscan's
+    _survives/_conjunct_state)."""
     import json as _json
 
-    sel = encoded_on_disk.select("part_id", "col", "meta")
+    sel = encoded_on_disk.select(
+        "part_id", "chunk_seq", "col", "meta", "raw_bytes", "enc_bytes", "payload_sha", "n"
+    )
 
-    def agg(it):
+    def per_part(pdf):
+        import hashlib as _h
+
         import pandas as pd
 
-        acc: dict = {}
-        for pdf in it:
-            for pid, col, meta in zip(pdf["part_id"], pdf["col"], pdf["meta"]):
-                m = _json.loads(meta)
-                entry = {
-                    "t": m.get("t", ""),
-                    "n": int(m.get("n", 0)),
-                    "z": int(m.get("z", 0)),
-                    "mm": m.get("mm"),
-                }
-                cur = acc.get((int(pid), col))
-                if cur is None:
-                    acc[(int(pid), col)] = entry
-                else:
-                    cur["n"] += entry["n"]
-                    cur["z"] += entry["z"]
-                    cur["mm"] = merge_zone(cur["t"], cur["mm"], entry["mm"])
-        yield pd.DataFrame(
-            {
-                "part_id": [k[0] for k in acc],
-                "col": [k[1] for k in acc],
-                "zj": [_json.dumps(v) for v in acc.values()],
+        zones: dict = {}
+        for col, mj in zip(pdf["col"], pdf["meta"]):
+            m = _json.loads(mj)
+            e = {
+                "t": m.get("t", ""),
+                "n": int(m.get("n", 0)),
+                "z": int(m.get("z", 0)),
+                "mm": m.get("mm"),
             }
+            cur = zones.get(col)
+            if cur is None:
+                zones[col] = e
+            else:
+                cur["n"] += e["n"]
+                cur["z"] += e["z"]
+                cur["mm"] = merge_zone(cur["t"], cur["mm"], e["mm"])
+        sha = _h.sha256(
+            "".join(
+                s
+                for _, _, s in sorted(
+                    zip(pdf["chunk_seq"], pdf["col"], pdf["payload_sha"])
+                )
+            ).encode()
+        ).hexdigest()
+        row = {
+            "rows": int(pdf.loc[pdf["col"] == first_col, "n"].sum()),
+            "chunks": int(pdf["chunk_seq"].nunique()),
+            "raw_bytes": int(pdf["raw_bytes"].sum()),
+            "enc_bytes": int(pdf["enc_bytes"].sum()),
+            "sha256_manifest": sha,
+            "codecs": sorted({_json.loads(mj)["c"] for mj in pdf["meta"]}),
+            "zones": zones,
+        }
+        return pd.DataFrame(
+            {"part_id": [int(pdf["part_id"].iloc[0])], "lineage": [_json.dumps(row)]}
         )
 
     out: dict[int, dict] = {}
-    for r in sel.mapInPandas(agg, "part_id long, col string, zj string").collect():
-        e = _json.loads(r["zj"])
-        cols = out.setdefault(int(r["part_id"]), {})
-        cur = cols.get(r["col"])
-        if cur is None:
-            cols[r["col"]] = e
-        else:  # a part's chunks can span scan partitions: merge driver-side
-            cur["n"] += e["n"]
-            cur["z"] += e["z"]
-            cur["mm"] = merge_zone(cur["t"], cur["mm"], e["mm"])
+    collected = sel.groupBy("part_id").applyInPandas(
+        per_part, "part_id long, lineage string"
+    ).collect()
+    for r in collected:
+        row = _json.loads(r["lineage"])
+        row["wall_s"] = round(wall_s, 3)
+        out[int(r["part_id"])] = row
     return out
-
-
-def _lineage_rows(encoded_on_disk: DataFrame, first_col: str, wall_s: float) -> dict[int, dict]:
-    per_part = (
-        encoded_on_disk.groupBy("part_id")
-        .agg(
-            F.sum(F.when(F.col("col") == first_col, F.col("n")).otherwise(0)).alias("rows"),
-            F.countDistinct("chunk_seq").alias("chunks"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            F.sha2(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("chunk_seq", "col", "payload_sha"))
-                        ),
-                        lambda s: s.payload_sha,
-                    ),
-                ),
-                256,
-            ).alias("sha256_manifest"),
-            F.sort_array(F.collect_set("codec")).alias("codecs"),
-        )
-        .collect()
-    )
-    zones = _part_zones(encoded_on_disk)
-    return {
-        int(r["part_id"]): {
-            "rows": int(r["rows"]),
-            "chunks": int(r["chunks"]),
-            "raw_bytes": int(r["raw_bytes"]),
-            "enc_bytes": int(r["enc_bytes"]),
-            "sha256_manifest": r["sha256_manifest"],
-            "codecs": list(r["codecs"]),
-            "wall_s": round(wall_s, 3),
-            "zones": zones.get(int(r["part_id"]), {}),
-        }
-        for r in per_part
-    }
 
 
 def encode_job(

@@ -129,6 +129,11 @@ def _survives(cols_meta: dict, conjuncts: list[tuple]) -> bool:
             if meta.get("z", 0) == 0 and meta.get("n", 0) > 0:
                 return False  # null-free chunk: no row satisfies IS NULL
             continue
+        # bloom probe first: it must fire even when the chunk has NO zone
+        # map (binary columns, >64-char strings -- exactly the unsorted
+        # high-cardinality keys blooms exist for)
+        if _bloom_excludes(meta, op, v):
+            return False
         zone = meta.get("mm")
         if zone is None:
             continue
@@ -143,8 +148,6 @@ def _survives(cols_meta: dict, conjuncts: list[tuple]) -> bool:
             else coerce_literal(tname, v)
         )
         if zone_excludes(zone, op, lit):
-            return False
-        if _bloom_excludes(meta, op, v):
             return False
     return True
 

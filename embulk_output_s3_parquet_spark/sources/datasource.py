@@ -81,7 +81,7 @@ def filter_to_conjunct(f: Filter, names: set[str]) -> tuple | None:
 
 class EncodedTableReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType, columns: list[str] | None):
-        self._fields, self._names = _prepare_fields(path, schema, columns)
+        self._fields, self._names = _prepare_fields(schema, columns)
         self._table_path = path
         self._conjuncts: list[tuple] = []
 
@@ -115,7 +115,7 @@ class EncodedTableReader(DataSourceReader):
             yield from tbl.to_batches()
 
 
-def _prepare_fields(path: str, schema: StructType, columns: list[str] | None):
+def _prepare_fields(schema: StructType, columns: list[str] | None):
     """(fields, names) shared by the batch and stream readers: pa.DataType
     pickles, so the arrow projection computed once on the driver ships to
     every read() task."""
@@ -156,7 +156,7 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         from .tables import EncodedTable
 
         self._path = path
-        self._fields, _ = _prepare_fields(path, schema, columns)
+        self._fields, _ = _prepare_fields(schema, columns)
         self._gen = EncodedTable(path).manifest().get("parts_gen", 0)
 
     def _table(self):
@@ -210,9 +210,10 @@ class EncodedTableStreamReader(DataSourceStreamReader):
 
 
 class _PartCommit(WriterCommitMessage):
-    def __init__(self, part_id: int, lineage: dict):
+    def __init__(self, part_id: int, lineage: dict, filename: str | None = None):
         self.part_id = part_id
         self.lineage = lineage
+        self.filename = filename  # the ONE file this committed attempt wrote
 
 
 class EncodedTableArrowWriter(DataSourceArrowWriter):
@@ -259,6 +260,10 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
         table.clean_staging()
         self._path = path
         self._staging = table.new_staging()
+        # created eagerly: an all-empty write must still commit an empty
+        # part set (commit_staging lists this dir) instead of crashing
+        # after an overwrite already dropped the old table
+        os.makedirs(self._staging, exist_ok=True)
         self._schema = schema
         self._policy = policy
         self._first_col = schema.fields[0].name
@@ -278,17 +283,30 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
         )
 
         t0 = time.time()
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0  # driver-side tests
         colmap = _resolve_policy(self._schema, self._policy)
         bloom_cols = frozenset(self._policy.bloom_columns)
         sticky: dict = {}
         seq = 0
         eff = self._policy.chunk_rows
         outs = []
+        if self._cluster:
+            # clustering must sort the WHOLE partition before chunking: a
+            # per-batch sort cannot narrow any chunk's [min,max] when a
+            # batch IS a chunk (arrow batch size == chunk_rows by default),
+            # so zones would stay full-domain. Buffer = the task's input
+            # rows, same bound as the grouped encode path.
+            batches = list(iterator)
+            if batches:
+                whole = pa.Table.from_batches(batches).sort_by(
+                    [(c, "ascending") for c in self._cluster]
+                )
+                iterator = iter(whole.combine_chunks().to_batches())
+            else:
+                iterator = iter(())
         for batch in iterator:
             t = pa.Table.from_batches([batch])
-            if self._cluster:
-                t = t.sort_by([(c, "ascending") for c in self._cluster])
             if seq == 0:
                 eff = _effective_chunk_rows(
                     t, self._policy.chunk_rows, self._policy.chunk_bytes
@@ -307,9 +325,10 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
         rows_per_group = max(
             1, int(4 * 1024 * 1024 * enc.num_rows // max(enc.nbytes, 1))
         )
+        fname = f"part-{uuid.uuid4().hex[:12]}.parquet"
         pq.write_table(
             enc,
-            os.path.join(part_dir, f"part-{uuid.uuid4().hex[:12]}.parquet"),
+            os.path.join(part_dir, fname),
             row_group_size=rows_per_group,
             compression="none",
         )
@@ -350,12 +369,31 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
             "codecs": sorted(set(enc.column("codec").to_pylist())),
             "wall_s": round(time.time() - t0, 3),
         }
-        return _PartCommit(pid, lineage)
+        return _PartCommit(pid, lineage, fname)
 
     def commit(self, messages) -> None:
+        import shutil
+
         from .tables import EncodedTable
 
-        lineage = {m.part_id: m.lineage for m in messages if m is not None and m.lineage}
+        good = [m for m in messages if m is not None and m.lineage]
+        lineage = {m.part_id: m.lineage for m in good}
+        # task-retry / speculation safety: a failed or speculative attempt
+        # may have left its own uuid-named file in a part dir; keep ONLY
+        # the file named by each part's committed message, and drop part
+        # dirs no message claims at all
+        keep = {m.part_id: m.filename for m in good}
+        for name in os.listdir(self._staging):
+            if not name.startswith("part_id="):
+                continue
+            pid = int(name.split("=", 1)[1])
+            pdir = os.path.join(self._staging, name)
+            if pid not in keep:
+                shutil.rmtree(pdir, ignore_errors=True)
+                continue
+            for f in os.listdir(pdir):
+                if f != keep[pid]:
+                    os.remove(os.path.join(pdir, f))
         EncodedTable(self._path).commit_staging(self._staging, lineage)
 
     def abort(self, messages) -> None:

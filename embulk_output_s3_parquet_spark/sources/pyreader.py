@@ -46,16 +46,7 @@ def read_table(
     by_name = {f["name"]: _arrow_type(f["type"]) for f in schema_fields}
     fields = [(n, by_name[n]) for n in want]
     conjuncts = normalize_where(where, want)
-
-    # committed parts = legacy inline entries + the current generation's
-    # lineage shards (sources/tables.py commit protocol)
-    parts: dict[str, dict] = dict(manifest.get("parts", {}))
-    shard_dir = os.path.join(path, f"parts-{manifest.get('parts_gen', 0)}")
-    if os.path.isdir(shard_dir):
-        for name in os.listdir(shard_dir):
-            if name.startswith("shard-") and name.endswith(".json"):
-                with open(os.path.join(shard_dir, name)) as f:
-                    parts.update(json.load(f))
+    parts = _committed_parts(path, manifest)
 
     from .chunkscan import _survives
 
@@ -85,6 +76,21 @@ def read_table(
     )
 
 
+def _committed_parts(path: str, manifest: dict) -> dict[str, dict]:
+    """Committed parts = legacy inline entries + the current generation's
+    lineage shards (the ONE Spark-free mirror of sources/tables.py's commit
+    protocol -- shared by read_table and count_table so the two can't
+    drift)."""
+    parts: dict[str, dict] = dict(manifest.get("parts", {}))
+    shard_dir = os.path.join(path, f"parts-{manifest.get('parts_gen', 0)}")
+    if os.path.isdir(shard_dir):
+        for name in os.listdir(shard_dir):
+            if name.startswith("shard-") and name.endswith(".json"):
+                with open(os.path.join(shard_dir, name)) as f:
+                    parts.update(json.load(f))
+    return parts
+
+
 def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
     """Spark-free twin of jobs.count_job: exact COUNT(*) under ``where``
     reading payload bytes only for boundary chunks (same tri-state
@@ -95,14 +101,7 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
         manifest = json.load(f)
     names = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
     conjuncts = normalize_where(where, names)
-
-    parts: dict[str, dict] = dict(manifest.get("parts", {}))
-    shard_dir = os.path.join(path, f"parts-{manifest.get('parts_gen', 0)}")
-    if os.path.isdir(shard_dir):
-        for name in os.listdir(shard_dir):
-            if name.startswith("shard-") and name.endswith(".json"):
-                with open(os.path.join(shard_dir, name)) as f:
-                    parts.update(json.load(f))
+    parts = _committed_parts(path, manifest)
 
     from .chunkscan import _conjunct_state
 

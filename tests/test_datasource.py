@@ -243,3 +243,93 @@ def test_catalyst_write_path(spark, tmp_path):
     assert decode_job(spark, path).count() == 10
     with pytest.raises(Exception, match="already exists"):
         docs.write.format("enctable").mode("append").save(path)
+
+
+def test_writer_empty_dataframe_overwrite_safe(spark, tmp_path):
+    """An all-empty write must commit an empty part set (not crash after
+    overwrite already dropped the old table)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "empty")
+    docs.limit(5).write.format("enctable").mode("append").save(path)
+    docs.filter(F.lit(False)).write.format("enctable").mode("overwrite").save(path)
+    from embulk_output_s3_parquet_spark.sources.pyreader import read_table
+
+    t = read_table(path)
+    assert t.num_rows == 0
+    assert set(t.schema.names) == set(docs.columns)
+
+
+def test_writer_commit_drops_stale_attempt_files(spark, tmp_path):
+    """Task-retry/speculation safety: commit() must keep only the ONE file
+    each part's commit message names; a dead attempt's leftover file in the
+    same staging part dir is removed, never committed as duplicate rows."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableArrowWriter,
+        _PartCommit,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    path = str(tmp_path / "retry")
+    w = EncodedTableArrowWriter(path, docs.schema, {}, overwrite=False)
+    batches = docs.toArrow().to_batches()
+    msg = w.write(iter(batches))
+    # simulate a failed attempt's leftover: copy the real file under a new name
+    pdir = os.path.join(w._staging, f"part_id={msg.part_id}")
+    real = os.path.join(pdir, msg.filename)
+    shutil.copy(real, os.path.join(pdir, "part-deadbeefdead.parquet"))
+    # and a whole part dir no message claims
+    ghost = os.path.join(w._staging, "part_id=999")
+    os.makedirs(ghost)
+    shutil.copy(real, os.path.join(ghost, "part-ghost.parquet"))
+    w.commit([msg])
+
+    from embulk_output_s3_parquet_spark.jobs import decode_job, verify_table
+
+    assert decode_job(spark, path).count() == 50  # no duplicated rows
+    assert verify_table(spark, path) == []
+    files = _glob.glob(os.path.join(path, "data", "part_id=*", "*.parquet"))
+    assert len(files) == 1 and os.path.basename(files[0]) == msg.filename
+
+
+def test_writer_cluster_by_sorts_whole_partition(spark, tmp_path):
+    """cluster_by must sort the WHOLE partition before chunking -- chunk
+    zones become disjoint ranges even when rows arrive in many batches."""
+    from embulk_output_s3_parquet_spark.sources.pyreader import count_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "clw")
+    (
+        docs.coalesce(1).write.format("enctable").mode("append")
+        .option("chunk_rows", "64").option("cluster_by", "n_chars").save(path)
+    )
+    st = {}
+    want = docs.filter(F.col("n_chars") >= 450).count()
+    assert count_table(path, where=("n_chars", ">=", 450), scan_stats=st) == want
+    # one partition, sorted: at most ~2 boundary chunks decode
+    assert st.get("chunks_decoded", 0) <= 2, st
+
+
+def test_bloom_fires_without_zone(spark, tmp_path):
+    """Blooms must prune even when the column has NO zone map (binary /
+    >64-char strings -- the keys blooms exist for)."""
+    from embulk_output_s3_parquet_spark.sources.pyreader import read_table
+
+    src = spark.createDataFrame(
+        [(i, f"key-{'x' * 80}-{i:05d}") for i in range(256)], "id long, k string"
+    )
+    path = str(tmp_path / "bk")
+    encode_job(
+        spark, src, path,
+        CodecPolicy(chunk_rows=16, bloom_columns=("k",)), if_exists="error",
+    )
+    st = {}
+    probe = f"key-{'x' * 80}-00123"
+    t = read_table(path, columns=["id", "k"], where=("k", "==", probe), scan_stats=st)
+    import pyarrow.compute as pc
+
+    assert t.filter(pc.equal(t.column("k"), probe)).num_rows == 1
+    assert st["chunks_skipped"] > st["chunks_total"] * 0.5, st
