@@ -339,3 +339,64 @@ def test_windowed_stats_into_encode_sink(spark, tmp_path):
     for r in decoded.collect():
         k = (r["window_start"], r["event_type"])
         assert want[k] == (r["n_events"], r["sum_value"]), (k, r)
+
+
+def test_enctable_source_feeds_windowed_analytics(spark, tmp_path):
+    """Full loop: events encoded into an EncodedTable in two appended waves,
+    then STREAMED back out via the enctable source into the watermarked
+    windowed aggregate -- wave 2's micro-batch advances the watermark past
+    wave 1's windows, so append mode emits them; every emitted row must
+    equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from embulk_output_s3_parquet_spark.jobs import encode_job
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+    from embulk_output_s3_parquet_spark.streaming.analytics import (
+        windowed_event_stats,
+    )
+    from embulk_output_s3_parquet_spark.streaming.encode_stream import PART_STRIDE
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cut = ev.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.8) p"
+    ).first()["p"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wave1 = ev.filter(us <= cut)
+    wave2 = ev.filter(us > cut)
+    table = str(tmp_path / "evt")
+    pol = CodecPolicy(chunk_rows=256)
+    encode_job(spark, wave1, table, pol, if_exists="error")
+    spark.dataSource.register(EncodedTableDataSource)
+
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    def drain():
+        q = (
+            windowed_event_stats(
+                spark.readStream.format("enctable").load(table),
+                window="1 hour", watermark="0 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # batch 1: wave1 ingested, its windows still open
+    encode_job(spark, wave2, table, pol, if_exists="skip", part_base=PART_STRIDE)
+    drain()  # batch 2: watermark passes wave1's windows -> emitted
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    want = {
+        tuple(r)
+        for r in windowed_event_stats(ev, window="1 hour", watermark="0 seconds").collect()
+    }
+    assert len(got) > 0
+    assert got <= want
+    assert len(got) >= len(want) * 0.5
