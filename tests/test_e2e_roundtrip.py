@@ -757,3 +757,55 @@ def test_part_zone_pruning(spark, tmp_path):
     import pyarrow.compute as pc
 
     assert tt.filter(pc.greater_equal(tt.column("doc_id"), 400)).num_rows == want
+
+
+def test_encode_stats_invariant_against_sparkfree_recompute(spark):
+    """Verification story for the ONE rows-only oracle query
+    (encode_stats_documents): per-chunk codec byte sizes aren't
+    SQL-expressible, so the invariant is machine-checked here instead --
+    the same documents file pushed through the SAME chunk kernels
+    Spark-free (pyarrow + _encode_slices, replicating encode_map's
+    per-task loop) must reproduce the query's (col, codec, chunks, rows,
+    raw_bytes, enc_bytes) aggregate EXACTLY."""
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+    from embulk_output_s3_parquet_spark.operators.encode import (
+        _effective_chunk_rows,
+        _encode_slices,
+        _resolve_policy,
+    )
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["col"], r["codec"]): (r["chunks"], r["rows"], r["raw_bytes"], r["enc_bytes"])
+        for r in entry.queries()["encode_stats_documents"](spark, sf_dir).collect()
+    }
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    policy = CodecPolicy(chunk_rows=4096)
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs_df.rdd.getNumPartitions() == 1  # determinism precondition
+    colmap = _resolve_policy(docs_df.schema, policy)
+    eff = _effective_chunk_rows(t, policy.chunk_rows, policy.chunk_bytes)
+    enc = _encode_slices(0, t, colmap, eff, sticky={})
+    agg: dict = {}
+    for col, codec, n, raw, encb in zip(
+        enc.column("col").to_pylist(),
+        enc.column("codec").to_pylist(),
+        enc.column("n").to_pylist(),
+        enc.column("raw_bytes").to_pylist(),
+        enc.column("enc_bytes").to_pylist(),
+    ):
+        c, r, rb, eb = agg.get((col, codec), (0, 0, 0, 0))
+        agg[(col, codec)] = (c + 1, r + n, rb + raw, eb + encb)
+    assert set(agg) == set(got), (agg, got)
+    for key, (c, r, rb, eb) in agg.items():
+        gc, gr, grb, geb = got[key]
+        # chunk counts, row counts, and ENCODED bytes (the payload the sha
+        # audit covers) must match exactly; raw_bytes may differ by the
+        # presence of an all-valid validity bitmap (arrow representation
+        # detail: Spark's null-free batches omit it, pq.read_table's don't)
+        assert (c, r, eb) == (gc, gr, geb), (key, agg[key], got[key])
+        assert abs(rb - grb) <= (r + 7) // 8 + 64, (key, rb, grb)
