@@ -41,13 +41,56 @@ def merge_zone(t: str, a, b):
         return None
 
 
+def lineage_row_from_chunks(
+    seqs, cols, metas_json, shas, raw_bytes, enc_bytes, ns, first_col: str
+) -> dict:
+    """Build one part's lineage row (rows/chunks/bytes, order-canonical
+    sha256 chunk manifest, per-column zone summaries) from parallel chunk
+    metadata sequences. The ONE canonicalization -- shared by the commit
+    job's per-part pass and the Catalyst writer, so verify_table's sha
+    recomputation can never drift from either producer."""
+    import hashlib as _h
+    import json as _json
+
+    zones: dict = {}
+    codecs: set = set()
+    rows = 0
+    for col, n, mj in zip(cols, ns, metas_json):
+        m = _json.loads(mj)
+        codecs.add(m["c"])
+        if col == first_col:
+            rows += int(n)
+        e = {
+            "t": m.get("t", ""),
+            "n": int(m.get("n", 0)),
+            "z": int(m.get("z", 0)),
+            "mm": m.get("mm"),
+        }
+        cur = zones.get(col)
+        if cur is None:
+            zones[col] = e
+        else:
+            cur["n"] += e["n"]
+            cur["z"] += e["z"]
+            cur["mm"] = merge_zone(cur["t"], cur["mm"], e["mm"])
+    sha = _h.sha256(
+        "".join(s for _, _, s in sorted(zip(seqs, cols, shas))).encode()
+    ).hexdigest()
+    return {
+        "rows": rows,
+        "chunks": len(set(seqs)),
+        "raw_bytes": int(sum(raw_bytes)),
+        "enc_bytes": int(sum(enc_bytes)),
+        "sha256_manifest": sha,
+        "codecs": sorted(codecs),
+        "zones": zones,
+    }
+
+
 def _lineage_rows(encoded_on_disk: DataFrame, first_col: str, wall_s: float) -> dict[int, dict]:
     """One metadata job per commit: group the chunk metadata columns
-    (payloads never move) by part and compute the whole lineage row --
-    rows/chunks/bytes, the order-canonical sha256 chunk manifest, and the
-    per-column zone summaries readers use for driver-side part pruning
-    ({col: {"t","n","z","mm"}}, shape-compatible with chunkscan's
-    _survives/_conjunct_state)."""
+    (payloads never move) by part and compute the whole lineage row via
+    ``lineage_row_from_chunks``."""
     import json as _json
 
     sel = encoded_on_disk.select(
@@ -55,43 +98,18 @@ def _lineage_rows(encoded_on_disk: DataFrame, first_col: str, wall_s: float) -> 
     )
 
     def per_part(pdf):
-        import hashlib as _h
-
         import pandas as pd
 
-        zones: dict = {}
-        for col, mj in zip(pdf["col"], pdf["meta"]):
-            m = _json.loads(mj)
-            e = {
-                "t": m.get("t", ""),
-                "n": int(m.get("n", 0)),
-                "z": int(m.get("z", 0)),
-                "mm": m.get("mm"),
-            }
-            cur = zones.get(col)
-            if cur is None:
-                zones[col] = e
-            else:
-                cur["n"] += e["n"]
-                cur["z"] += e["z"]
-                cur["mm"] = merge_zone(cur["t"], cur["mm"], e["mm"])
-        sha = _h.sha256(
-            "".join(
-                s
-                for _, _, s in sorted(
-                    zip(pdf["chunk_seq"], pdf["col"], pdf["payload_sha"])
-                )
-            ).encode()
-        ).hexdigest()
-        row = {
-            "rows": int(pdf.loc[pdf["col"] == first_col, "n"].sum()),
-            "chunks": int(pdf["chunk_seq"].nunique()),
-            "raw_bytes": int(pdf["raw_bytes"].sum()),
-            "enc_bytes": int(pdf["enc_bytes"].sum()),
-            "sha256_manifest": sha,
-            "codecs": sorted({_json.loads(mj)["c"] for mj in pdf["meta"]}),
-            "zones": zones,
-        }
+        row = lineage_row_from_chunks(
+            [int(x) for x in pdf["chunk_seq"]],
+            list(pdf["col"]),
+            list(pdf["meta"]),
+            list(pdf["payload_sha"]),
+            list(pdf["raw_bytes"]),
+            list(pdf["enc_bytes"]),
+            list(pdf["n"]),
+            first_col,
+        )
         return pd.DataFrame(
             {"part_id": [int(pdf["part_id"].iloc[0])], "lineage": [_json.dumps(row)]}
         )

@@ -264,29 +264,64 @@ def _conjunct_state(meta: dict, op: str, v) -> str:
     return "maybe"
 
 
-def _exact_matches(arr: pa.Array, op: str, v) -> int:
-    """Exact match count over one decoded column chunk (boundary chunks of
-    count_file). Null rows never satisfy value predicates."""
+def _typed_scalar(arr_type: pa.DataType, v) -> pa.Scalar:
+    """Predicate literal -> arrow scalar of the column's DECODED type,
+    accepting the same literal shapes the zone layer does (ISO strings for
+    timestamps/dates, float/str for decimals)."""
+    try:
+        return pa.scalar(v, type=arr_type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, ValueError):
+        pass
+    import datetime as _dt
+    from decimal import Decimal, InvalidOperation
+
+    if pa.types.is_timestamp(arr_type) and isinstance(v, str):
+        ts = _dt.datetime.fromisoformat(v)
+        if ts.tzinfo is None and arr_type.tz:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return pa.scalar(ts, type=arr_type)
+    if (pa.types.is_date32(arr_type) or pa.types.is_date64(arr_type)) and isinstance(v, str):
+        return pa.scalar(_dt.date.fromisoformat(v), type=arr_type)
+    if pa.types.is_decimal128(arr_type):
+        try:
+            return pa.scalar(Decimal(str(v)), type=arr_type)
+        except InvalidOperation:
+            pass
+    raise ValueError(
+        f"predicate literal {v!r} cannot be compared against column type {arr_type}"
+    )
+
+
+def _match_mask(arr: pa.Array, op: str, v) -> pa.Array:
+    """Boolean match mask over one decoded column chunk; nulls are False
+    (null rows never satisfy value predicates). The ONE exact-evaluation
+    dispatch -- single- and multi-conjunct boundary paths both use it."""
     import pyarrow.compute as pc
 
     if op == "notnull":
-        return len(arr) - arr.null_count
+        return pc.is_valid(arr)
     if op == "isnull":
-        return arr.null_count
+        return pc.is_null(arr)
     if op == "in":
-        m = pc.is_in(arr, value_set=pa.array(v, type=arr.type))
+        vs = pa.array([_typed_scalar(arr.type, x).as_py() for x in v], type=arr.type)
+        m = pc.is_in(arr, value_set=vs)
     elif op == "startswith":
         m = pc.starts_with(arr, pattern=v)
     else:
-        scalar = pa.scalar(v, type=arr.type)
         m = {
             "==": pc.equal,
             ">=": pc.greater_equal,
             ">": pc.greater,
             "<=": pc.less_equal,
             "<": pc.less,
-        }[op](arr, scalar)
-    return int(pc.sum(pc.and_kleene(m, pc.is_valid(arr))).as_py() or 0)
+        }[op](arr, _typed_scalar(arr.type, v))
+    return pc.fill_null(pc.and_kleene(m, pc.is_valid(arr)), False)
+
+
+def _exact_matches(arr: pa.Array, op: str, v) -> int:
+    import pyarrow.compute as pc
+
+    return int(pc.sum(_match_mask(arr, op, v)).as_py() or 0)
 
 
 def count_file(path: str, conjuncts: list[tuple], stats_out: dict | None = None) -> int:
@@ -346,36 +381,20 @@ def count_file(path: str, conjuncts: list[tuple], stats_out: dict | None = None)
                 decoded.setdefault(seq, {})[col] = decode_array(
                     payloads[i].as_py(), meta_by[seq][col]
                 )
+    import pyarrow.compute as pc
+
     for seq, cjs in boundary.items():
         arrs = decoded.get(seq, {})
-        if len(cjs) == 1:
-            c, op, v = cjs[0]
-            total += _exact_matches(arrs[c], op, v)
-            continue
-        # multi-conjunct boundary: AND the per-conjunct masks
-        import pyarrow.compute as pc
-
         mask = None
         for c, op, v in cjs:
-            arr = arrs[c]
-            if op == "notnull":
-                m = pc.is_valid(arr)
-            elif op == "isnull":
-                m = pc.is_null(arr)
-            elif op == "in":
-                m = pc.and_kleene(
-                    pc.is_in(arr, value_set=pa.array(v, type=arr.type)), pc.is_valid(arr)
+            if c not in arrs:
+                raise ValueError(
+                    f"chunk {seq} of {path} is missing predicate column "
+                    f"{c!r} (file written by a different layout?)"
                 )
-            elif op == "startswith":
-                m = pc.and_kleene(pc.starts_with(arr, pattern=v), pc.is_valid(arr))
-            else:
-                cmp = {
-                    "==": pc.equal, ">=": pc.greater_equal, ">": pc.greater,
-                    "<=": pc.less_equal, "<": pc.less,
-                }[op](arr, pa.scalar(v, type=arr.type))
-                m = pc.and_kleene(cmp, pc.is_valid(arr))
+            m = _match_mask(arrs[c], op, v)
             mask = m if mask is None else pc.and_kleene(mask, m)
-        total += int(pc.sum(pc.fill_null(mask, False)).as_py() or 0)
+        total += int(pc.sum(mask).as_py() or 0)
     return total
 
 

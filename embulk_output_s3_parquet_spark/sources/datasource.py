@@ -252,18 +252,31 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
         unknown = set(self._cluster) - {f.name for f in schema.fields}
         if unknown:
             raise ValueError(f"cluster_by: unknown columns {sorted(unknown)}")
-        table = EncodedTable.create(
-            path, schema, policy, if_exists="delete" if overwrite else "error"
-        )
-        if self._cluster and table.properties().get("write-order") != self._cluster:
-            table.set_property("write-order", self._cluster)
-        table.clean_staging()
-        self._path = path
-        self._staging = table.new_staging()
-        # created eagerly: an all-empty write must still commit an empty
-        # part set (commit_staging lists this dir) instead of crashing
-        # after an overwrite already dropped the old table
+        import uuid as _uuid
+
+        from ..plans.policy import ConfigException
+
+        exists = os.path.exists(os.path.join(path, "manifest.json"))
+        if exists and not overwrite:
+            raise ConfigException(
+                f"table {path} already exists (append semantics live with "
+                "encode_job part_base; use mode('overwrite') to replace)"
+            )
+        self._deferred_overwrite = exists and overwrite
+        if not exists:
+            EncodedTable.create(path, schema, policy, if_exists="error")
+        # staging lives OUTSIDE the table dir: a deferred overwrite must not
+        # touch the old table until commit() (kill-safe -- a failed
+        # overwrite leaves the previous data fully intact), and the delete
+        # at commit time must not sweep the staged files away with it.
+        # Created eagerly so an all-empty write still commits an empty set.
+        import shutil as _shutil
+
+        for stale in glob.glob(f"{path.rstrip('/')}.staging-*"):
+            _shutil.rmtree(stale, ignore_errors=True)  # killed prior writers
+        self._staging = f"{path.rstrip('/')}.staging-{_uuid.uuid4().hex[:12]}"
         os.makedirs(self._staging, exist_ok=True)
+        self._path = path
         self._schema = schema
         self._policy = policy
         self._first_col = schema.fields[0].name
@@ -332,43 +345,19 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
             row_group_size=rows_per_group,
             compression="none",
         )
-        seqs = enc.column("chunk_seq").to_pylist()
-        cols = enc.column("col").to_pylist()
-        shas = enc.column("payload_sha").to_pylist()
-        manifest_sha = __import__("hashlib").sha256(
-            "".join(s for _, _, s in sorted(zip(seqs, cols, shas))).encode()
-        ).hexdigest()
-        import json as _json
+        from ..jobs import lineage_row_from_chunks
 
-        from ..jobs import merge_zone
-
-        zones: dict[str, dict] = {}
-        for c, mj in zip(cols, enc.column("meta").to_pylist()):
-            m = _json.loads(mj)
-            e = {
-                "t": m.get("t", ""), "n": int(m.get("n", 0)),
-                "z": int(m.get("z", 0)), "mm": m.get("mm"),
-            }
-            cur = zones.get(c)
-            if cur is None:
-                zones[c] = e
-            else:
-                cur["n"] += e["n"]
-                cur["z"] += e["z"]
-                cur["mm"] = merge_zone(cur["t"], cur["mm"], e["mm"])
-        lineage = {
-            "rows": sum(
-                n for c, n in zip(cols, enc.column("n").to_pylist())
-                if c == self._first_col
-            ),
-            "zones": zones,
-            "chunks": len(set(seqs)),
-            "raw_bytes": sum(enc.column("raw_bytes").to_pylist()),
-            "enc_bytes": sum(enc.column("enc_bytes").to_pylist()),
-            "sha256_manifest": manifest_sha,
-            "codecs": sorted(set(enc.column("codec").to_pylist())),
-            "wall_s": round(time.time() - t0, 3),
-        }
+        lineage = lineage_row_from_chunks(
+            enc.column("chunk_seq").to_pylist(),
+            enc.column("col").to_pylist(),
+            enc.column("meta").to_pylist(),
+            enc.column("payload_sha").to_pylist(),
+            enc.column("raw_bytes").to_pylist(),
+            enc.column("enc_bytes").to_pylist(),
+            enc.column("n").to_pylist(),
+            self._first_col,
+        )
+        lineage["wall_s"] = round(time.time() - t0, 3)
         return _PartCommit(pid, lineage, fname)
 
     def commit(self, messages) -> None:
@@ -376,6 +365,16 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
 
         from .tables import EncodedTable
 
+        if self._deferred_overwrite:
+            # every task succeeded: NOW replace the old table (the only
+            # destructive step, after all new data is safely staged)
+            EncodedTable.create(
+                self._path, self._schema, self._policy, if_exists="delete"
+            )
+        if self._cluster:
+            t = EncodedTable(self._path)
+            if t.properties().get("write-order") != self._cluster:
+                t.set_property("write-order", self._cluster)
         good = [m for m in messages if m is not None and m.lineage]
         lineage = {m.part_id: m.lineage for m in good}
         # task-retry / speculation safety: a failed or speculative attempt

@@ -333,3 +333,56 @@ def test_bloom_fires_without_zone(spark, tmp_path):
 
     assert t.filter(pc.equal(t.column("k"), probe)).num_rows == 1
     assert st["chunks_skipped"] > st["chunks_total"] * 0.5, st
+
+
+def test_overwrite_is_kill_safe(spark, tmp_path):
+    """mode('overwrite') must not touch the old table until commit(): a
+    writer that dies before commit leaves the previous data fully intact."""
+    from embulk_output_s3_parquet_spark.jobs import decode_job
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableArrowWriter,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "ks")
+    docs.write.format("enctable").mode("append").save(path)
+    before = decode_job(spark, path).count()
+
+    # simulate a dying overwrite: init + one task write, then abort
+    w = EncodedTableArrowWriter(path, docs.schema, {}, overwrite=True)
+    msg = w.write(iter(docs.limit(7).toArrow().to_batches()))
+    w.abort([msg])
+    assert decode_job(spark, path).count() == before  # old table untouched
+
+    # and a completed overwrite still replaces it
+    docs.limit(7).write.format("enctable").mode("overwrite").save(path)
+    assert decode_job(spark, path).count() == 7
+
+
+def test_count_literal_coercion_boundary_chunks(spark, tmp_path):
+    """Exact boundary evaluation must accept the same literal shapes the
+    zone layer does: ISO strings vs timestamp columns, floats vs decimals
+    (review finding: pa.scalar raised ArrowTypeError on boundary chunks)."""
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.jobs import count_job
+    from embulk_output_s3_parquet_spark.sources.pyreader import count_table
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast(T.DecimalType(12, 2)).alias("dec"),
+    )
+    path = str(tmp_path / "lit")
+    encode_job(spark, ev, path, CodecPolicy(chunk_rows=64), if_exists="error")
+    cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").first()[0]
+    import datetime as dt
+
+    cut_dt = dt.datetime.fromtimestamp(cut / 1e6, dt.timezone.utc)
+    iso = cut_dt.replace(tzinfo=None).isoformat()
+    want_ts = ev.filter(F.col("ts") >= F.lit(cut_dt)).count()
+    assert count_job(spark, path, where=("ts", ">=", iso)) == want_ts
+    assert count_table(path, where=("ts", ">=", iso)) == want_ts
+    want_dec = ev.filter(F.col("dec") >= 50).count()
+    assert count_job(spark, path, where=("dec", ">=", 50.0)) == want_dec
+    assert count_table(path, where=("dec", ">=", "50.00")) == want_dec
