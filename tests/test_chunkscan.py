@@ -369,3 +369,90 @@ def test_bloom_unit_properties():
     )
     # floats unsupported -> no filter, never skips
     assert bloom.build(pa.array([1.5, 2.5])) is None
+
+
+# ------------------------------------------------------- predicate fuzzing
+
+
+def _brute_count(values: list, op: str, v) -> int:
+    def ok(x):
+        if op == "notnull":
+            return x is not None
+        if op == "isnull":
+            return x is None
+        if x is None:
+            return False
+        if op == "in":
+            return x in v
+        if op == "startswith":
+            return str(x).startswith(v)
+        return {
+            "==": x == v, ">=": x >= v, ">": x > v, "<=": x <= v, "<": x < v
+        }[op]
+
+    return sum(1 for x in values if ok(x))
+
+
+def test_fuzz_count_and_scan_against_brute_force(tmp_path):
+    """Property check over the whole pruning stack: for randomized chunked
+    int/string columns (nulls included, bloom on) and every op family,
+    count_file == brute-force count and the scan's may-match surviving
+    rows, exactly filtered, == brute-force selection."""
+    import random
+
+    from embulk_output_s3_parquet_spark.codecs import encode_array, meta_to_json
+    from embulk_output_s3_parquet_spark.sources.chunkscan import count_file
+
+    rng = random.Random(7)
+    for trial in range(12):
+        is_str = trial % 2 == 0
+        n_chunks = rng.randint(1, 5)
+        rows, chunks = [], []
+        vals_all = []
+        for seq in range(n_chunks):
+            n = rng.randint(0, 40)
+            if is_str:
+                vs = [
+                    None if rng.random() < 0.15 else f"k{rng.randint(0, 30):03d}"
+                    for _ in range(n)
+                ]
+                arr = pa.array(vs, pa.string())
+            else:
+                vs = [
+                    None if rng.random() < 0.15 else rng.randint(-50, 50)
+                    for _ in range(n)
+                ]
+                arr = pa.array(vs, pa.int64())
+            vals_all.extend(vs)
+            payload, meta = encode_array(arr, bloom=True)
+            chunks.append((seq, payload, meta))
+        path = str(tmp_path / f"f{trial}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "chunk_seq": [s for s, _, _ in chunks],
+                    "col": ["v"] * len(chunks),
+                    "meta": [meta_to_json(m) for _, _, m in chunks],
+                    "payload": [p for _, p, _ in chunks],
+                }
+            ),
+            path, row_group_size=1, compression="none",
+        )
+        lit = f"k{rng.randint(0, 30):03d}" if is_str else rng.randint(-50, 50)
+        ops = [
+            ("==", lit), (">=", lit), ("<", lit),
+            ("in", [lit, (f"k{rng.randint(0,30):03d}" if is_str else rng.randint(-50, 50))]),
+            ("notnull", None), ("isnull", None),
+        ]
+        if is_str:
+            ops.append(("startswith", lit[:2]))
+        for op, v in ops:
+            want = _brute_count(vals_all, op, v)
+            got = count_file(path, [("v", op, v)])
+            assert got == want, (trial, op, v, got, want)
+            surv, _, dec = scan_file(path, ["v"], [("v", op, v)])
+            got_rows = [
+                x for s in surv for x in dec["v"][s].to_pylist()
+            ]
+            exact = _brute_count(got_rows, op, v)
+            assert exact == want, (trial, op, v, "scan may-match lost rows")
