@@ -678,7 +678,8 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_output_s3_parquet_spark.functions.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, hasher="md5"
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, hasher="md5",
+        sample_mod=2,  # shingle-universe subsample: unbiased Jaccard, half the agg work
     ).orderBy("id_a", "id_b")
 
 
@@ -691,7 +692,9 @@ def _mh32(expr: str, seed: int = 0) -> str:
     return f"CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
 
 
-def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, k: int = 5) -> str:
+def _minhash_lsh_sql(
+    num_hashes: int = 32, bands: int = 8, k: int = 5, sample_mod: int = 2
+) -> str:
     rpb = num_hashes // bands
     mins = ",\n         ".join(
         f"min((h1 + {i} * h2) % {_MH_M}) AS m{i}" for i in range(num_hashes)
@@ -722,6 +725,7 @@ WITH toks AS (
          {_mh32('s')} % {_MH_M} AS h1,
          {_mh32('s', 7)} % {_MH_M} + 1 AS h2
   FROM sh
+  WHERE ({_mh32('s', 13)}) % {sample_mod} = 0
 ), sig AS (
   SELECT id,
          {mins}

@@ -181,6 +181,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     hasher: str = "xx",
+    sample_mod: int = 1,
 ) -> DataFrame:
     """MinHash signature per doc via double hashing: h_i = (h1 + i*h2) mod M
     with M = 2^31 (Kirsch-Mitzenmacher construction). Two hash calls per
@@ -189,22 +190,33 @@ def minhash_signatures(
     overflows Spark's ANSI-checked bigint ops.
 
     ``hasher``: "xx" (default, xxhash64 scale path) or "md5"
-    (DuckDB-twinned portable hash for independent verification)."""
+    (DuckDB-twinned portable hash for independent verification).
+
+    ``sample_mod`` > 1 keeps only shingles with hash(s, seed 13) % mod == 0
+    -- a SHINGLE-UNIVERSE subsample: both documents of any pair keep
+    exactly the same subset, so Jaccard over the sample is an unbiased
+    estimate of the true Jaccard and LSH semantics are preserved, at
+    1/mod the signature-aggregation work. The right knob at 100 TB where
+    the 64-way min aggregation over (docs x shingles) dominates; leave 1
+    for short documents (few shingles -> noisy sampled signatures)."""
     m = 2**31
     if hasher == "xx":
         h1 = F.pmod(F.xxhash64("s"), F.lit(m))
         h2 = F.pmod(F.xxhash64("s", F.lit(7)), F.lit(m)) + 1
+        keep = F.pmod(F.xxhash64("s", F.lit(13)), F.lit(sample_mod)) == 0
     else:
         h1 = F.pmod(portable_hash32(F.col("s"), 0), F.lit(m))
         h2 = F.pmod(portable_hash32(F.col("s"), 7), F.lit(m)) + 1
+        keep = F.pmod(portable_hash32(F.col("s"), 13), F.lit(sample_mod)) == 0
     ex = (
         # MinHash is duplicate-invariant (min over a multiset == min over
         # its set), so skip the distinct(): one shuffle less, same values
         shingle_stream(df, k, text_col, id_col, dedupe=False)
         .withColumnRenamed("shingle", "s")
-        .withColumn("h1", h1)
-        .withColumn("h2", h2)
     )
+    if sample_mod > 1:
+        ex = ex.where(keep)
+    ex = ex.withColumn("h1", h1).withColumn("h2", h2)
     mins = [
         F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(m))).alias(f"m{i}")
         for i in range(num_hashes)
@@ -223,11 +235,16 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     hasher: str = "xx",
+    sample_mod: int = 1,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
-    Shuffle volume = docs x bands, independent of pair count."""
+    Shuffle volume = docs x bands, independent of pair count.
+    ``sample_mod`` forwards the shingle-universe subsample (see
+    minhash_signatures)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, k, text_col, id_col, hasher)
+    sigs = minhash_signatures(
+        df, num_hashes, k, text_col, id_col, hasher, sample_mod=sample_mod
+    )
 
     def bucket_of(bid: int) -> Column:
         joined = F.concat_ws(

@@ -374,3 +374,30 @@ def test_materialize_once_uses_reliable_checkpoint_when_configured(spark, tmp_pa
         assert glob.glob(str(tmp_path / "ckpt" / "*")), "no reliable checkpoint written"
     finally:
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+
+
+def test_minhash_shingle_universe_sampling(spark, docs):
+    """sample_mod keeps a deterministic shingle-universe subset: both docs
+    of a near-dup pair lose the SAME shingles, so LSH still surfaces the
+    high-jaccard pairs (unbiased Jaccard over the sample), with 1/mod the
+    aggregation input."""
+    import embulk_output_s3_parquet_spark.functions.dedup as D
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(docs, num_hashes=32, bands=16, k=3).collect()
+    }
+    sampled = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(
+            docs, num_hashes=32, bands=16, k=3, sample_mod=2
+        ).collect()
+    }
+    # the exact high-jaccard pairs must still be found
+    hi = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    assert hi and hi <= sampled, (hi - sampled)
+    # sampling perturbs, not destroys, the candidate set
+    assert len(sampled & full) >= len(full) * 0.5
