@@ -541,6 +541,54 @@ def verify_table(spark: SparkSession, table_path: str) -> list[dict]:
     return problems
 
 
+def vacuum_job(table_path: str, dry_run: bool = False) -> dict:
+    """Maintenance cleanup (the remove-orphan-files analogue of Iceberg's
+    maintenance actions): delete part dirs the lineage does not claim
+    (leftovers of killed pre-commit waves), stale ``.staging-*`` dirs both
+    inside and beside the table, and lineage-shard dirs of superseded
+    generations. Committed data is NEVER touched -- readers ignore
+    everything vacuum removes, so this only reclaims space.
+
+    Returns {"orphan_parts": [...], "staging_dirs": n, "stale_shard_dirs": n};
+    ``dry_run`` reports without deleting."""
+    import glob as _glob
+    import os
+    import re
+    import shutil
+
+    table = EncodedTable(table_path)
+    committed = table.completed_parts()
+    report = {"orphan_parts": [], "staging_dirs": 0, "stale_shard_dirs": 0}
+    if os.path.isdir(table.data_dir):
+        for name in os.listdir(table.data_dir):
+            if not name.startswith("part_id="):
+                continue
+            pid = int(name.split("=", 1)[1])
+            if pid not in committed:
+                report["orphan_parts"].append(pid)
+                if not dry_run:
+                    shutil.rmtree(os.path.join(table.data_dir, name), ignore_errors=True)
+    gen = table.manifest().get("parts_gen", 0)
+    for name in os.listdir(table.path):
+        stale_staging = name.startswith(".staging-")
+        m = re.fullmatch(r"parts-(\d+)", name)
+        stale_gen = m is not None and int(m.group(1)) != gen
+        if stale_staging:
+            report["staging_dirs"] += 1
+        elif stale_gen:
+            report["stale_shard_dirs"] += 1
+        else:
+            continue
+        if not dry_run:
+            shutil.rmtree(os.path.join(table.path, name), ignore_errors=True)
+    for stale in _glob.glob(f"{table.path.rstrip('/')}.staging-*"):
+        report["staging_dirs"] += 1
+        if not dry_run:
+            shutil.rmtree(stale, ignore_errors=True)
+    report["orphan_parts"].sort()
+    return report
+
+
 def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
     """ANALYZE-style per-column stats from chunk metadata only: rows, null
     count, and the zone-map [min, max] aggregated across chunks -- the

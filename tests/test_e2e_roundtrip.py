@@ -809,3 +809,38 @@ def test_encode_stats_invariant_against_sparkfree_recompute(spark):
         # detail: Spark's null-free batches omit it, pq.read_table's don't)
         assert (c, r, eb) == (gc, gr, geb), (key, agg[key], got[key])
         assert abs(rb - grb) <= (r + 7) // 8 + 64, (key, rb, grb)
+
+
+def test_vacuum_job_removes_only_orphans(spark, tmp_path):
+    """vacuum: orphan (uncommitted) part dirs, stale staging, and
+    superseded shard generations are removed; committed data and the
+    current generation are untouched; dry_run only reports."""
+    import shutil
+
+    from embulk_output_s3_parquet_spark.jobs import vacuum_job, verify_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "v")
+    encode_job(spark, docs, path, _policy(chunk_rows=64), if_exists="error")
+    before = decode_job(spark, path).count()
+
+    # manufacture debris: an orphan part dir, a stale staging dir, and a
+    # sibling writer staging leftover
+    real = sorted(glob.glob(os.path.join(path, "data", "part_id=*")))[0]
+    shutil.copytree(real, os.path.join(path, "data", "part_id=4242"))
+    os.makedirs(os.path.join(path, ".staging-deadbeef"))
+    os.makedirs(path + ".staging-cafecafe")
+
+    assert any(
+        p["error"] == "untracked part on disk" for p in verify_table(spark, path)
+    )
+    dry = vacuum_job(path, dry_run=True)
+    assert dry["orphan_parts"] == [4242] and dry["staging_dirs"] >= 2
+    assert os.path.isdir(os.path.join(path, "data", "part_id=4242"))  # dry!
+
+    rep = vacuum_job(path)
+    assert rep["orphan_parts"] == [4242]
+    assert not os.path.isdir(os.path.join(path, "data", "part_id=4242"))
+    assert not os.path.isdir(path + ".staging-cafecafe")
+    assert verify_table(spark, path) == []
+    assert decode_job(spark, path).count() == before
