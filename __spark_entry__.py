@@ -740,15 +740,11 @@ ORDER BY id_a, id_b
 """
 
 
-def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hi/lo split keeps both halves unsigned (SQL-reassemblable); md5 hasher
-    # gives the DuckDB twin. Production simhash64 keeps xxhash64 + one long.
-    from embulk_output_s3_parquet_spark.functions.dedup import simhash64_hilo
-
-    return simhash64_hilo(_t(spark, sf_dir, "documents"), hasher="md5").orderBy("id")
-
-
 def _simhash_sql() -> str:
+    # simhash64 itself is covered THROUGH simhash_near_dups: this CTE is the
+    # full hi/lo simhash oracle embedded in _simhash_bands_sql (the standalone
+    # simhash64 query was folded in to stay under the driver's 50-query cap;
+    # the Spark-side kernel keeps its own pytest in test_functions.py).
     votes = ",\n         ".join(
         "sum(CASE WHEN ({h} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}".format(
             h="h_lo" if b < 32 else "h_hi", sh=b % 32, b=b
@@ -1099,15 +1095,6 @@ LEFT JOIN ent e ON e.media_id = b.media_id
 ORDER BY b.media_id
 """
 
-_MM_FRAMES_SQL = """
-SELECT doc_id AS media_id, CAST(f.f AS INT) AS frame_ms
-FROM documents,
-     unnest(generate_series(0, greatest(CAST(length(text) AS INT) * 10 - 1, 0), 500)) AS f(f)
-WHERE doc_id % 3 = 2
-ORDER BY media_id, frame_ms
-"""
-
-
 # ---------------------------------------------------------------------------
 # engine stats (non-SQL-expressible -> rows-only check)
 # ---------------------------------------------------------------------------
@@ -1230,6 +1217,11 @@ def _rt_via_catalyst_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.write.format("enctable").mode("overwrite")
         .option("chunk_rows", "512").save(path)
     )
+    # runtime SQL conf: the driver's session doesn't set it, and Spark 4.1
+    # hard-errors on a reader exposing pushFilters without it. The DataSource
+    # also degrades gracefully when off (EncodedTablePlainReader), but set it
+    # here so the driver exercises the full pushdown surface.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark.read.format("enctable").load(path).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -1371,37 +1363,98 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_media(docs, "text", "doc_id")).orderBy("media_id")
 
 
-def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # projection drops resized_sha (stub-rng-derived, not SQL-expressible;
-    # its determinism is pytest-gated) so the rest value-checks exactly
+def _mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (image kind) + frame sampling (video kind) as ONE multimodal
+    pipeline query: both operators' outputs union into a single frame so the
+    contract covers both under the driver's 50-query budget (round-3 finding:
+    the 51st query got no CORRECTNESS row). Resize rows carry
+    width/height/n_bytes_out with null frame_ms; frame rows the reverse."""
     from embulk_output_s3_parquet_spark.functions.multimodal import (
         attach_media,
         resize_media,
+        sample_frames,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return (
-        resize_media(attach_media(docs, "text", "doc_id"), width=32, height=16)
+    media = attach_media(docs, "text", "doc_id")
+    resized = (
+        resize_media(media, width=32, height=16)
         .select("media_id", "kind", "width", "height", "n_bytes_out")
-        .orderBy("media_id")
+        .withColumn("frame_ms", F.lit(None).cast("int"))
     )
+    frames = sample_frames(media, every_ms=500).select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_bytes_out"),
+        F.col("frame_ms").cast("int").alias("frame_ms"),
+    )
+    return resized.unionByName(frames).orderBy("media_id", "frame_ms")
 
 
-_MM_RESIZE_SQL = """
+_MM_PIPELINE_SQL = """
 SELECT doc_id AS media_id, 'image' AS kind,
        CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
-       CAST(32 * 16 * 3 AS INT) AS n_bytes_out
-FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
+       CAST(32 * 16 * 3 AS INT) AS n_bytes_out,
+       CAST(NULL AS INT) AS frame_ms
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id AS media_id, 'video' AS kind,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST(NULL AS INT) AS n_bytes_out, CAST(f.f AS INT) AS frame_ms
+FROM documents,
+     unnest(generate_series(0, greatest(CAST(length(text) AS INT) * 10 - 1, 0), 500)) AS f(f)
+WHERE doc_id % 3 = 2
+ORDER BY media_id, frame_ms
 """
 
 
-def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from embulk_output_s3_parquet_spark.functions.multimodal import attach_media, sample_frames
+def _enctable_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully idiomatic SQL surface end-to-end in ONE query (round-3
+    VERDICT #8): ``df.write.format("enctable")`` with cluster_by + bloom
+    options, a temp view over ``spark.read.format("enctable")``, and a
+    selective ``spark.sql`` whose predicates reach ``pushFilters`` -- zones
+    prune the clustered n_chars range, the lang bloom prunes point probes.
+    Values must match the same SQL over the plain table."""
+    import hashlib as _h
+    import os
+    import tempfile
 
-    docs = _t(spark, sf_dir, "documents")
-    return sample_frames(attach_media(docs, "text", "doc_id"), every_ms=500).orderBy(
-        "media_id", "frame_ms"
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
     )
+
+    try:
+        spark.dataSource.register(EncodedTableDataSource)
+    except Exception:
+        pass  # already registered in this session
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sqlscan_{_h.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    (
+        docs.write.format("enctable").mode("overwrite")
+        .option("chunk_rows", "64")
+        .option("cluster_by", "n_chars")
+        .option("bloom_columns", "lang")
+        .save(path)
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.read.format("enctable").load(path).createOrReplaceTempView(
+        "enc_docs_sql_v"
+    )
+    return spark.sql(
+        "SELECT doc_id, lang, n_chars FROM enc_docs_sql_v "
+        "WHERE n_chars >= 450 AND lang = 'en' ORDER BY doc_id"
+    )
+
+
+_ENCTABLE_SQL_PUSHDOWN_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars >= 450 AND lang = 'en' ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1479,8 +1532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "clean_documents_pipeline": _clean_pipeline,
             "clean_encode_roundtrip": _clean_encode_roundtrip,
             "minhash_lsh_candidates": _minhash_lsh,
-            "simhash64": _simhash,
             "simhash_near_dups": _simhash_near_dups,
+            "multimodal_pipeline": _mm_pipeline,
+            "enctable_sql_pushdown": _enctable_sql_pushdown,
             "ann_cosine_topk": _ann_topk,
             "ann_over_encoded": _ann_over_encoded,
             "ann_lsh_topk": _ann_lsh,
@@ -1494,8 +1548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "point_lookup_over_encoded": _point_lookup_over_encoded,
             "encoded_table_stats": _encoded_table_stats,
             "multimodal_features": _mm_features,
-            "multimodal_resize": _mm_resize,
-            "multimodal_frame_sampling": _mm_frames,
         }
     )
     return q
@@ -1541,10 +1593,9 @@ def oracle_sql() -> dict[str, str]:
             "point_lookup_over_encoded": _POINT_LOOKUP_SQL,
             "encoded_table_stats": _table_stats_sql(),
             "multimodal_features": _MM_FEATURES_SQL,
-            "multimodal_resize": _MM_RESIZE_SQL,
-            "multimodal_frame_sampling": _MM_FRAMES_SQL,
+            "multimodal_pipeline": _MM_PIPELINE_SQL,
+            "enctable_sql_pushdown": _ENCTABLE_SQL_PUSHDOWN_SQL,
             "minhash_lsh_candidates": _minhash_lsh_sql(num_hashes=32, bands=8, k=5),
-            "simhash64": _simhash_sql(),
             "simhash_near_dups": _simhash_bands_sql(),
             "ann_lsh_topk": _ann_lsh_sql(),
             "ann_ivf_topk": _ANN_IVF_SQL,

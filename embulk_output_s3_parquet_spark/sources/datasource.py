@@ -79,20 +79,51 @@ def filter_to_conjunct(f: Filter, names: set[str]) -> tuple | None:
     return (attr[0], op, value)
 
 
-class EncodedTableReader(DataSourceReader):
+def _filter_pushdown_enabled() -> bool:
+    """Whether ``spark.sql.python.filterPushdown.enabled`` is on for the query
+    being planned.
+
+    Spark 4.1 refuses to *initialize* a Python DataSource reader that defines
+    ``pushFilters`` unless this conf is set (DATA_SOURCE_PUSHDOWN_DISABLED in
+    ``pyspark/sql/worker/plan_data_source_read.py:376-388``), so availability
+    of the enctable surface must not depend on the conf: when it is off we
+    hand Spark a reader *without* the hook (zone pruning simply doesn't fire;
+    Spark applies every filter exactly anyway).
+
+    ``reader()`` runs inside the plan_data_source_read worker, which has no
+    SparkSession -- but that worker reads the conf into a local named
+    ``enable_pushdown`` immediately before calling ``reader()``, so walk the
+    stack for it. Fall back to the active session's conf (pytest / driver-side
+    construction); unknown defaults to False (the always-works path).
+    """
+    import sys
+
+    f = sys._getframe()
+    while f is not None:
+        if "enable_pushdown" in f.f_locals and "infile" in f.f_locals:
+            return bool(f.f_locals["enable_pushdown"])
+        f = f.f_back
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            v = s.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            return str(v).lower() == "true"
+    except Exception:
+        pass
+    return False
+
+
+class EncodedTablePlainReader(DataSourceReader):
+    """Batch reader WITHOUT the ``pushFilters`` hook: the degraded surface
+    Spark gets when python filter pushdown is disabled. Identical results --
+    part/zone pruning just never fires (Spark applies all filters itself)."""
+
     def __init__(self, path: str, schema: StructType, columns: list[str] | None):
         self._fields, self._names = _prepare_fields(schema, columns)
         self._table_path = path
         self._conjuncts: list[tuple] = []
-
-    def pushFilters(self, filters: list[Filter]):
-        for f in filters:
-            c = filter_to_conjunct(f, self._names)
-            if c is not None:
-                self._conjuncts.append(c)
-            # zone pruning is may-match: Spark must re-apply EVERY filter,
-            # so all of them are yielded back as "unsupported"
-            yield f
 
     def partitions(self):
         # called after pushFilters: part-zone lineage summaries prune whole
@@ -113,6 +144,22 @@ class EncodedTableReader(DataSourceReader):
             raise FileNotFoundError(f"committed part missing: {partition.value}")
         for tbl in iter_part_tables(files, self._fields, self._conjuncts):
             yield from tbl.to_batches()
+
+
+class EncodedTableReader(EncodedTablePlainReader):
+    """The full reader: adds ``pushFilters`` so supported predicates become
+    zone conjuncts (chunk + part pruning). Only handed to Spark when
+    ``spark.sql.python.filterPushdown.enabled`` is true -- see
+    :func:`_filter_pushdown_enabled`."""
+
+    def pushFilters(self, filters: list[Filter]):
+        for f in filters:
+            c = filter_to_conjunct(f, self._names)
+            if c is not None:
+                self._conjuncts.append(c)
+            # zone pruning is may-match: Spark must re-apply EVERY filter,
+            # so all of them are yielded back as "unsupported"
+            yield f
 
 
 def _prepare_fields(schema: StructType, columns: list[str] | None):
@@ -428,10 +475,16 @@ class EncodedTableDataSource(DataSource):
             raise ValueError(f"unknown columns: {sorted(missing)}")
         return StructType([f for f in full.fields if f.name in want])
 
-    def reader(self, schema: StructType) -> EncodedTableReader:
+    def reader(self, schema: StructType) -> DataSourceReader:
         columns = self.options.get("columns")
         want = [c.strip() for c in columns.split(",")] if columns else None
-        return EncodedTableReader(self._path(), schema, want)
+        # availability over pruning: only expose pushFilters when the session
+        # actually allows it (Spark hard-errors on the hook otherwise).
+        # .option("pushdown", "false") force-disables for A/B comparison.
+        opt = str(self.options.get("pushdown", "")).lower()
+        enabled = _filter_pushdown_enabled() if opt == "" else opt == "true"
+        cls = EncodedTableReader if enabled else EncodedTablePlainReader
+        return cls(self._path(), schema, want)
 
     def streamReader(self, schema: StructType) -> EncodedTableStreamReader:
         columns = self.options.get("columns")

@@ -68,6 +68,29 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+
+    # contract-shape guards (round-3 finding: the driver checks at most 50
+    # queries and silently drops the rest -- the 51st lost its CORRECTNESS
+    # row). Declared rows-only queries are the ONLY allowed oracle gaps.
+    DRIVER_QUERY_CAP = 50
+    ROWS_ONLY_DECLARED = {"encode_stats_documents"}
+    if len(qs) > DRIVER_QUERY_CAP:
+        failures.append("contract:query-cap")
+        print(
+            f"FAIL contract: {len(qs)} queries > driver cap {DRIVER_QUERY_CAP} "
+            f"-- the driver drops the tail; merge or reorder entries"
+        )
+    orphan_oracles = sorted(set(oracles) - set(qs))
+    if orphan_oracles:
+        failures.append("contract:orphan-oracles")
+        print(f"FAIL contract: oracle_sql keys missing from queries(): {orphan_oracles}")
+    undeclared_rows_only = sorted(set(qs) - set(oracles) - ROWS_ONLY_DECLARED)
+    if undeclared_rows_only:
+        failures.append("contract:undeclared-rows-only")
+        print(
+            "FAIL contract: queries without an oracle and not in the declared "
+            f"rows-only set: {undeclared_rows_only}"
+        )
     for name, fn in qs.items():
         if only and name not in only:
             continue

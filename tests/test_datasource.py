@@ -386,3 +386,72 @@ def test_count_literal_coercion_boundary_chunks(spark, tmp_path):
     want_dec = ev.filter(F.col("dec") >= 50).count()
     assert count_job(spark, path, where=("dec", ">=", 50.0)) == want_dec
     assert count_table(path, where=("dec", ">=", "50.00")) == want_dec
+
+
+def test_reader_degrades_when_pushdown_conf_off(spark, enc_docs):
+    """Spark 4.1 hard-errors on a Python reader exposing pushFilters when
+    spark.sql.python.filterPushdown.enabled is false
+    (DATA_SOURCE_PUSHDOWN_DISABLED). The DataSource must stay AVAILABLE in
+    that state: reader() returns a pushFilters-free EncodedTablePlainReader
+    and queries answer exactly (pruning is an optimization, not semantics)."""
+    path, docs = enc_docs
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    saved = spark.conf.get(conf_key, "false")
+    try:
+        spark.conf.set(conf_key, "false")
+        df = spark.read.format("enctable").load(path)
+        got = (
+            df.filter(F.col("n_chars") >= 450)
+            .select("doc_id").orderBy("doc_id").collect()
+        )
+        want = (
+            docs.filter(F.col("n_chars") >= 450)
+            .select("doc_id").orderBy("doc_id").collect()
+        )
+        assert got == want
+        spark.conf.set(conf_key, "true")
+        got_on = (
+            spark.read.format("enctable").load(path)
+            .filter(F.col("n_chars") >= 450)
+            .select("doc_id").orderBy("doc_id").collect()
+        )
+        assert got_on == want
+    finally:
+        spark.conf.set(conf_key, saved)
+
+
+def test_reader_class_selection_by_conf(spark, enc_docs):
+    """Driver-side construction path: reader() picks the pushdown subclass
+    only when the active session's conf allows it (or an explicit
+    .option('pushdown', ...) overrides)."""
+    from pyspark.sql.datasource import CaseInsensitiveDict
+
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTablePlainReader,
+    )
+
+    path, _ = enc_docs
+    schema = spark.read.format("enctable").load(path).schema
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    saved = spark.conf.get(conf_key, "false")
+
+    def mk(**opts):
+        ds = EncodedTableDataSource(CaseInsensitiveDict({"path": path, **opts}))
+        return ds.reader(schema)
+
+    try:
+        spark.conf.set(conf_key, "false")
+        from pyspark.sql.datasource import DataSourceReader
+
+        r = mk()
+        assert type(r) is EncodedTablePlainReader
+        # Spark's gate: an OVERRIDDEN pushFilters trips the conf error
+        assert r.pushFilters.__func__ is DataSourceReader.pushFilters
+        spark.conf.set(conf_key, "true")
+        assert type(mk()) is EncodedTableReader
+        # explicit option wins over conf in both directions
+        assert type(mk(pushdown="false")) is EncodedTablePlainReader
+        spark.conf.set(conf_key, "false")
+        assert type(mk(pushdown="true")) is EncodedTableReader
+    finally:
+        spark.conf.set(conf_key, saved)
