@@ -25,7 +25,10 @@ from .base import (
     pack_sections,
     reinsert_nulls,
     type_from_name,
+    type_from_tree,
     type_name,
+    type_needs_tree,
+    type_to_tree,
     unpack_sections,
 )
 
@@ -85,6 +88,8 @@ def encode_array(
         "z": null_count,
         "m": cmeta,
     }
+    if type_needs_tree(arr.type):
+        meta["tt"] = type_to_tree(arr.type)
     zone = _zone_of(values)
     if zone is not None:
         meta["mm"] = zone
@@ -228,12 +233,15 @@ def _prefix_upper_bound(p: str) -> str | None:
 
 def decode_array(payload: bytes, meta: dict) -> pa.Array:
     n, null_count = meta["n"], meta["z"]
+    # the structural tree ("tt") is authoritative when present: str(type) is
+    # ambiguous for nested field names containing ', ' / ': ' (base.py)
+    t = type_from_tree(meta["tt"]) if "tt" in meta else type_from_name(meta["t"])
     validity, body = unpack_sections(payload)
-    values = CODECS[meta["c"]].decode(body, meta["m"], n - null_count, meta["t"])
+    values = CODECS[meta["c"]].decode(body, meta["m"], n - null_count, t)
     if null_count == 0:
         return values
     if null_count == n:
-        return pa.nulls(n, type=type_from_name(meta["t"]))
+        return pa.nulls(n, type=t)
     return reinsert_nulls(values, validity, n)
 
 

@@ -44,8 +44,12 @@ _CHILD_META_KEYS = ("c", "t", "n", "z", "m")
 
 def _child_meta(meta: dict) -> dict:
     # child stats/zones are chunk-internal noise at the table level; keep
-    # only what decode needs (same trimming as the vec codec)
-    return {k: meta[k] for k in _CHILD_META_KEYS}
+    # only what decode needs (same trimming as the vec codec). "tt" is the
+    # structural type tree -- present only when str(type) is ambiguous.
+    out = {k: meta[k] for k in _CHILD_META_KEYS}
+    if "tt" in meta:
+        out["tt"] = meta["tt"]
+    return out
 
 
 def encode_struct(values: pa.Array) -> tuple[bytes, dict]:

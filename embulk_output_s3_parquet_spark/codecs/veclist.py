@@ -60,7 +60,8 @@ def encode(values: pa.Array) -> tuple[bytes, dict]:
     child_payload, child_meta = encode_array(child)
     # child stats/zones are chunk-internal noise at the table level; keep
     # only what decode needs (codec, type, counts, codec meta)
-    child_meta = {k: child_meta[k] for k in ("c", "t", "n", "z", "m")}
+    keep = ("c", "t", "n", "z", "m") + (("tt",) if "tt" in child_meta else ())
+    child_meta = {k: child_meta[k] for k in keep}
     payload = pack_sections(
         [block_compress(pack_uints((lens - base).astype(np.uint64), width)), child_payload]
     )

@@ -394,6 +394,10 @@ def _write_chunk_files(encoded: DataFrame, staging: str) -> None:
         encoded.sortWithinPartitions("part_id", "col", "chunk_seq")
         .write.option("parquet.block.size", _CHUNK_ROW_GROUP_BYTES)
         .partitionBy("part_id")
+        # append: the staging dir pre-exists holding only the .writer-lock
+        # (new_staging); the dir itself is uuid-fresh so this never mixes
+        # with another run's files
+        .mode("append")
         .parquet(staging, compression="none")
     )
 
@@ -541,7 +545,9 @@ def verify_table(spark: SparkSession, table_path: str) -> list[dict]:
     return problems
 
 
-def vacuum_job(table_path: str, dry_run: bool = False) -> dict:
+def vacuum_job(
+    table_path: str, dry_run: bool = False, stale_after_s: float | None = None
+) -> dict:
     """Maintenance cleanup (the remove-orphan-files analogue of Iceberg's
     maintenance actions): delete part dirs the lineage does not claim
     (leftovers of killed pre-commit waves), stale ``.staging-*`` dirs both
@@ -568,12 +574,22 @@ def vacuum_job(table_path: str, dry_run: bool = False) -> dict:
                 report["orphan_parts"].append(pid)
                 if not dry_run:
                     shutil.rmtree(os.path.join(table.data_dir, name), ignore_errors=True)
+    from .sources.tables import STAGING_STALE_S, staging_is_live
+
+    if stale_after_s is None:
+        stale_after_s = STAGING_STALE_S
     gen = table.manifest().get("parts_gen", 0)
+    report["live_staging_skipped"] = 0
     for name in os.listdir(table.path):
         stale_staging = name.startswith(".staging-")
         m = re.fullmatch(r"parts-(\d+)", name)
         stale_gen = m is not None and int(m.group(1)) != gen
         if stale_staging:
+            # never sweep a LIVE writer's staging from under it (ADVICE r3):
+            # a concurrent vacuum must not fail an in-flight commit
+            if staging_is_live(os.path.join(table.path, name), stale_after_s):
+                report["live_staging_skipped"] += 1
+                continue
             report["staging_dirs"] += 1
         elif stale_gen:
             report["stale_shard_dirs"] += 1
@@ -582,6 +598,9 @@ def vacuum_job(table_path: str, dry_run: bool = False) -> dict:
         if not dry_run:
             shutil.rmtree(os.path.join(table.path, name), ignore_errors=True)
     for stale in _glob.glob(f"{table.path.rstrip('/')}.staging-*"):
+        if staging_is_live(stale, stale_after_s):
+            report["live_staging_skipped"] += 1
+            continue
         report["staging_dirs"] += 1
         if not dry_run:
             shutil.rmtree(stale, ignore_errors=True)

