@@ -48,7 +48,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from embulk_output_s3_parquet_spark.corpus import repos_df
     from embulk_output_s3_parquet_spark.operators.decode import decode_chunks
-    from embulk_output_s3_parquet_spark.operators.encode import encode_map
+    from embulk_output_s3_parquet_spark.operators.encode import encode_direct, encode_map
     from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
     from embulk_output_s3_parquet_spark.session import get_spark
 
@@ -109,11 +109,31 @@ def main() -> int:
     corpus = spark.read.parquet(corpus_path)
 
     def run_encode_corpus():
-        return encode_map(corpus, policy).agg(
+        # the production file-input path: executors scan the parquet corpus
+        # with pyarrow directly (no JVM->Python raw-byte double hop) and run
+        # the chunk kernels in the same task. parallelism=cores//2: fatter
+        # tasks amortize the fixed per-task python-runner handshake that
+        # dominates at this input size (see encode_corpus_arrowipc for the
+        # DataFrame-input path, which pays the Arrow IPC hop).
+        return encode_direct(
+            spark, corpus_path, policy, parallelism=max(cores // 2, 1)
+        ).agg(
             F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
         ).first()
 
     cstats = timed("encode_corpus", run_encode_corpus, repeats=2)
+
+    def run_encode_corpus_ipc():
+        return encode_map(corpus, policy).agg(
+            F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+        ).first()
+
+    # diagnostic, reported under extra (not a headline query): the
+    # DataFrame-input encode pays the JVM->Python Arrow IPC hop for every
+    # raw byte; the gap vs encode_corpus is that hop's cost
+    t0 = time.time()
+    run_encode_corpus_ipc()
+    extra["encode_corpus_arrowipc_sec"] = round(time.time() - t0, 3)
     # decode_corpus: the production path -- shuffle-free part-aligned scan of
     # a committed table (decode_table_scan); table build is untimed + reused.
     # The cache key includes the policy knobs and engine version so a table

@@ -15,8 +15,6 @@ this codec is engine-new per the north rule.
 
 from __future__ import annotations
 
-from collections import Counter
-
 import numpy as np
 import pyarrow as pa
 
@@ -54,23 +52,34 @@ def _free_bytes(data: bytes, want: int) -> list[int]:
 
 
 def _train(sample: bytes, max_symbols: int) -> list[bytes]:
-    counts: Counter[bytes] = Counter()
+    """Candidate symbols by total gain. Same scoring as the original
+    Counter-over-slices loop (overlapping windows, identical steps) but the
+    counting runs as numpy window-view + np.unique -- the Python Counter
+    cost 32ms per 16KB trial and dominated cold-task codec selection
+    (round-3 VERDICT #3)."""
     m = len(sample)
+    if m == 0:
+        return []
+    a = np.frombuffer(sample, np.uint8)
+    scored: list[tuple[int, bytes]] = []
     for ln in _SYM_LENGTHS:
+        if m < ln:
+            continue
         step = 1 if ln <= 4 else 2
-        for i in range(0, m - ln + 1, step):
-            counts[sample[i : i + ln]] += 1
-    scored = sorted(
-        ((cnt * (len(s) - 1), s) for s, cnt in counts.items() if cnt >= 4),
-        key=lambda x: (-x[0], x[1]),
-    )
-    out: list[bytes] = []
-    for gain, s in scored:
-        if gain < _MIN_GAIN:
-            break
-        out.append(s)
-        if len(out) >= max_symbols:
-            break
+        w = np.lib.stride_tricks.sliding_window_view(a, ln)[::step]
+        # pack each window into one uint64 (symbols are <= 8 bytes): unique
+        # on native ints sorts ~5x faster than memcmp on void views
+        packed = np.zeros(len(w), np.uint64)
+        for j in range(ln):
+            packed = (packed << np.uint64(8)) | w[:, j].astype(np.uint64)
+        uniq, counts = np.unique(packed, return_counts=True)
+        keep = counts >= 4
+        gains = counts[keep] * (ln - 1)
+        ok = gains >= _MIN_GAIN
+        for u, g in zip(uniq[keep][ok], gains[ok]):
+            scored.append((int(g), int(u).to_bytes(ln, "big")))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    out = [s for _g, s in scored[:max_symbols]]
     # longest-first substitution order maximizes per-match savings
     out.sort(key=lambda s: (-len(s), s))
     return out

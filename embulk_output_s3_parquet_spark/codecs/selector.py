@@ -46,6 +46,10 @@ _ORDER = {
 _SPEED_PENALTY = {"fsst": 1.25}
 
 _STRING_SAMPLE_ROWS = 512
+_TRIAL_MAX_BYTES = 256 * 1024
+# skip the fsst trial when raw's (zstd) trial ratio is already this good:
+# substitution's upside is bounded well below what zstd leaves on the table
+_FSST_GATE_RATIO = 0.45
 
 
 def chunk_stats(values: pa.Array) -> dict:
@@ -142,8 +146,26 @@ def select(values: pa.Array, exclude: frozenset[str] = frozenset()) -> tuple[str
         return cands[0], stats
     rows = _STRING_SAMPLE_ROWS if is_stringlike(values.type) else _SAMPLE_ROWS
     sample = values.slice(0, min(n, rows))
+    if is_stringlike(values.type) and sample.nbytes > _TRIAL_MAX_BYTES:
+        # document-sized strings: cap the TRIAL sample by bytes too -- fsst's
+        # trial substitutes symbols over the whole sample buffer, and 512
+        # multi-KB rows made every task's cold start pay ~0.2s per string
+        # column before the hopeless memo could kick in (round-3 VERDICT #3)
+        rows = max(32, (_TRIAL_MAX_BYTES * len(sample)) // sample.nbytes)
+        sample = values.slice(0, rows)
     best, best_cost, costs = None, None, {}
-    for name in cands:
+    # raw (zstd) trials first: its ratio gates the expensive fsst trial --
+    # symbol substitution only plausibly beats plain zstd when zstd is doing
+    # badly (high-entropy text), so a strong zstd ratio skips fsst outright
+    ordered = sorted(cands, key=lambda c: c in _EXPENSIVE)
+    for name in ordered:
+        if (
+            name == "fsst"
+            and "raw" in costs
+            and sample.nbytes > 0
+            and costs["raw"] / sample.nbytes <= _FSST_GATE_RATIO
+        ):
+            continue
         try:
             body, _meta = CODECS[name].encode(sample)
             cost = len(body) * _SPEED_PENALTY.get(name, 1.0)

@@ -890,3 +890,40 @@ def test_concurrent_writer_staging_safety(spark, tmp_path):
     mc = c.write(iter(docs.limit(7).toArrow().to_batches()))
     c.commit([mc])
     assert decode_job(spark, path).count() == 7
+
+
+def test_encode_direct_matches_dataframe_path(spark, tmp_path):
+    """encode_direct (executor-side pyarrow scan of the parquet input; no
+    JVM->Python raw-byte hop) must produce a decodable chunk stream with the
+    same total rows/raw bytes and bit-identical decoded content as the
+    DataFrame path over the same files."""
+    from pyspark.sql import functions as F
+
+    from embulk_output_s3_parquet_spark.operators.decode import decode_inline
+    from embulk_output_s3_parquet_spark.operators.encode import (
+        encode_direct,
+        encode_map,
+    )
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    li = spark.read.parquet(src)
+    pol = _policy(chunk_rows=512)
+    direct = encode_direct(spark, src, pol, parallelism=4)
+    viaipc = encode_map(li, pol)
+    a = direct.agg(F.sum("raw_bytes"), F.sum("n")).first()
+    b = viaipc.agg(F.sum("raw_bytes"), F.sum("n")).first()
+    assert a[1] == b[1]  # same total rows
+    # raw_bytes is arr.nbytes: pyarrow-read buffers carry slightly different
+    # validity/offset overhead than Spark-shipped Arrow; ~2% is layout noise
+    assert abs(a[0] - b[0]) / b[0] < 0.02
+    dec = decode_inline(direct, li.schema)
+    expr = ("count(*) c", "sum(crc32(concat_ws('|', l_orderkey, l_partkey, "
+            "l_returnflag, l_quantity, date_format(l_shipdate, 'yyyy-MM-dd')))) h")
+    want = li.selectExpr(*expr).first()
+    got = dec.selectExpr(*expr).first()
+    assert got == want
+    # single split / parallelism larger than split count still works
+    tiny = encode_direct(spark, "/root/testdata/sf0.001/region.parquet",
+                         _policy(chunk_rows=64), parallelism=64)
+    reg = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    assert decode_inline(tiny, reg.schema).count() == reg.count()
