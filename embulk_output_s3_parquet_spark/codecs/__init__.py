@@ -49,6 +49,7 @@ def encode_array(
     codec: str = AUTO,
     exclude: frozenset[str] = frozenset(),
     bloom: bool = False,
+    bloom_m: int | None = None,
 ) -> tuple[bytes, dict]:
     """Encode one column chunk -> (payload bytes, JSON-safe meta dict).
     ``exclude`` forwards the hopeless-loser memo to the auto-selector;
@@ -96,7 +97,7 @@ def encode_array(
     if bloom:
         from . import bloom as _bloom
 
-        bf = _bloom.build(values)
+        bf = _bloom.build(values, m_bits=bloom_m)
         if bf is not None:
             meta["bf"] = bf
     if stats.get("distinct") is not None:

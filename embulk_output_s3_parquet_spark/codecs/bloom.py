@@ -87,7 +87,29 @@ def _canonical_column(values: pa.Array) -> list:
     return pc.cast(pc.cast(values, pa.string()), pa.large_binary()).to_pylist()
 
 
-def build(values: pa.Array) -> dict | None:
+def merge(filters: list[dict | None]) -> dict | None:
+    """OR chunk filters into one part-level filter (same format, probeable
+    by might_contain). Requires every chunk to carry a filter with the SAME
+    geometry (encode passes a policy-derived m to every chunk of a part,
+    tail included); returns None on any gap/mismatch, and None when the
+    union is too saturated to prune anything (bit density > 0.85 -> FPR
+    over ~0.5: storing it would cost manifest bytes for no skips)."""
+    if not filters or any(f is None for f in filters):
+        return None
+    m = filters[0]["m"]
+    k = filters[0]["k"]
+    if any(f["m"] != m or f["k"] != k for f in filters):
+        return None
+    acc = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for f in filters:
+        acc |= np.frombuffer(base64.b64decode(f["b"]), dtype=np.uint8)
+    density = int(np.unpackbits(acc).sum()) / m
+    if density > 0.85:
+        return None
+    return {"m": m, "k": k, "b": base64.b64encode(acc.tobytes()).decode("ascii")}
+
+
+def build(values: pa.Array, m_bits: int | None = None) -> dict | None:
     """Bloom filter over the (null-free) chunk values -> meta dict
     {"m": bits, "k": K, "b": base64} or None for empty/unsupported chunks.
 
@@ -101,7 +123,8 @@ def build(values: pa.Array) -> dict | None:
 
     if len(values) == 0 or not supported_type(values.type):
         return None
-    m_bits = max(_MIN_BITS, len(values) * _BITS_PER_ROW)
+    if m_bits is None:
+        m_bits = max(_MIN_BITS, len(values) * _BITS_PER_ROW)
     bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
     uniq = pc.unique(values)
     datas = [d for d in _canonical_column(uniq) if d is not None]

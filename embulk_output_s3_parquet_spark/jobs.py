@@ -54,6 +54,7 @@ def lineage_row_from_chunks(
 
     zones: dict = {}
     codecs: set = set()
+    chunk_bfs: dict[str, list] = {}
     rows = 0
     for col, n, mj in zip(cols, ns, metas_json):
         m = _json.loads(mj)
@@ -66,6 +67,7 @@ def lineage_row_from_chunks(
             "z": int(m.get("z", 0)),
             "mm": m.get("mm"),
         }
+        chunk_bfs.setdefault(col, []).append(m.get("bf"))
         cur = zones.get(col)
         if cur is None:
             zones[col] = e
@@ -73,6 +75,18 @@ def lineage_row_from_chunks(
             cur["n"] += e["n"]
             cur["z"] += e["z"]
             cur["mm"] = merge_zone(cur["t"], cur["mm"], e["mm"])
+    # part-level blooms: OR the chunk filters (equal geometry within a part,
+    # codecs/bloom.merge) so a point lookup prunes whole PARTS driver-side
+    # via pruned_part_dirs/_survives -- zones can't exclude unsorted
+    # high-cardinality keys, exactly the columns blooms are opted into.
+    # merge returns None (no entry, no manifest bytes) on any gap or when
+    # the union is too saturated to ever skip.
+    from .codecs import bloom as _bloom
+
+    for col, bfs in chunk_bfs.items():
+        merged = _bloom.merge(bfs)
+        if merged is not None:
+            zones[col]["bf"] = merged
     sha = _h.sha256(
         "".join(s for _, _, s in sorted(zip(seqs, cols, shas))).encode()
     ).hexdigest()

@@ -98,6 +98,10 @@ def _encode_slices(
     by lang/repo), so re-running sampled trials per chunk pays pure
     overhead. Pass a fresh dict per task."""
     cols: dict[str, list] = {name: [] for name in _ENC_ARROW.names}
+    # one bloom geometry for EVERY chunk of the part (tail included): equal
+    # m is what lets lineage_row_from_chunks OR the chunk filters into a
+    # per-part bloom that prunes whole parts driver-side (round-3 VERDICT #5)
+    bloom_m = max(64, chunk_rows * 10)
     n_rows = table.num_rows
     seq = seq0
     sticky = sticky if sticky is not None else {}
@@ -113,7 +117,8 @@ def _encode_slices(
                 if prev is not None and uses % _RESELECT_EVERY != 0:
                     use = prev
                 payload, meta = encode_array(
-                    arr, use, exclude=excl, bloom=name in bloom_cols
+                    arr, use, exclude=excl, bloom=name in bloom_cols,
+                    bloom_m=bloom_m,
                 )
                 if use == "auto":
                     # hopeless-loser memo: trial-expensive codecs that lost
@@ -124,7 +129,9 @@ def _encode_slices(
                     chosen = prev
                 sticky[name] = (chosen, uses + 1, excl)
             else:
-                payload, meta = encode_array(arr, codec, bloom=name in bloom_cols)
+                payload, meta = encode_array(
+                    arr, codec, bloom=name in bloom_cols, bloom_m=bloom_m
+                )
             cols["part_id"].append(part_id)
             cols["chunk_seq"].append(seq)
             cols["col"].append(name)

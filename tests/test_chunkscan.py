@@ -551,3 +551,60 @@ def test_subunit_decimal_and_date_literals(tmp_path):
     midnight = datetime.datetime(2020, 1, 2)
     assert count_file(path, [("d", "==", midnight)]) == 1
     assert count_file(path, [("d", ">=", midnight)]) == 3
+
+
+def test_part_level_bloom_prunes_whole_parts(spark_fixtureless=None):
+    """Round-3 VERDICT #5: chunk blooms prune chunks, but a point lookup on
+    an unsorted high-card column still scheduled a task per part (lineage
+    zones span the whole domain). The lineage now carries a per-part OR of
+    the chunk blooms (equal geometry within a part), so pruned_part_dirs
+    excludes most parts driver-side."""
+    # pure-python unit test of the merge + _survives composition
+    import base64 as b64
+
+    import numpy as np
+
+    from embulk_output_s3_parquet_spark.codecs import bloom
+    from embulk_output_s3_parquet_spark.sources.chunkscan import _survives
+
+    rng = np.random.default_rng(7)
+    m = 64 * 10  # the policy geometry for chunk_rows=64
+    parts = {}
+    for pid in range(8):
+        vals = [f"sha{pid}_{i}" for i in range(64)]
+        chunks = [
+            bloom.build(pa.array(vals[:32]), m_bits=m),
+            bloom.build(pa.array(vals[32:]), m_bits=m),
+        ]
+        merged = bloom.merge(chunks)
+        assert merged is not None and merged["m"] == m
+        # every value of the part must probe positive in the merged filter
+        for v in vals:
+            assert bloom.might_contain(merged, v)
+        parts[pid] = {"c": {"t": "string", "n": 64, "z": 0, "mm": None, "bf": merged}}
+
+    # a key from part 3 must keep part 3; most other parts are excluded
+    survivors = [
+        pid for pid, zones in parts.items()
+        if _survives(zones, [("c", "==", "sha3_17")])
+    ]
+    assert 3 in survivors
+    assert len(survivors) < 8, "no part was pruned by the part-level bloom"
+
+    # mismatched geometry or missing chunk filter -> no part bloom
+    assert bloom.merge([bloom.build(pa.array(["a"] * 64), m_bits=m), None]) is None
+    assert (
+        bloom.merge(
+            [
+                bloom.build(pa.array(["a"] * 64), m_bits=m),
+                bloom.build(pa.array(["b"] * 64), m_bits=2 * m),
+            ]
+        )
+        is None
+    )
+    # saturated union (density > 0.85) is dropped rather than stored
+    dense = [
+        bloom.build(pa.array([f"x{i}_{j}" for i in range(512)]), m_bits=128)
+        for j in range(4)
+    ]
+    assert bloom.merge(dense) is None
