@@ -313,8 +313,9 @@ def test_resize_media_stub_plumbing(spark, docs):
 
     with _pytest.raises(ValueError, match="bad target size"):
         M.resize_media(media, 0, 4)
-    with _pytest.raises(NotImplementedError):
-        M.resize_media(media, 8, 4, deterministic_fake=False)
+    if not M.HAVE_PIL:
+        with _pytest.raises(NotImplementedError):
+            M.resize_media(media, 8, 4, deterministic_fake=False)
 
 
 def test_simhash_banding_finds_close_pairs(spark, docs):
@@ -401,3 +402,38 @@ def test_minhash_shingle_universe_sampling(spark, docs):
     assert hi and hi <= sampled, (hi - sampled)
     # sampling perturbs, not destroys, the candidate set
     assert len(sampled & full) >= len(full) * 0.5
+
+
+@pytest.mark.skipif(not M.HAVE_PIL, reason="Pillow not installed in this container")
+def test_resize_media_real_kernel_via_same_seam(spark):
+    """The seam's promise (round-3 VERDICT #7): with Pillow present,
+    deterministic_fake=False routes the UNCHANGED wrapper through the real
+    decode+resize kernel. Build tiny real PNGs, resize through Spark, and
+    check shas against Pillow run directly."""
+    import hashlib
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rows = []
+    for i in range(3):
+        arr = (np.arange(12 * 12 * 3, dtype=np.uint8) + i).reshape(12, 12, 3)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        rows.append((i * 3, "image", bytearray(buf.getvalue()), 12, 12, 0))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, meta_width int, "
+        "meta_height int, meta_ms int",
+    )
+    out = {r["media_id"]: r["resized_sha"]
+           for r in M.resize_media(media, 6, 5, deterministic_fake=False).collect()}
+    for i in range(3):
+        arr = (np.arange(12 * 12 * 3, dtype=np.uint8) + i).reshape(12, 12, 3)
+        want = hashlib.sha256(
+            np.asarray(
+                Image.fromarray(arr).convert("RGB").resize((6, 5))
+            ).tobytes()
+        ).hexdigest()
+        assert out[i * 3] == want
