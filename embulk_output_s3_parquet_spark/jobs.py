@@ -214,6 +214,49 @@ def encode_job(
     return table
 
 
+def encode_parquet_job(
+    spark: SparkSession,
+    parquet_path: str,
+    table_path: str,
+    policy: CodecPolicy | None = None,
+    if_exists: str = "skip",
+    max_parts: int | None = None,
+    parallelism: int | None = None,
+) -> EncodedTable:
+    """File-input encode job: executor-side pyarrow split scans
+    (operators.encode.encode_direct -- no JVM->Python raw-byte hop) feeding
+    the SAME staged commit / sharded-lineage / resume protocol as
+    encode_job. part_id = split index is deterministic for a fixed input
+    file set, so a resumed job skips completed splits without re-reading
+    them (``max_parts`` bounds a wave, as in encode_job)."""
+    from .operators.encode import encode_direct
+
+    policy = policy or CodecPolicy()
+    schema = spark.read.parquet(parquet_path).schema
+    policy.validate(schema)
+    t0 = time.time()
+    table = EncodedTable.create(table_path, schema, policy, if_exists=if_exists)
+    table.clean_staging()
+    done = table.completed_parts()
+    # no repartition: a split IS a part and never spans tasks, so the
+    # partitionBy writer already gets whole parts -- zero shuffle end to end
+    encoded = encode_direct(
+        spark, parquet_path, policy, parallelism=parallelism,
+        skip_parts=frozenset(done), max_parts=max_parts,
+    )
+    staging = table.new_staging()
+    _write_chunk_files(encoded, staging)
+    import os
+
+    if not any(n.startswith("part_id=") for n in os.listdir(staging)):
+        table.commit_staging(staging, {})
+        return table
+    on_disk = spark.read.parquet(staging)
+    lineage = _lineage_rows(on_disk, schema.fields[0].name, time.time() - t0)
+    table.commit_staging(staging, lineage)
+    return table
+
+
 def decode_job(
     spark: SparkSession,
     table_path: str,

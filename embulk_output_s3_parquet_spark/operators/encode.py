@@ -277,6 +277,8 @@ def encode_direct(
     parquet_path: str,
     policy: CodecPolicy,
     parallelism: int | None = None,
+    skip_parts: frozenset[int] = frozenset(),
+    max_parts: int | None = None,
 ) -> DataFrame:
     """Encode a parquet-backed corpus with executor-side pyarrow scans.
 
@@ -346,15 +348,25 @@ def encode_direct(
     bloom_cols = frozenset(policy.bloom_columns)
     cpus = parallelism or spark.sparkContext.defaultParallelism
 
-    # ONE python stage, no repartition shuffle: createDataFrame slices the
+    # part_id = split index: DETERMINISTIC for a fixed input file set, so a
+    # resumed job (skip_parts = completed part_ids from the manifest) maps
+    # the remaining splits back to the same ids without re-reading anything
+    rows = [
+        (i, f, a, b)
+        for i, (f, a, b) in enumerate(splits)
+        if i not in skip_parts
+    ]
+    if max_parts is not None:
+        rows = rows[:max_parts]
+    if not rows:
+        return spark.createDataFrame([], ENCODED_SCHEMA)
+    # ONE python stage, no repartition shuffle: parallelize slices the
     # split list round-robin across numSlices, and each task loops over its
     # splits (task-launch overhead is per-task, so fewer, fatter tasks win
     # until kernel wall dominates -- measured round 4 on local[32])
-    n_tasks = min(len(splits), max(cpus, 1))
+    n_tasks = min(len(rows), max(cpus, 1))
     split_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(i, f, a, b) for i, (f, a, b) in enumerate(splits)], n_tasks
-        ),
+        spark.sparkContext.parallelize(rows, n_tasks),
         "part_id long, file string, rg0 int, rg1 int",
     )
 

@@ -45,6 +45,12 @@ def main() -> int:
         help="record per-chunk Bloom filters on these columns (equality/IN "
         "data skipping for point lookups; string/binary/int only)",
     )
+    ap.add_argument(
+        "--direct", action="store_true",
+        help="with --input-parquet: executor-side pyarrow split scans "
+        "(encode_parquet_job) instead of the DataFrame path -- no "
+        "JVM->Python raw-byte hop; same commit/resume protocol",
+    )
     ap.add_argument("--verify", action="store_true", help="decode + per-row sha256 equality check")
     args = ap.parse_args()
 
@@ -52,7 +58,12 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from embulk_output_s3_parquet_spark.corpus import repos_df
-    from embulk_output_s3_parquet_spark.jobs import decode_job, encode_job, table_metrics
+    from embulk_output_s3_parquet_spark.jobs import (
+        decode_job,
+        encode_job,
+        encode_parquet_job,
+        table_metrics,
+    )
     from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
 
     spark = SparkSession.builder.getOrCreate()
@@ -119,11 +130,19 @@ def main() -> int:
     spark.range(0, n_cores * 2, 1, n_cores * 2).mapInArrow(_noop, "n int").count()
 
     t0 = time.time()
-    table = encode_job(
-        spark, df, args.out, policy, if_exists=args.if_exists,
-        max_parts=args.max_parts,
-        cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
-    )
+    if args.direct:
+        if not args.input_parquet:
+            raise SystemExit("--direct requires --input-parquet")
+        table = encode_parquet_job(
+            spark, args.input_parquet, args.out, policy,
+            if_exists=args.if_exists, max_parts=args.max_parts,
+        )
+    else:
+        table = encode_job(
+            spark, df, args.out, policy, if_exists=args.if_exists,
+            max_parts=args.max_parts,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        )
     wall = time.time() - t0
     m = table_metrics(table)
     m.update(wall_s=round(wall, 2), gbps=round(m["raw_bytes"] / max(wall, 1e-9) / 1e9, 4))

@@ -962,3 +962,37 @@ def test_point_lookup_prunes_parts_via_lineage_blooms(spark, tmp_path):
     assert got == want
     # a value that exists nowhere prunes everything
     assert t.pruned_part_dirs([("source", "==", "no-such-source-xyz")]) == []
+
+
+def test_encode_parquet_job_commit_and_resume(spark, tmp_path):
+    """encode_parquet_job: the pyarrow-direct split scan feeding the SAME
+    staged commit / lineage / resume protocol. part_id = split index is
+    deterministic, so a wave-limited run resumes by skipping completed
+    splits; the finished table verifies green and round-trips exactly."""
+    from embulk_output_s3_parquet_spark.jobs import encode_parquet_job, verify_table
+
+    src = str(tmp_path / "src.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(6).write.parquet(src)
+    pol = _policy(chunk_rows=64, target_partition_bytes=1 << 20)
+    path = str(tmp_path / "enc")
+
+    t1 = encode_parquet_job(spark, src, path, pol, if_exists="error", max_parts=2)
+    done1 = t1.completed_parts()
+    assert len(done1) == 2
+    lin1 = t1.lineage()
+
+    t2 = encode_parquet_job(spark, src, path, pol, if_exists="skip")
+    assert done1 < t2.completed_parts()
+    for p in done1:  # committed parts untouched by the resume
+        assert t2.lineage()[p]["sha256_manifest"] == lin1[p]["sha256_manifest"]
+    assert verify_table(spark, path) == []
+
+    got = decode_job(spark, path)
+    assert got.count() == docs.count()
+    a = got.selectExpr("sum(crc32(concat_ws('|', doc_id, text, lang))) h").first()
+    b = docs.selectExpr("sum(crc32(concat_ws('|', doc_id, text, lang))) h").first()
+    assert a == b
+    # complete table: a further resume is a no-op
+    t3 = encode_parquet_job(spark, src, path, pol, if_exists="skip")
+    assert t3.completed_parts() == t2.completed_parts()
