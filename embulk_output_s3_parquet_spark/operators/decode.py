@@ -132,19 +132,35 @@ def decode_table_scan(
         from ..plans.policy import ConfigException
 
         raise ConfigException(f"table {table.path} has no committed partitions")
-    par = min(len(dirs), spark.sparkContext.defaultParallelism * 2)
-    path_df = spark.createDataFrame([(d,) for d in dirs], "dir string").repartition(par)
+    cores = spark.sparkContext.defaultParallelism
+    # sub-part fan-out: with fewer parts than cores (small tables, or a
+    # heavily part-pruned scan), split each part's chunk list into n_sub
+    # contiguous slices so decode parallelism tracks the cluster, not the
+    # part count. Each slice re-reads only the tiny metadata columns; its
+    # payload pass reads just the row groups its own chunks admit. At scale
+    # (parts >> cores) n_sub stays 1 -- no extra meta reads.
+    n_sub = max(1, min(-(-cores // len(dirs)), 16)) if len(dirs) < cores else 1
+    rows = [(d, i, n_sub) for d in dirs for i in range(n_sub)]
+    par = min(len(rows), cores * 2)
+    path_df = spark.createDataFrame(
+        rows, "dir string, slice_i int, n_slices int"
+    ).repartition(par)
 
     def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..sources.chunkscan import iter_part_tables
 
         for b in batches:
-            for d in b.column(0).to_pylist():
+            for d, slice_i, n_slices in zip(
+                b.column(0).to_pylist(),
+                b.column(1).to_pylist(),
+                b.column(2).to_pylist(),
+            ):
                 files = sorted(glob.glob(os.path.join(d, "*.parquet")))
                 if not files:
                     raise FileNotFoundError(f"committed part missing: {d}")
                 st: dict | None = {} if counters is not None else None
-                for tbl in iter_part_tables(files, fields, conjuncts, st):
+                sl = (slice_i, n_slices) if n_slices > 1 else None
+                for tbl in iter_part_tables(files, fields, conjuncts, st, slice_of=sl):
                     yield from tbl.to_batches()
                 if counters is not None:
                     for k, acc in counters.items():

@@ -223,9 +223,16 @@ def scan_file(
     names: list[str],
     conjuncts: list[tuple],
     stats_out: dict | None = None,
+    slice_of: tuple[int, int] | None = None,
 ) -> tuple[list[int], dict, dict]:
     """Scan ONE chunk parquet file -> (surviving chunk_seqs in order,
     {seq: {col: meta}}, {col: {seq: decoded pa.Array}}).
+
+    ``slice_of=(i, n)`` keeps only the i-th of n contiguous slices of the
+    surviving chunk list BEFORE the payload pass: n tasks can then decode
+    one part concurrently, each reading only the row groups its own slice
+    admits (decode parallelism no longer capped by part count -- the meta
+    pass is re-read per slice, but it never touches payload bytes).
 
     ``stats_out`` (optional) accumulates {"rg_total", "rg_read",
     "chunks_total", "chunks_skipped"} for pruning-behavior assertions."""
@@ -245,12 +252,20 @@ def scan_file(
     surviving = sorted(
         seq for seq, cols in meta_by.items() if _survives(cols, conjuncts)
     )
-    if stats_out is not None:
+    # file-level stats are recorded once (by slice 0) so slicing a part
+    # across n tasks doesn't multiply chunks_total / misreport other
+    # slices' chunks as "skipped"; rg_read below stays per-slice (real IO)
+    if stats_out is not None and (slice_of is None or slice_of[0] == 0):
         stats_out["chunks_total"] = stats_out.get("chunks_total", 0) + len(meta_by)
         stats_out["chunks_skipped"] = stats_out.get("chunks_skipped", 0) + (
             len(meta_by) - len(surviving)
         )
         stats_out["rg_total"] = stats_out.get("rg_total", 0) + pf.metadata.num_row_groups
+    if slice_of is not None:
+        i, n = slice_of
+        lo = (len(surviving) * i) // n
+        hi = (len(surviving) * (i + 1)) // n
+        surviving = surviving[lo:hi]
     decoded: dict[str, dict[int, pa.Array]] = {c: {} for c in names}
     if not surviving:
         return surviving, meta_by, decoded
@@ -511,13 +526,18 @@ def iter_part_tables(
     fields: list[tuple[str, pa.DataType]],
     conjuncts: list[tuple],
     stats_out: dict | None = None,
+    slice_of: tuple[int, int] | None = None,
 ):
     """Decode a committed part's files -> one pa.Table per surviving chunk,
     columns in ``fields`` order. Every chunk's rows live in one file (one
-    task emits a chunk's column rows together), so files scan independently."""
+    task emits a chunk's column rows together), so files scan independently.
+    ``slice_of=(i, n)``: decode only the i-th of n contiguous chunk slices
+    per file (sub-part decode parallelism, see scan_file)."""
     names = [n for n, _ in fields]
     for path in sorted(files):
-        surviving, meta_by, decoded = scan_file(path, names, conjuncts, stats_out)
+        surviving, meta_by, decoded = scan_file(
+            path, names, conjuncts, stats_out, slice_of=slice_of
+        )
         for seq in surviving:
             arrays = []
             for name, ftype in fields:

@@ -608,3 +608,29 @@ def test_part_level_bloom_prunes_whole_parts(spark_fixtureless=None):
         for j in range(4)
     ]
     assert bloom.merge(dense) is None
+
+
+def test_scan_file_slices_partition_chunks_exactly(chunk_file):
+    """Sub-part decode parallelism: the n contiguous slices of a file's
+    surviving chunks are disjoint, cover everything, and each slice's
+    payload pass reads fewer row groups than a full scan."""
+    path, data = chunk_file
+    from embulk_output_s3_parquet_spark.sources.chunkscan import scan_file
+
+    full, _, _ = scan_file(path, ["k", "s"], [])
+    n = 3
+    got = []
+    rg_reads = []
+    for i in range(n):
+        st: dict = {}
+        surv, _, decoded = scan_file(path, ["k", "s"], [], st, slice_of=(i, n))
+        got.extend(surv)
+        rg_reads.append(st.get("rg_read", 0))
+        for seq in surv:  # each slice fully decodes its own chunks
+            assert decoded["k"][seq] is not None and decoded["s"][seq] is not None
+    assert got == full  # disjoint cover, in order
+    assert all(r < N_CHUNKS for r in rg_reads), rg_reads  # pruned per slice
+    # a slice composes with zone conjuncts
+    st = {}
+    surv, _, _ = scan_file(path, ["k"], [("k", ">=", 16)], st, slice_of=(0, 2))
+    assert all(s >= 4 for s in surv)
