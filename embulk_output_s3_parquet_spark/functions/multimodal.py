@@ -141,11 +141,24 @@ def _resize_kernel_batch_pil(
     exercised by a skip-marked pytest that only runs where Pillow exists."""
     import io
 
-    out_shas = []
-    for b in payloads:
-        img = _PILImage.open(io.BytesIO(b)).convert("RGB").resize((width, height))
+    sizes = np.full(len(payloads), height * width * 3, dtype=np.int64)
+    out_shas: list[str | None] = []
+    for i, b in enumerate(payloads):
+        if not b:  # null/empty payload: null output row, not a task crash
+            sizes[i] = 0
+            out_shas.append(None)
+            continue
+        try:
+            img = _PILImage.open(io.BytesIO(b)).convert("RGB").resize(
+                (width, height)
+            )
+        except Exception as e:  # undecodable bytes: name the row, fail loud
+            raise ValueError(
+                f"payload at batch index {i} ({len(b)} bytes) is not a "
+                f"decodable image: {type(e).__name__}: {e}"
+            ) from e
         out_shas.append(hashlib.sha256(np.asarray(img).tobytes()).hexdigest())
-    return np.full(len(payloads), height * width * 3, dtype=np.int64), out_shas
+    return sizes, out_shas
 
 
 def _resize_kernel_batch(

@@ -229,15 +229,32 @@ def encode_parquet_job(
     encode_job. part_id = split index is deterministic for a fixed input
     file set, so a resumed job skips completed splits without re-reading
     them (``max_parts`` bounds a wave, as in encode_job)."""
-    from .operators.encode import encode_direct
+    from .operators.encode import encode_direct, plan_parquet_splits
 
     policy = policy or CodecPolicy()
-    schema = spark.read.parquet(parquet_path).schema
+    # schema + fingerprint from the SAME footer-based planner encode_direct
+    # uses (one derivation: a JVM spark.read here could map timestamps
+    # differently and would pay a redundant listing)
+    _splits, schema, fingerprint = plan_parquet_splits(parquet_path, policy)
     policy.validate(schema)
     t0 = time.time()
     table = EncodedTable.create(table_path, schema, policy, if_exists=if_exists)
     table.clean_staging()
     done = table.completed_parts()
+    recorded = table.properties().get("direct-input-fingerprint")
+    if done and recorded is not None and recorded != fingerprint:
+        # part_id = split index: if the input file set or the split target
+        # changed since the first wave, the completed indices name DIFFERENT
+        # data now -- resuming would silently skip unencoded rows and
+        # collide part_ids. Refuse loudly.
+        raise ConfigException(
+            f"resume refused: input under {parquet_path} changed since this "
+            f"table's first wave (split fingerprint {recorded[:12]} -> "
+            f"{fingerprint[:12]}); re-encode with if_exists='delete' or "
+            "restore the original input"
+        )
+    if recorded is None:
+        table.set_property("direct-input-fingerprint", fingerprint)
     # no repartition: a split IS a part and never spans tasks, so the
     # partitionBy writer already gets whole parts -- zero shuffle end to end
     encoded = encode_direct(

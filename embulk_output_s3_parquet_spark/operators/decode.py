@@ -78,7 +78,12 @@ def scan_counters(spark) -> dict:
     see how many chunks / payload row groups the scan actually skipped --
     the per-job visibility a 100-TB operator needs to confirm zone maps and
     projections are biting (pyreader exposes the same numbers via
-    ``scan_stats``)."""
+    ``scan_stats``).
+
+    Under sub-part slicing (parts < cores), rg_read counts READS: a row
+    group straddling two slices' chunk ranges is read by both tasks, so
+    rg_read can slightly exceed rg_total. chunks_total/chunks_skipped/
+    rg_total stay file-level (recorded once per file by slice 0)."""
     return {k: spark.sparkContext.accumulator(0) for k in SCAN_COUNTER_KEYS}
 
 

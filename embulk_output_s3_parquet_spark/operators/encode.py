@@ -272,6 +272,81 @@ def encode_local(
     )
 
 
+def plan_parquet_splits(parquet_path: str, policy: CodecPolicy):
+    """Driver-side split plan for a parquet input: flat files only (a
+    Hive-partitioned layout is rejected loudly -- partition-column values
+    live in dir names, which the direct scan would silently drop; use the
+    DataFrame path / encode_job for those).
+
+    Returns (splits, spark_schema, fingerprint): splits are
+    (file, rg_lo, rg_hi) targeting ``policy.target_partition_bytes`` from
+    footer metadata (threaded reads -- at 10^6 files this is the same
+    listing cost Spark's own FileSourceScan pays); the schema comes from
+    the first footer (NTZ timestamps, matching spark.read.parquet);
+    the fingerprint pins (file names, row-group counts, target) so a
+    RESUMED encode_parquet_job can refuse a changed input whose split
+    indices no longer mean the same data."""
+    import glob as _glob
+    import hashlib as _h
+    import json as _json
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as _pq
+
+    if os.path.isdir(parquet_path):
+        entries = sorted(
+            p for p in _glob.glob(os.path.join(parquet_path, "*"))
+            if not os.path.basename(p).startswith(("_", "."))
+        )
+        files = [p for p in entries if os.path.isfile(p)]
+        subdirs = [p for p in entries if os.path.isdir(p)]
+        if subdirs:
+            raise ValueError(
+                f"{parquet_path} contains subdirectories "
+                f"({os.path.basename(subdirs[0])}, ...): partitioned "
+                "layouts are not supported by the direct scan (partition "
+                "values live in dir names); use encode_job over "
+                "spark.read.parquet instead"
+            )
+    else:
+        files = [parquet_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {parquet_path}")
+    target = max(policy.target_partition_bytes, 1 << 20)
+
+    def file_splits(f: str) -> list[tuple[str, int, int]]:
+        md = _pq.ParquetFile(f).metadata
+        out, lo, acc = [], 0, 0
+        for rg in range(md.num_row_groups):
+            acc += md.row_group(rg).total_byte_size
+            if acc >= target:
+                out.append((f, lo, rg + 1))
+                lo, acc = rg + 1, 0
+        if lo < md.num_row_groups:
+            out.append((f, lo, md.num_row_groups))
+        return out
+
+    with ThreadPoolExecutor(min(16, max(len(files), 1))) as pool:
+        per_file = list(pool.map(file_splits, files))
+    splits = [s for file_s in per_file for s in file_s]
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    schema = from_arrow_schema(
+        _pq.ParquetFile(files[0]).schema_arrow, prefer_timestamp_ntz=True
+    )
+    fingerprint = _h.sha256(
+        _json.dumps(
+            [target] + [
+                [os.path.basename(f), [s[1:] for s in fs]]
+                for f, fs in zip(files, per_file)
+            ],
+            separators=(",", ":"),
+        ).encode()
+    ).hexdigest()
+    return splits, schema, fingerprint
+
+
 def encode_direct(
     spark,
     parquet_path: str,
@@ -300,48 +375,7 @@ def encode_direct(
     for the full-table encode job (reference parity: the plugin encodes
     every configured column of every page, S3ParquetPageOutput.scala:24-67).
     """
-    import glob as _glob
-    import os
-
-    import pyarrow.parquet as _pq
-
-    if os.path.isdir(parquet_path):
-        files = sorted(
-            f
-            for f in _glob.glob(os.path.join(parquet_path, "*.parquet"))
-            if os.path.isfile(f)
-        ) or sorted(_glob.glob(os.path.join(parquet_path, "*")))
-        files = [f for f in files if not os.path.basename(f).startswith(("_", "."))]
-    else:
-        files = [parquet_path]
-    if not files:
-        raise FileNotFoundError(f"no parquet files under {parquet_path}")
-    target = max(policy.target_partition_bytes, 1 << 20)
-    from concurrent.futures import ThreadPoolExecutor
-
-    def file_splits(f: str) -> list[tuple[str, int, int]]:
-        md = _pq.ParquetFile(f).metadata
-        out, lo, acc = [], 0, 0
-        for rg in range(md.num_row_groups):
-            acc += md.row_group(rg).total_byte_size
-            if acc >= target:
-                out.append((f, lo, rg + 1))
-                lo, acc = rg + 1, 0
-        if lo < md.num_row_groups:
-            out.append((f, lo, md.num_row_groups))
-        return out
-
-    # footer reads release the GIL; at 10^6 files this driver pass is the
-    # same listing cost Spark's own FileSourceScan pays
-    with ThreadPoolExecutor(min(16, max(len(files), 1))) as pool:
-        splits = [s for file_s in pool.map(file_splits, files) for s in file_s]
-    from pyspark.sql.pandas.types import from_arrow_schema
-
-    # schema from the first footer (already open), not a JVM read: matches
-    # spark.read.parquet's NTZ timestamp mapping
-    schema = from_arrow_schema(
-        _pq.ParquetFile(files[0]).schema_arrow, prefer_timestamp_ntz=True
-    )
+    splits, schema, _fp = plan_parquet_splits(parquet_path, policy)
     policy.validate(schema)
     colmap = _resolve_policy(schema, policy)
     chunk_rows = policy.chunk_rows
@@ -371,6 +405,8 @@ def encode_direct(
     )
 
     def enc(batches):
+        import pyarrow.parquet as _pq
+
         sticky: dict[str, str] = {}
         for b in batches:
             for part_id, fname, rg0, rg1 in zip(

@@ -367,7 +367,9 @@ def _typed_scalar(arr_type: pa.DataType, v, op: str = "==") -> pa.Scalar | None:
             return None
         try:
             if isinstance(raw, int):
-                return pa.scalar(raw, type=pa.int32()).cast(arr_type)
+                # build a date object: arrow cannot cast int32->date64
+                d = _dt.date(1970, 1, 1) + _dt.timedelta(days=raw)
+                return pa.scalar(d, type=arr_type)
             return pa.scalar(raw, type=arr_type)
         except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError) as e:
             raise ValueError(

@@ -95,8 +95,17 @@ def _filter_pushdown_enabled() -> bool:
     ``enable_pushdown`` immediately before calling ``reader()``, so walk the
     stack for it. Fall back to the active session's conf (pytest / driver-side
     construction); unknown defaults to False (the always-works path).
+
+    The frame walk depends on a pyspark-private local name: if a pyspark
+    upgrade renames it, reads silently lose pruning (never correctness).
+    ``SPARK_ENCTABLE_PUSHDOWN=1`` in the executor env (or the per-read
+    ``.option("pushdown", "true")``) force-enables as the escape hatch.
     """
+    import os
     import sys
+
+    if os.environ.get("SPARK_ENCTABLE_PUSHDOWN", "") in ("1", "true"):
+        return True
 
     f = sys._getframe()
     while f is not None:

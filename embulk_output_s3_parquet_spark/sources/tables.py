@@ -96,9 +96,20 @@ STAGING_LOCK = ".writer-lock"
 def write_staging_lock(d: str) -> None:
     import socket
 
+    # ppid too: the Catalyst writer's __init__ runs in a transient pyspark
+    # planner worker whose pid may die while executor tasks still write;
+    # its parent (the pyspark daemon) lives as long as the application, so
+    # liveness = ANY recorded pid alive. False-live is a loud
+    # ConfigException; false-dead is silent data loss -- prefer the former.
     with open(os.path.join(d, STAGING_LOCK), "w") as f:
         json.dump(
-            {"pid": os.getpid(), "host": socket.gethostname(), "ts": time.time()}, f
+            {
+                "pid": os.getpid(),
+                "ppid": os.getppid(),
+                "host": socket.gethostname(),
+                "ts": time.time(),
+            },
+            f,
         )
 
 
@@ -121,15 +132,28 @@ def _staging_newest_mtime(d: str) -> float:
 def staging_is_live(d: str, stale_after_s: float = STAGING_STALE_S) -> bool:
     import socket
 
+    def pid_alive(pid) -> bool | None:
+        try:
+            os.kill(int(pid), 0)
+            return True
+        except PermissionError:
+            return True  # EPERM: the process EXISTS (another user's writer)
+        except ProcessLookupError:
+            return False
+        except (OSError, ValueError, TypeError):
+            return None  # can't tell: don't base a sweep decision on it
+
     try:
         with open(os.path.join(d, STAGING_LOCK)) as f:
             lock = json.load(f)
         if lock.get("host") == socket.gethostname():
-            try:
-                os.kill(int(lock["pid"]), 0)
-                return True  # creator process is alive on this host
-            except (OSError, ValueError, TypeError):
-                return False  # dead pid: sweepable regardless of mtime
+            states = [
+                pid_alive(lock[k]) for k in ("pid", "ppid") if lock.get(k)
+            ]
+            if any(s is True for s in states):
+                return True  # creator (or its owning app) alive on this host
+            if states and all(s is False for s in states):
+                return False  # both dead: sweepable regardless of mtime
     except (OSError, ValueError):
         pass  # no/garbled lock (pre-r4 staging): mtime heartbeat below
     return (time.time() - _staging_newest_mtime(d)) < stale_after_s

@@ -634,3 +634,27 @@ def test_scan_file_slices_partition_chunks_exactly(chunk_file):
     st = {}
     surv, _, _ = scan_file(path, ["k"], [("k", ">=", 16)], st, slice_of=(0, 2))
     assert all(s >= 4 for s in surv)
+
+
+def test_date64_exact_predicates(tmp_path):
+    """Review r4: the op-aware _typed_scalar rewrite cast int32->date64,
+    which arrow does not support -- date/ISO literals on date64 columns must
+    evaluate exactly (date64 is encodable via _INT_PHYSICAL)."""
+    import datetime
+
+    from embulk_output_s3_parquet_spark.sources.chunkscan import count_file
+
+    rows = {"chunk_seq": [], "col": [], "meta": [], "payload": []}
+    d = pa.array(
+        [datetime.date(2020, 1, i) for i in (1, 2, 3, 4)], pa.date64()
+    )
+    payload, meta = encode_array(d)
+    rows["chunk_seq"].append(0)
+    rows["col"].append("d")
+    rows["meta"].append(meta_to_json(meta))
+    rows["payload"].append(payload)
+    path = str(tmp_path / "d64.parquet")
+    pq.write_table(pa.table(rows), path, row_group_size=1, compression="none")
+    assert count_file(path, [("d", "==", datetime.date(2020, 1, 2))]) == 1
+    assert count_file(path, [("d", ">=", "2020-01-02")]) == 3
+    assert count_file(path, [("d", "==", datetime.datetime(2020, 1, 2, 12))]) == 0

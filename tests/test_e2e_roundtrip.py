@@ -996,3 +996,33 @@ def test_encode_parquet_job_commit_and_resume(spark, tmp_path):
     # complete table: a further resume is a no-op
     t3 = encode_parquet_job(spark, src, path, pol, if_exists="skip")
     assert t3.completed_parts() == t2.completed_parts()
+
+
+def test_encode_parquet_job_refuses_changed_input(spark, tmp_path):
+    """Review r4: a resumed direct job whose input file set changed would
+    map completed split indices to DIFFERENT data -- must refuse loudly."""
+    from embulk_output_s3_parquet_spark.jobs import encode_parquet_job
+
+    src = str(tmp_path / "src.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(4).write.parquet(src)
+    pol = _policy(chunk_rows=64, target_partition_bytes=1 << 20)
+    path = str(tmp_path / "enc")
+    encode_parquet_job(spark, src, path, pol, if_exists="error", max_parts=2)
+
+    # mutate the input: add a file that changes the sorted split plan
+    docs.limit(10).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ConfigException, match="resume refused"):
+        encode_parquet_job(spark, src, path, pol, if_exists="skip")
+
+
+def test_plan_parquet_splits_rejects_partitioned_layout(spark, tmp_path):
+    from embulk_output_s3_parquet_spark.operators.encode import (
+        plan_parquet_splits,
+    )
+
+    src = str(tmp_path / "part.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.partitionBy("lang").parquet(src)
+    with pytest.raises(ValueError, match="partitioned layouts"):
+        plan_parquet_splits(src, _policy())
