@@ -222,6 +222,7 @@ def encode_parquet_job(
     if_exists: str = "skip",
     max_parts: int | None = None,
     parallelism: int | None = None,
+    cluster_by: list[str] | None = None,
 ) -> EncodedTable:
     """File-input encode job: executor-side pyarrow split scans
     (operators.encode.encode_direct -- no JVM->Python raw-byte hop) feeding
@@ -237,8 +238,15 @@ def encode_parquet_job(
     # differently and would pay a redundant listing)
     _splits, schema, fingerprint = plan_parquet_splits(parquet_path, policy)
     policy.validate(schema)
+    cluster = tuple(cluster_by or ())
+    names = {f.name for f in schema.fields}
+    for c in cluster:
+        if c not in names:
+            raise ConfigException(f"cluster_by: unknown column {c!r}")
     t0 = time.time()
     table = EncodedTable.create(table_path, schema, policy, if_exists=if_exists)
+    if cluster and table.properties().get("write-order") != list(cluster):
+        table.set_property("write-order", list(cluster))
     table.clean_staging()
     done = table.completed_parts()
     recorded = table.properties().get("direct-input-fingerprint")
@@ -259,7 +267,7 @@ def encode_parquet_job(
     # partitionBy writer already gets whole parts -- zero shuffle end to end
     encoded = encode_direct(
         spark, parquet_path, policy, parallelism=parallelism,
-        skip_parts=frozenset(done), max_parts=max_parts,
+        skip_parts=frozenset(done), max_parts=max_parts, cluster_by=cluster,
     )
     staging = table.new_staging()
     _write_chunk_files(encoded, staging)

@@ -354,6 +354,7 @@ def encode_direct(
     parallelism: int | None = None,
     skip_parts: frozenset[int] = frozenset(),
     max_parts: int | None = None,
+    cluster_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode a parquet-backed corpus with executor-side pyarrow scans.
 
@@ -377,6 +378,10 @@ def encode_direct(
     """
     splits, schema, _fp = plan_parquet_splits(parquet_path, policy)
     policy.validate(schema)
+    names = {f.name for f in schema.fields}
+    for c in cluster_by:
+        if c not in names:
+            raise ValueError(f"cluster_by: unknown column {c!r}")
     colmap = _resolve_policy(schema, policy)
     chunk_rows = policy.chunk_rows
     bloom_cols = frozenset(policy.bloom_columns)
@@ -420,6 +425,10 @@ def encode_direct(
                 # letting each task spin up arrow's full thread pool
                 # oversubscribes 32x32 and thrashes the box
                 t = pf.read_row_groups(list(range(rg0, rg1)), use_threads=False)
+                if cluster_by:
+                    # per-part write ordering: zones of these columns become
+                    # tight disjoint ranges (same semantics as encode_grouped)
+                    t = t.sort_by([(c, "ascending") for c in cluster_by])
                 eff = _effective_chunk_rows(t, chunk_rows, policy.chunk_bytes)
                 out = _encode_slices(
                     int(part_id), t, colmap, eff, sticky=sticky,

@@ -136,6 +136,7 @@ def main() -> int:
         table = encode_parquet_job(
             spark, args.input_parquet, args.out, policy,
             if_exists=args.if_exists, max_parts=args.max_parts,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
         )
     else:
         table = encode_job(

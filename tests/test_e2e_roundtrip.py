@@ -1026,3 +1026,30 @@ def test_plan_parquet_splits_rejects_partitioned_layout(spark, tmp_path):
     docs.write.partitionBy("lang").parquet(src)
     with pytest.raises(ValueError, match="partitioned layouts"):
         plan_parquet_splits(src, _policy())
+
+
+def test_encode_parquet_job_cluster_by_zones_prune(spark, tmp_path):
+    """cluster_by parity on the direct path: per-split sort makes the
+    cluster column's chunk zones tight disjoint ranges, so a selective
+    range scan skips most chunks' payload row groups."""
+    from embulk_output_s3_parquet_spark.jobs import encode_parquet_job
+    from embulk_output_s3_parquet_spark.operators.decode import scan_counters
+    from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+    src = str(tmp_path / "src.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.coalesce(1).write.parquet(src)
+    path = str(tmp_path / "enc")
+    t = encode_parquet_job(
+        spark, src, path, _policy(chunk_rows=64), if_exists="error",
+        cluster_by=["n_chars"],
+    )
+    assert t.properties().get("write-order") == ["n_chars"]
+    ctr = scan_counters(spark)
+    got = (
+        decode_job(spark, path, where=("n_chars", ">=", 450), counters=ctr)
+        .filter(F.col("n_chars") >= 450)
+        .count()
+    )
+    assert got == docs.filter(F.col("n_chars") >= 450).count()
+    assert ctr["chunks_skipped"].value > 0, "clustered zones did not prune"
