@@ -627,6 +627,129 @@ def verify_table(spark: SparkSession, table_path: str) -> list[dict]:
     return problems
 
 
+def _conjunct_condition(conjuncts: list[tuple]):
+    """ANDed Spark Column for exact predicate evaluation of zone conjuncts
+    (the delete predicate): value predicates are never satisfied by nulls,
+    so the result is coalesced to False before use."""
+    conds = []
+    for col, op, v in conjuncts:
+        c = F.col(col)
+        if op == "==":
+            conds.append(c == F.lit(v))
+        elif op == ">=":
+            conds.append(c >= F.lit(v))
+        elif op == "<=":
+            conds.append(c <= F.lit(v))
+        elif op == ">":
+            conds.append(c > F.lit(v))
+        elif op == "<":
+            conds.append(c < F.lit(v))
+        elif op == "in":
+            conds.append(c.isin(list(v)))
+        elif op == "startswith":
+            conds.append(c.startswith(v))
+        elif op == "isnull":
+            conds.append(c.isNull())
+        elif op == "notnull":
+            conds.append(c.isNotNull())
+        else:  # normalize_where already validated; belt and braces
+            raise ConfigException(f"unsupported delete op {op!r}")
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return F.coalesce(out, F.lit(False))
+
+
+def delete_job(
+    spark: SparkSession,
+    table_path: str,
+    where,
+    policy: CodecPolicy | None = None,
+) -> dict:
+    """Row-level DELETE: remove every row matching the ANDed ``where``
+    conjuncts (same shapes as decode_job's ``where``), rewriting ONLY the
+    parts whose zone/bloom summaries admit a match -- the copy-on-write
+    delete of Iceberg/Delta, scoped by the engine's own pruning. At 100 TB
+    a targeted delete (a doc id, a repo, a date range on a clustered
+    column) rewrites a handful of parts; every provably clean part keeps
+    its files and lineage rows untouched.
+
+    Affected parts are decoded in FULL (no chunk pruning -- non-matching
+    rows of matching parts must survive), filtered exactly, re-encoded
+    under fresh part ids, and swapped in atomically via the partial
+    generation flip (``_update_parts``: unchanged lineage shards are
+    hard-linked, a crash before the flip leaves the old table intact).
+
+    Returns {"parts_total", "parts_affected", "parts_rewritten",
+    "rows_deleted"}."""
+    import os
+    import shutil
+
+    from .operators.decode import decode_table_scan
+    from .sources.chunkscan import _survives, normalize_where
+
+    table = EncodedTable(table_path)
+    names = [f.name for f in table.schema().fields]
+    conjuncts = normalize_where(where, names)
+    if not conjuncts:
+        raise ConfigException(
+            "delete_job requires a predicate (use if_exists='delete' on "
+            "encode_job to drop a whole table)"
+        )
+    lineage = table.lineage()
+    all_parts = set(lineage)
+    zones = table.part_zones()
+    affected = {
+        p for p in all_parts if _survives(zones.get(p, {}), conjuncts)
+    }
+    report = {
+        "parts_total": len(all_parts),
+        "parts_affected": len(affected),
+        "parts_rewritten": 0,
+        "rows_deleted": 0,
+    }
+    if not affected:
+        return report
+    rows_before = sum(lineage[p]["rows"] for p in affected)
+
+    df = decode_table_scan(spark, table, parts=affected)
+    keep = df.filter(~_conjunct_condition(conjuncts))
+    policy = policy or table.policy()
+    cluster = tuple(table.properties().get("write-order") or [])
+
+    t0 = time.time()
+    dfp, _plan_out = _plan(keep, policy)
+    encoded = encode_local(dfp, policy, cluster_by=cluster).repartition("part_id")
+    staging = table.new_staging()
+    _write_chunk_files(encoded, staging)
+    new_lineage: dict[int, dict] = {}
+    staged = [
+        n for n in sorted(os.listdir(staging)) if n.startswith("part_id=")
+    ]
+    if staged:
+        on_disk = spark.read.parquet(staging)
+        raw = _lineage_rows(on_disk, table.schema().fields[0].name, time.time() - t0)
+        offset = max(all_parts, default=-1) + 1
+        for name in staged:
+            pid = int(name.split("=", 1)[1])
+            dst = os.path.join(table.data_dir, f"part_id={pid + offset}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)  # uncommitted leftover of a killed run
+            os.rename(os.path.join(staging, name), dst)
+        new_lineage = {pid + offset: row for pid, row in raw.items()}
+    table._update_parts(remove=affected, add=new_lineage)
+    # old affected dirs only AFTER the atomic flip (kill-safe)
+    for p in affected:
+        shutil.rmtree(
+            os.path.join(table.data_dir, f"part_id={p}"), ignore_errors=True
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    rows_after = sum(r["rows"] for r in new_lineage.values())
+    report["parts_rewritten"] = len(new_lineage)
+    report["rows_deleted"] = rows_before - rows_after
+    return report
+
+
 def vacuum_job(
     table_path: str, dry_run: bool = False, stale_after_s: float | None = None
 ) -> dict:

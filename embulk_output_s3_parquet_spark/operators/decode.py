@@ -93,6 +93,7 @@ def decode_table_scan(
     columns: list[str] | None = None,
     where: tuple | None = None,
     counters: dict | None = None,
+    parts: set[int] | None = None,
 ) -> DataFrame:
     """Shuffle-free decode of a committed EncodedTable.
 
@@ -128,8 +129,17 @@ def decode_table_scan(
 
     # driver-side part pruning from the lineage zone summaries: excluded
     # parts never even get a task (at 10^6 parts the scheduler, not the
-    # IO, would otherwise be the bottleneck of a selective query)
-    dirs = table.pruned_part_dirs(conjuncts)
+    # IO, would otherwise be the bottleneck of a selective query).
+    # ``parts`` restricts to an EXPLICIT part set instead (delete_job's
+    # full rewrite decode of zone-admitted parts: every row, no pruning).
+    if parts is not None:
+        import os as _os
+
+        dirs = [
+            _os.path.join(table.data_dir, f"part_id={p}") for p in sorted(parts)
+        ]
+    else:
+        dirs = table.pruned_part_dirs(conjuncts)
     if not dirs and table.completed_parts():
         # every part provably excluded: empty frame, no job at all
         return spark.createDataFrame([], out_schema)

@@ -304,6 +304,61 @@ class EncodedTable:
         self._write_manifest(m)
         shutil.rmtree(os.path.join(self.path, f"parts-{old_gen}"), ignore_errors=True)
 
+    def _update_parts(self, remove: set[int], add: dict[int, dict]) -> None:
+        """Atomic PARTIAL part-set update (row-level delete / targeted
+        rewrite): build the next generation's shard dir by hard-linking the
+        unchanged shard files and rewriting only the shards whose membership
+        changed, then flip the manifest pointer -- O(changed parts + shard
+        count), never O(total parts) IO. Crash before the flip leaves the
+        old generation fully intact (same contract as _replace_parts)."""
+        import shutil
+
+        m = self._core_manifest()
+        if m.get("parts"):
+            # legacy inline lineage: no shard files to link; rewrite fully
+            merged = {int(k): v for k, v in self.lineage().items()}
+            for p in remove:
+                merged.pop(p, None)
+            merged.update(add)
+            self._replace_parts(merged)
+            return
+        old_gen = m.get("parts_gen", 0)
+        old_dir = os.path.join(self.path, f"parts-{old_gen}")
+        new_dir = os.path.join(self.path, f"parts-{old_gen + 1}")
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir, exist_ok=True)
+        touched = {int(p) // SHARD_SIZE for p in remove} | {
+            int(p) // SHARD_SIZE for p in add
+        }
+        if os.path.isdir(old_dir):
+            for name in os.listdir(old_dir):
+                if not (name.startswith("shard-") and name.endswith(".json")):
+                    continue
+                sid = int(name[len("shard-"):-len(".json")])
+                if sid in touched:
+                    continue
+                src = os.path.join(old_dir, name)
+                dst = os.path.join(new_dir, name)
+                try:
+                    os.link(src, dst)  # zero-copy where the fs allows
+                except OSError:
+                    shutil.copy2(src, dst)
+        current = self.lineage()
+        for sid in sorted(touched):
+            rows = {
+                str(p): r
+                for p, r in current.items()
+                if p // SHARD_SIZE == sid and p not in remove
+            }
+            rows.update(
+                {str(p): r for p, r in add.items() if p // SHARD_SIZE == sid}
+            )
+            if rows:
+                self._write_shard_file(new_dir, sid, rows)
+        m["parts_gen"] = old_gen + 1
+        self._write_manifest(m)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
     def set_property(self, key: str, value) -> None:
         """Set a table property in the core manifest (atomic rewrite) --
         e.g. ``write-order`` records the cluster_by layout like Iceberg's

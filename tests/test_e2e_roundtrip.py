@@ -1053,3 +1053,69 @@ def test_encode_parquet_job_cluster_by_zones_prune(spark, tmp_path):
     )
     assert got == docs.filter(F.col("n_chars") >= 450).count()
     assert ctr["chunks_skipped"].value > 0, "clustered zones did not prune"
+
+
+def test_delete_job_rewrites_only_affected_parts(spark, tmp_path):
+    """Row-level DELETE (r4): only parts whose zones/blooms admit a match
+    are rewritten; provably clean parts keep their files (mtime-stable) and
+    lineage rows; results are exact and the table verifies green."""
+    from embulk_output_s3_parquet_spark.jobs import delete_job, verify_table
+    from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "del")
+    # doc_id blooms: part-level bloom unions make a point delete selective
+    # (generic surrogate parts are hash-assigned, so range zones span the
+    # domain -- equality pruning is the bloom's job)
+    encode_job(
+        spark, docs, path,
+        _policy(chunk_rows=64, target_partition_bytes=65536,
+                bloom_columns=("doc_id",)),
+        if_exists="error",
+    )
+    t = EncodedTable(path)
+    before_parts = t.completed_parts()
+    lin_before = t.lineage()
+    mtimes = {
+        p: os.path.getmtime(os.path.join(t.data_dir, f"part_id={p}"))
+        for p in before_parts
+    }
+
+    victim = int(docs.select("doc_id").first()[0])
+    rep = delete_job(spark, path, ("doc_id", "==", victim))
+    assert rep["rows_deleted"] == 1
+    assert 0 < rep["parts_affected"] < rep["parts_total"], rep
+
+    t2 = EncodedTable(path)
+    assert verify_table(spark, path) == []
+    got = decode_job(spark, path)
+    assert got.count() == docs.count() - 1
+    assert got.filter(F.col("doc_id") == victim).count() == 0
+    # untouched parts: same ids, same lineage shas, same file mtimes
+    untouched = before_parts & t2.completed_parts()
+    assert untouched and untouched < before_parts
+    lin_after = t2.lineage()
+    for p in untouched:
+        assert lin_after[p]["sha256_manifest"] == lin_before[p]["sha256_manifest"]
+        assert os.path.getmtime(os.path.join(t.data_dir, f"part_id={p}")) == mtimes[p]
+    # kept rows bit-identical to the source minus the victim
+    a = got.selectExpr("sum(crc32(concat_ws('|', doc_id, text, lang))) h").first()
+    b = (
+        docs.filter(F.col("doc_id") != victim)
+        .selectExpr("sum(crc32(concat_ws('|', doc_id, text, lang))) h").first()
+    )
+    assert a == b
+
+    # range delete: every part may match (hash parts), exactness still holds
+    cut = int(docs.selectExpr("percentile(n_chars, 0.9)").first()[0])
+    want_deleted = docs.filter(
+        (F.col("n_chars") >= cut) & (F.col("doc_id") != victim)
+    ).count()
+    rep2 = delete_job(spark, path, ("n_chars", ">=", cut))
+    assert rep2["rows_deleted"] == want_deleted
+    assert decode_job(spark, path).filter(F.col("n_chars") >= cut).count() == 0
+    assert verify_table(spark, path) == []
+
+    # predicate matching nothing: zero rewrites
+    rep3 = delete_job(spark, path, ("n_chars", ">=", 10**9))
+    assert rep3["parts_affected"] == 0 and rep3["rows_deleted"] == 0
