@@ -336,16 +336,23 @@ def count_job(spark: SparkSession, table_path: str, where=None) -> int:
     # lineage sum (no Spark job at all).
     total = 0
     dirs = []
+    fillable = frozenset(table.added_columns())
     for pid in sorted(lineage):
         row = lineage[pid]
         if not conjuncts:
             total += int(row["rows"])
             continue
         zones = row.get("zones", {})
-        states = [
-            _conjunct_state(zones[c], op, v) if c in zones else "maybe"
-            for c, op, v in conjuncts
-        ]
+
+        def _state(c, op, v, row=row, zones=zones):
+            if c in zones:
+                return _conjunct_state(zones[c], op, v)
+            if c in fillable:  # part predates the added column: all-null
+                n = int(row.get("rows", 0))
+                return _conjunct_state({"n": n, "z": n, "t": ""}, op, v)
+            return "maybe"
+
+        states = [_state(c, op, v) for c, op, v in conjuncts]
         if any(s == "none" for s in states):
             continue
         if all(s == "all" for s in states):
@@ -370,7 +377,7 @@ def count_job(spark: SparkSession, table_path: str, where=None) -> int:
                 if not files:
                     raise FileNotFoundError(f"committed part missing: {d}")
                 for f in files:
-                    n += count_file(f, conjuncts)
+                    n += count_file(f, conjuncts, fillable=fillable)
             import pandas as pd
 
             yield pd.DataFrame({"n": [n]})

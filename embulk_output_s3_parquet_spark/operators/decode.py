@@ -126,6 +126,8 @@ def decode_table_scan(
     names = [f.name for f in out_schema.fields]
     fields = [(f.name, f.type) for f in arrow_schema]
     conjuncts = normalize_where(where, names)  # fail fast on the driver
+    # schema-evolution columns read as nulls in parts predating add_column
+    fillable = frozenset(table.added_columns()) & set(names)
 
     # driver-side part pruning from the lineage zone summaries: excluded
     # parts never even get a task (at 10^6 parts the scheduler, not the
@@ -175,7 +177,9 @@ def decode_table_scan(
                     raise FileNotFoundError(f"committed part missing: {d}")
                 st: dict | None = {} if counters is not None else None
                 sl = (slice_i, n_slices) if n_slices > 1 else None
-                for tbl in iter_part_tables(files, fields, conjuncts, st, slice_of=sl):
+                for tbl in iter_part_tables(
+                    files, fields, conjuncts, st, slice_of=sl, fillable=fillable
+                ):
                     yield from tbl.to_batches()
                 if counters is not None:
                     for k, acc in counters.items():

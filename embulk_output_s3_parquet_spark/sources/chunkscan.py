@@ -224,6 +224,7 @@ def scan_file(
     conjuncts: list[tuple],
     stats_out: dict | None = None,
     slice_of: tuple[int, int] | None = None,
+    chunk_n_out: dict | None = None,
 ) -> tuple[list[int], dict, dict]:
     """Scan ONE chunk parquet file -> (surviving chunk_seqs in order,
     {seq: {col: meta}}, {col: {seq: decoded pa.Array}}).
@@ -235,30 +236,43 @@ def scan_file(
     pass is re-read per slice, but it never touches payload bytes).
 
     ``stats_out`` (optional) accumulates {"rg_total", "rg_read",
-    "chunks_total", "chunks_skipped"} for pruning-behavior assertions."""
+    "chunks_total", "chunks_skipped"} for pruning-behavior assertions.
+
+    ``chunk_n_out`` (optional dict) receives {seq: row count} for EVERY
+    chunk in the file -- callers filling schema-evolved (added) columns
+    with nulls need the counts even when no projected column exists in
+    this file."""
     pf = pq.ParquetFile(path)
     want = set(names)
 
-    # pass 1: metadata only -- payload column never touched
+    # pass 1: metadata only -- payload column never touched. chunk_n tracks
+    # every chunk's row count regardless of projection: a projection of
+    # only ADDED columns must still yield each chunk's rows (as nulls).
     mt = pf.read(columns=["chunk_seq", "col", "meta"])
     meta_by: dict[int, dict] = {}
+    chunk_n: dict[int, int] = {}
     for seq, col, meta in zip(
         mt.column("chunk_seq").to_pylist(),
         mt.column("col").to_pylist(),
         mt.column("meta").to_pylist(),
     ):
+        m = meta_from_json(meta)
+        if seq not in chunk_n:
+            chunk_n[seq] = int(m.get("n", 0))
         if col in want:
-            meta_by.setdefault(seq, {})[col] = meta_from_json(meta)
+            meta_by.setdefault(seq, {})[col] = m
     surviving = sorted(
-        seq for seq, cols in meta_by.items() if _survives(cols, conjuncts)
+        seq for seq in chunk_n if _survives(meta_by.get(seq, {}), conjuncts)
     )
+    if chunk_n_out is not None:
+        chunk_n_out.update(chunk_n)
     # file-level stats are recorded once (by slice 0) so slicing a part
     # across n tasks doesn't multiply chunks_total / misreport other
     # slices' chunks as "skipped"; rg_read below stays per-slice (real IO)
     if stats_out is not None and (slice_of is None or slice_of[0] == 0):
-        stats_out["chunks_total"] = stats_out.get("chunks_total", 0) + len(meta_by)
+        stats_out["chunks_total"] = stats_out.get("chunks_total", 0) + len(chunk_n)
         stats_out["chunks_skipped"] = stats_out.get("chunks_skipped", 0) + (
-            len(meta_by) - len(surviving)
+            len(chunk_n) - len(surviving)
         )
         stats_out["rg_total"] = stats_out.get("rg_total", 0) + pf.metadata.num_row_groups
     if slice_of is not None:
@@ -307,6 +321,11 @@ def _conjunct_state(meta: dict, op: str, v) -> str:
         if z == 0:
             return "none"
         return "all" if z >= n else "maybe"
+    if z >= n and n > 0:
+        # all-null chunk: no VALUE predicate is ever satisfied by nulls --
+        # decidable without zones (also how added-column fills count: a
+        # part predating the column is all-null for it by construction)
+        return "none"
     zone = meta.get("mm")
     tname = meta.get("t", "")
     if zone is not None and tname.startswith("decimal128("):
@@ -449,11 +468,18 @@ def _exact_matches(arr: pa.Array, op: str, v) -> int:
     return int(pc.sum(_match_mask(arr, op, v)).as_py() or 0)
 
 
-def count_file(path: str, conjuncts: list[tuple], stats_out: dict | None = None) -> int:
+def count_file(
+    path: str,
+    conjuncts: list[tuple],
+    stats_out: dict | None = None,
+    fillable: frozenset[str] = frozenset(),
+) -> int:
     """Exact COUNT(*) over one chunk file under ANDed ``conjuncts``, reading
     payload bytes ONLY for boundary chunks (those the zone/null metadata can
     neither fully include nor fully exclude) -- and then only the predicate
-    columns. With no conjuncts this is a pure metadata pass."""
+    columns. With no conjuncts this is a pure metadata pass.
+    ``fillable`` columns (schema evolution) count as all-null where absent:
+    decidable from metadata alone, never a boundary decode."""
     pf = pq.ParquetFile(path)
     mt = pf.read(columns=["chunk_seq", "col", "meta"])
     meta_by: dict[int, dict] = {}
@@ -468,9 +494,16 @@ def count_file(path: str, conjuncts: list[tuple], stats_out: dict | None = None)
     boundary: dict[int, list[tuple]] = {}
     for seq, cols in meta_by.items():
         n = next(iter(cols.values()))["n"] if cols else 0
+
+        def state_of(c, op, v):
+            if c in cols:
+                return _conjunct_state(cols[c], op, v)
+            if c in fillable:  # added column absent here: all-null chunk
+                return _conjunct_state({"n": n, "z": n, "t": ""}, op, v)
+            return "maybe"
+
         states = [
-            (_conjunct_state(cols[c], op, v) if c in cols else "maybe", (c, op, v))
-            for c, op, v in conjuncts
+            (state_of(c, op, v), (c, op, v)) for c, op, v in conjuncts
         ]
         if any(s == "none" for s, _ in states):
             continue
@@ -529,21 +562,29 @@ def iter_part_tables(
     conjuncts: list[tuple],
     stats_out: dict | None = None,
     slice_of: tuple[int, int] | None = None,
+    fillable: frozenset[str] = frozenset(),
 ):
     """Decode a committed part's files -> one pa.Table per surviving chunk,
     columns in ``fields`` order. Every chunk's rows live in one file (one
     task emits a chunk's column rows together), so files scan independently.
     ``slice_of=(i, n)``: decode only the i-th of n contiguous chunk slices
-    per file (sub-part decode parallelism, see scan_file)."""
+    per file (sub-part decode parallelism, see scan_file).
+    ``fillable``: schema-evolution columns (EncodedTable.add_column) that
+    read as nulls in parts predating their addition; any OTHER missing
+    column stays a loud layout error."""
     names = [n for n, _ in fields]
     for path in sorted(files):
+        chunk_n: dict[int, int] = {}
         surviving, meta_by, decoded = scan_file(
-            path, names, conjuncts, stats_out, slice_of=slice_of
+            path, names, conjuncts, stats_out, slice_of=slice_of,
+            chunk_n_out=chunk_n,
         )
         for seq in surviving:
             arrays = []
             for name, ftype in fields:
                 arr = decoded[name].get(seq)
+                if arr is None and name in fillable:
+                    arr = pa.nulls(chunk_n[seq], type=ftype)
                 if arr is None:
                     raise ValueError(
                         f"chunk {seq} of {path} is missing column {name!r} "

@@ -133,6 +133,11 @@ class EncodedTablePlainReader(DataSourceReader):
         self._fields, self._names = _prepare_fields(schema, columns)
         self._table_path = path
         self._conjuncts: list[tuple] = []
+        from .tables import EncodedTable
+
+        # schema-evolution columns (add_column) read as nulls in parts
+        # predating their addition; resolved once, ships with the reader
+        self._fillable = frozenset(EncodedTable(path).added_columns()) & self._names
 
     def partitions(self):
         # called after pushFilters: part-zone lineage summaries prune whole
@@ -151,7 +156,9 @@ class EncodedTablePlainReader(DataSourceReader):
         files = sorted(glob.glob(os.path.join(partition.value, "*.parquet")))
         if not files:
             raise FileNotFoundError(f"committed part missing: {partition.value}")
-        for tbl in iter_part_tables(files, self._fields, self._conjuncts):
+        for tbl in iter_part_tables(
+            files, self._fields, self._conjuncts, fillable=self._fillable
+        ):
             yield from tbl.to_batches()
 
 
@@ -258,7 +265,13 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         files = sorted(glob.glob(os.path.join(partition.value, "*.parquet")))
         if not files:
             raise FileNotFoundError(f"committed part missing: {partition.value}")
-        for tbl in iter_part_tables(files, self._fields, []):
+        from .tables import EncodedTable
+
+        fillable = (
+            frozenset(EncodedTable(self._path).added_columns())
+            & {n for n, _ in self._fields}
+        )
+        for tbl in iter_part_tables(files, self._fields, [], fillable=fillable):
             yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:

@@ -47,6 +47,9 @@ def read_table(
     fields = [(n, by_name[n]) for n in want]
     conjuncts = normalize_where(where, want)
     parts = _committed_parts(path, manifest)
+    fillable = frozenset(
+        manifest.get("properties", {}).get("added-columns", [])
+    ) & set(want)
 
     from .chunkscan import _survives
 
@@ -65,7 +68,9 @@ def read_table(
         files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
         if not files:
             raise FileNotFoundError(f"committed part {pid} missing at {part_dir}")
-        batches.extend(iter_part_tables(files, fields, conjuncts, scan_stats))
+        batches.extend(
+            iter_part_tables(files, fields, conjuncts, scan_stats, fillable=fillable)
+        )
     if batches:
         return pa.concat_tables(batches)
     # empty committed table: honor the manifest schema's types instead of
@@ -102,6 +107,7 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
     names = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
     conjuncts = normalize_where(where, names)
     parts = _committed_parts(path, manifest)
+    fillable = frozenset(manifest.get("properties", {}).get("added-columns", []))
 
     from .chunkscan import _conjunct_state
 
@@ -115,10 +121,16 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
         # parts zero -- files opened only for boundary parts
         if conjuncts and row.get("zones") is not None and "rows" in row:
             zones = row.get("zones", {})
-            states = [
-                _conjunct_state(zones[c], op, v) if c in zones else "maybe"
-                for c, op, v in conjuncts
-            ]
+
+            def _state(c, op, v, row=row, zones=zones):
+                if c in zones:
+                    return _conjunct_state(zones[c], op, v)
+                if c in fillable:  # part predates the column: all-null
+                    n = int(row.get("rows", 0))
+                    return _conjunct_state({"n": n, "z": n, "t": ""}, op, v)
+                return "maybe"
+
+            states = [_state(c, op, v) for c, op, v in conjuncts]
             if any(s == "none" for s in states):
                 if scan_stats is not None:
                     scan_stats["parts_skipped"] = scan_stats.get("parts_skipped", 0) + 1
@@ -136,7 +148,7 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
         if not files:
             raise FileNotFoundError(f"committed part {pid} missing at {part_dir}")
         for fpath in files:
-            total += count_file(fpath, conjuncts, scan_stats)
+            total += count_file(fpath, conjuncts, scan_stats, fillable=fillable)
     return total
 
 

@@ -374,6 +374,28 @@ class EncodedTable:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.manifest()["schema"]))
 
+    def added_columns(self) -> set[str]:
+        """Columns appended by :meth:`add_column` AFTER parts were
+        committed: readers fill them with nulls in parts that predate the
+        addition (every other missing column stays a loud layout error)."""
+        return set(self.manifest()["properties"].get("added-columns", []))
+
+    def add_column(self, name: str, dtype: T.DataType) -> None:
+        """Schema evolution, Iceberg-style ADD COLUMN: extend the manifest
+        schema with a NULLABLE column. Committed parts are untouched --
+        readers (decode_job / pyreader / the enctable DataSource, all via
+        chunkscan) yield nulls for it until new parts written with the
+        column land. Metadata-only: one atomic manifest rewrite."""
+        cur = self.schema()
+        if name in {f.name for f in cur.fields}:
+            raise ConfigException(f"column {name!r} already exists")
+        CodecPolicy().validate(T.StructType([T.StructField(name, dtype, True)]))
+        m = self._core_manifest()
+        new = T.StructType(cur.fields + [T.StructField(name, dtype, True)])
+        m["schema"] = new.json()
+        m.setdefault("properties", {}).setdefault("added-columns", []).append(name)
+        self._write_manifest(m)
+
     def policy(self) -> CodecPolicy:
         return CodecPolicy(**self.manifest()["properties"]["codec-policy"])
 

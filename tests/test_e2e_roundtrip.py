@@ -1119,3 +1119,68 @@ def test_delete_job_rewrites_only_affected_parts(spark, tmp_path):
     # predicate matching nothing: zero rewrites
     rep3 = delete_job(spark, path, ("n_chars", ">=", 10**9))
     assert rep3["parts_affected"] == 0 and rep3["rows_deleted"] == 0
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg-style ADD COLUMN (r4): metadata-only manifest change; parts
+    predating the column read as nulls through EVERY reader (decode_job,
+    pyreader, enctable DataSource, count_job), and newly appended parts
+    carry real values -- mixed tables read coherently."""
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.jobs import count_job, verify_table
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+    from embulk_output_s3_parquet_spark.sources.pyreader import (
+        count_table,
+        read_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_old = docs.count()
+    path = str(tmp_path / "evo")
+    pol = _policy(chunk_rows=64)
+    encode_job(spark, docs, path, pol, if_exists="error")
+
+    t = EncodedTable(path)
+    t.add_column("quality", T.DoubleType())
+    with pytest.raises(ConfigException, match="already exists"):
+        t.add_column("quality", T.DoubleType())
+    assert "quality" in {f.name for f in t.schema().fields}
+
+    # old parts: nulls everywhere, full row counts preserved
+    got = decode_job(spark, path)
+    assert got.count() == n_old
+    assert got.filter(F.col("quality").isNull()).count() == n_old
+    # projection of ONLY the added column still yields every row
+    only = decode_job(spark, path, columns=["quality"])
+    assert only.count() == n_old
+    # count_job decides added-column predicates from metadata alone
+    assert count_job(spark, path, where=("quality", "isnull", None)) == n_old
+    assert count_job(spark, path, where=("quality", ">=", 0.5)) == 0
+    # Spark-free reader agrees
+    pt = read_table(path)
+    assert pt.num_rows == n_old and pt.column("quality").null_count == n_old
+    assert count_table(path, where=("quality", "notnull", None)) == 0
+
+    # append new parts WITH the column (resume path, offset ids)
+    with_q = docs.limit(40).withColumn(
+        "quality", (F.col("doc_id") % 10).cast("double") / 10
+    )
+    encode_job(spark, with_q, path, pol, if_exists="skip", part_base=1000)
+    assert verify_table(spark, path) == []
+    allrows = decode_job(spark, path)
+    assert allrows.count() == n_old + 40
+    assert allrows.filter(F.col("quality").isNotNull()).count() == 40
+    want_hi = with_q.filter(F.col("quality") >= 0.5).count()
+    assert count_job(spark, path, where=("quality", ">=", 0.5)) == want_hi
+
+    # the Catalyst surface reads the evolved table too
+    try:
+        spark.dataSource.register(EncodedTableDataSource)
+    except Exception:
+        pass
+    ds = spark.read.format("enctable").load(path)
+    assert ds.count() == n_old + 40
+    assert ds.filter(F.col("quality").isNull()).count() == n_old
