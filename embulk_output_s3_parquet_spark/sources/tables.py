@@ -389,11 +389,41 @@ class EncodedTable:
         cur = self.schema()
         if name in {f.name for f in cur.fields}:
             raise ConfigException(f"column {name!r} already exists")
+        if name in self.manifest()["properties"].get("dropped-columns", []):
+            # old parts still hold this name's chunk data; re-adding would
+            # resurrect stale values as if they were the new column's
+            raise ConfigException(
+                f"column {name!r} was previously dropped; committed parts "
+                "still contain its data -- use a fresh name, or compact the "
+                "table first (compact_job rewrites parts without it)"
+            )
         CodecPolicy().validate(T.StructType([T.StructField(name, dtype, True)]))
         m = self._core_manifest()
         new = T.StructType(cur.fields + [T.StructField(name, dtype, True)])
         m["schema"] = new.json()
         m.setdefault("properties", {}).setdefault("added-columns", []).append(name)
+        self._write_manifest(m)
+
+    def drop_column(self, name: str) -> None:
+        """Schema evolution, Iceberg-style DROP COLUMN: remove the column
+        from the manifest schema (one atomic metadata write). Chunk data in
+        committed parts stays on disk but is never projected again (the
+        scanner reads only wanted columns); a compaction rewrite reclaims
+        the bytes. The name is tombstoned so a later add_column can't
+        resurrect the stale data."""
+        cur = self.schema()
+        if name not in {f.name for f in cur.fields}:
+            raise ConfigException(f"column {name!r} does not exist")
+        if len(cur.fields) == 1:
+            raise ConfigException("cannot drop the only column")
+        m = self._core_manifest()
+        new = T.StructType([f for f in cur.fields if f.name != name])
+        m["schema"] = new.json()
+        props = m.setdefault("properties", {})
+        props.setdefault("dropped-columns", []).append(name)
+        added = props.get("added-columns", [])
+        if name in added:
+            added.remove(name)
         self._write_manifest(m)
 
     def policy(self) -> CodecPolicy:

@@ -1184,3 +1184,44 @@ def test_schema_evolution_add_column(spark, tmp_path):
     ds = spark.read.format("enctable").load(path)
     assert ds.count() == n_old + 40
     assert ds.filter(F.col("quality").isNull()).count() == n_old
+
+
+def test_schema_evolution_drop_column(spark, tmp_path):
+    """DROP COLUMN (r4): metadata-only; the column disappears from every
+    reader, old parts' bytes stay until compaction, appends continue with
+    the narrowed schema, and a re-add of the same name is refused (stale
+    chunk data would resurface)."""
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.jobs import compact_job, verify_table
+    from embulk_output_s3_parquet_spark.sources.pyreader import read_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "drop")
+    pol = _policy(chunk_rows=64)
+    encode_job(spark, docs, path, pol, if_exists="error")
+    t = EncodedTable(path)
+
+    t.drop_column("source")
+    assert "source" not in {f.name for f in t.schema().fields}
+    got = decode_job(spark, path)
+    assert "source" not in got.columns and got.count() == docs.count()
+    assert "source" not in read_table(path).schema.names
+    with pytest.raises(ConfigException, match="previously dropped"):
+        t.add_column("source", T.StringType())
+    with pytest.raises(ConfigException, match="does not exist"):
+        t.drop_column("nope")
+
+    # appends continue with the narrowed schema
+    encode_job(
+        spark, docs.limit(20).drop("source"), path, pol,
+        if_exists="skip", part_base=1000,
+    )
+    assert decode_job(spark, path).count() == docs.count() + 20
+    assert verify_table(spark, path) == []
+
+    # compaction rewrites parts without the dropped column's bytes;
+    # after that the tombstone could be lifted -- current contract keeps it
+    compact_job(spark, path)
+    assert decode_job(spark, path).count() == docs.count() + 20
+    assert verify_table(spark, path) == []
