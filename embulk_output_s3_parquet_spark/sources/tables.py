@@ -172,6 +172,24 @@ def remove_staging_if_dead(d: str, stale_after_s: float = STAGING_STALE_S) -> No
     shutil.rmtree(d, ignore_errors=True)
 
 
+def _schema_accepts(table_schema: T.StructType, df_schema: T.StructType) -> bool:
+    """True when a resumed wave's input schema is compatible with the
+    table's: same column names/order/types, and the input may be STRICTER
+    on nullability (a non-nullable df column writing into a nullable table
+    column is safe -- e.g. appending a lit()-derived value to a column that
+    add_column declared nullable). The reverse (nullable data into a
+    non-nullable column) is refused."""
+    a, b = table_schema.fields, df_schema.fields
+    if len(a) != len(b):
+        return False
+    for fa, fb in zip(a, b):
+        if fa.name != fb.name or fa.dataType != fb.dataType:
+            return False
+        if fb.nullable and not fa.nullable:
+            return False
+    return True
+
+
 class EncodedTable:
     def __init__(self, path: str):
         self.path = path
@@ -205,8 +223,8 @@ class EncodedTable:
             if if_exists == "error":
                 raise ConfigException(f"table already exists: {path}")
             if if_exists == "skip":
-                existing = t.manifest()
-                if existing["schema"] != schema.json():
+                have = t.schema()
+                if not _schema_accepts(have, schema):
                     raise ConfigException(
                         "existing table schema differs; use if_exists='delete'"
                     )

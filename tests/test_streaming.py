@@ -400,3 +400,45 @@ def test_enctable_source_feeds_windowed_analytics(spark, tmp_path):
     assert len(got) > 0
     assert got <= want
     assert len(got) >= len(want) * 0.5
+
+
+def test_enctable_stream_reads_evolved_schema(spark, tmp_path):
+    """Schema evolution meets the stream source (r4): a table that gained a
+    column mid-life streams coherently -- parts predating add_column yield
+    nulls for it, later parts yield real values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.jobs import encode_job
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+    from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+    from embulk_output_s3_parquet_spark.streaming.encode_stream import PART_STRIDE
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    table = str(tmp_path / "evo")
+    pol = CodecPolicy(chunk_rows=128)
+    encode_job(spark, docs.limit(100), table, pol, if_exists="error")
+    EncodedTable(table).add_column("score", T.DoubleType())
+    encode_job(
+        spark,
+        docs.limit(140).subtract(docs.limit(100)).withColumn(
+            "score", F.lit(0.5)
+        ),
+        table, pol, if_exists="skip", part_base=PART_STRIDE,
+    )
+    spark.dataSource.register(EncodedTableDataSource)
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = (
+        spark.readStream.format("enctable").load(table)
+        .writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", chk)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 140
+    assert got.filter(F.col("score").isNull()).count() == 100
+    assert got.filter(F.col("score") == 0.5).count() == 40
