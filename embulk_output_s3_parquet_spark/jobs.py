@@ -185,7 +185,9 @@ def encode_job(
         table.set_property("write-order", list(cluster))
     table.clean_staging()
 
-    done = table.completed_parts()
+    # retired ids (delete_job tombstones) count as done: a replayed stream
+    # micro-batch / resumed wave must not resurrect their original rows
+    done = table.completed_parts() | table.retired_parts()
     if done:
         done_df = spark.createDataFrame([(p,) for p in sorted(done)], "part_id long")
         dfp = dfp.join(F.broadcast(done_df), "part_id", "left_anti")
@@ -248,7 +250,7 @@ def encode_parquet_job(
     if cluster and table.properties().get("write-order") != list(cluster):
         table.set_property("write-order", list(cluster))
     table.clean_staging()
-    done = table.completed_parts()
+    done = table.completed_parts() | table.retired_parts()
     recorded = table.properties().get("direct-input-fingerprint")
     if done and recorded is not None and recorded != fingerprint:
         # part_id = split index: if the input file set or the split target
@@ -319,7 +321,7 @@ def count_job(spark: SparkSession, table_path: str, where=None) -> int:
 
     import os
 
-    from .sources.chunkscan import _conjunct_state
+    from .sources.chunkscan import conjunct_state_of
 
     table = EncodedTable(table_path)
     names = [f.name for f in table.schema().fields]
@@ -343,16 +345,11 @@ def count_job(spark: SparkSession, table_path: str, where=None) -> int:
             total += int(row["rows"])
             continue
         zones = row.get("zones", {})
-
-        def _state(c, op, v, row=row, zones=zones):
-            if c in zones:
-                return _conjunct_state(zones[c], op, v)
-            if c in fillable:  # part predates the added column: all-null
-                n = int(row.get("rows", 0))
-                return _conjunct_state({"n": n, "z": n, "t": ""}, op, v)
-            return "maybe"
-
-        states = [_state(c, op, v) for c, op, v in conjuncts]
+        n_rows = int(row.get("rows", 0))
+        states = [
+            conjunct_state_of(zones, n_rows, c, op, v, fillable)
+            for c, op, v in conjuncts
+        ]
         if any(s == "none" for s in states):
             continue
         if all(s == "all" for s in states):
@@ -634,25 +631,58 @@ def verify_table(spark: SparkSession, table_path: str) -> list[dict]:
     return problems
 
 
-def _conjunct_condition(conjuncts: list[tuple]):
+def _delete_literal(dtype, v):
+    """Literal -> Spark Column typed to the COLUMN's exact dtype for
+    temporal/decimal columns: the zone layer accepts ISO strings and exact
+    decimals, and the exact delete filter must accept the same shapes
+    without ANSI type-mismatch errors or double-precision drift (review
+    finding r4: F.lit(raw) compared timestamp vs bigint / decimal vs
+    double)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        if isinstance(v, (int, float)):
+            raise ConfigException(
+                f"temporal delete literal must be a datetime/date or ISO "
+                f"string, got {v!r} (raw epoch ints are zone-layer only)"
+            )
+        # lit(ISO string) or lit(datetime/date), cast to the column's exact
+        # type (TS <-> NTZ included); ANSI cast fails loudly on junk
+        return F.lit(v).cast(dtype)
+    if isinstance(dtype, T.DecimalType):
+        from decimal import Decimal
+
+        return F.lit(str(Decimal(str(v)))).cast(dtype)
+    return F.lit(v)
+
+
+def _conjunct_condition(conjuncts: list[tuple], schema=None):
     """ANDed Spark Column for exact predicate evaluation of zone conjuncts
     (the delete predicate): value predicates are never satisfied by nulls,
-    so the result is coalesced to False before use."""
+    so the result is coalesced to False before use. ``schema`` types the
+    literals to the columns (temporal/decimal exactness)."""
+    types = {f.name: f.dataType for f in schema.fields} if schema else {}
+
+    def lit_of(col, v):
+        return (
+            _delete_literal(types[col], v) if col in types else F.lit(v)
+        )
+
     conds = []
     for col, op, v in conjuncts:
         c = F.col(col)
         if op == "==":
-            conds.append(c == F.lit(v))
+            conds.append(c == lit_of(col, v))
         elif op == ">=":
-            conds.append(c >= F.lit(v))
+            conds.append(c >= lit_of(col, v))
         elif op == "<=":
-            conds.append(c <= F.lit(v))
+            conds.append(c <= lit_of(col, v))
         elif op == ">":
-            conds.append(c > F.lit(v))
+            conds.append(c > lit_of(col, v))
         elif op == "<":
-            conds.append(c < F.lit(v))
+            conds.append(c < lit_of(col, v))
         elif op == "in":
-            conds.append(c.isin(list(v)))
+            conds.append(c.isin([lit_of(col, x) for x in v]))
         elif op == "startswith":
             conds.append(c.startswith(v))
         elif op == "isnull":
@@ -706,8 +736,11 @@ def delete_job(
     lineage = table.lineage()
     all_parts = set(lineage)
     zones = table.part_zones()
+    fillable = frozenset(table.added_columns())
     affected = {
-        p for p in all_parts if _survives(zones.get(p, {}), conjuncts)
+        p
+        for p in all_parts
+        if _survives(zones.get(p, {}), conjuncts, fillable=fillable)
     }
     report = {
         "parts_total": len(all_parts),
@@ -719,10 +752,19 @@ def delete_job(
         return report
     rows_before = sum(lineage[p]["rows"] for p in affected)
 
+    schema = table.schema()
     df = decode_table_scan(spark, table, parts=affected)
-    keep = df.filter(~_conjunct_condition(conjuncts))
+    keep = df.filter(~_conjunct_condition(conjuncts, schema))
+    # the kept rows are decoded TWICE otherwise (partition planning's size
+    # collect + the encode write); persist the filtered frame in between
+    keep = keep.persist()
     policy = policy or table.policy()
-    cluster = tuple(table.properties().get("write-order") or [])
+    # write-order may reference columns dropped since it was recorded;
+    # cluster only by columns that still exist (drop_column also scrubs)
+    names_now = {f.name for f in schema.fields}
+    cluster = tuple(
+        c for c in (table.properties().get("write-order") or []) if c in names_now
+    )
 
     t0 = time.time()
     dfp, _plan_out = _plan(keep, policy)
@@ -751,6 +793,7 @@ def delete_job(
             os.path.join(table.data_dir, f"part_id={p}"), ignore_errors=True
         )
     shutil.rmtree(staging, ignore_errors=True)
+    keep.unpersist()
     rows_after = sum(r["rows"] for r in new_lineage.values())
     report["parts_rewritten"] = len(new_lineage)
     report["rows_deleted"] = rows_before - rows_after

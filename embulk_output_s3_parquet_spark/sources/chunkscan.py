@@ -157,11 +157,18 @@ def _bloom_excludes(meta: dict, op: str, v) -> bool:
     return False
 
 
-def _survives(cols_meta: dict, conjuncts: list[tuple]) -> bool:
-    """True when no conjunct's zone map or null count can exclude the chunk."""
+def _survives(
+    cols_meta: dict, conjuncts: list[tuple], fillable: frozenset[str] = frozenset()
+) -> bool:
+    """True when no conjunct's zone map or null count can exclude the chunk.
+    A column absent from ``cols_meta`` but in ``fillable`` (schema-evolution
+    add_column) is ALL-NULL by construction: value predicates and notnull
+    exclude it outright, isnull keeps it."""
     for c, op, v in conjuncts:
         meta = cols_meta.get(c)
         if meta is None:
+            if c in fillable and op != "isnull":
+                return False  # all-null: no value/notnull predicate matches
             continue
         if op == "notnull":
             if meta.get("z", 0) >= meta.get("n", 0) and meta.get("n", 0) > 0:
@@ -225,6 +232,7 @@ def scan_file(
     stats_out: dict | None = None,
     slice_of: tuple[int, int] | None = None,
     chunk_n_out: dict | None = None,
+    fillable: frozenset[str] = frozenset(),
 ) -> tuple[list[int], dict, dict]:
     """Scan ONE chunk parquet file -> (surviving chunk_seqs in order,
     {seq: {col: meta}}, {col: {seq: decoded pa.Array}}).
@@ -251,18 +259,26 @@ def scan_file(
     mt = pf.read(columns=["chunk_seq", "col", "meta"])
     meta_by: dict[int, dict] = {}
     chunk_n: dict[int, int] = {}
+    any_wanted_in_file = False
     for seq, col, meta in zip(
         mt.column("chunk_seq").to_pylist(),
         mt.column("col").to_pylist(),
         mt.column("meta").to_pylist(),
     ):
+        wanted = col in want
+        if wanted:
+            any_wanted_in_file = True
+        if not wanted and seq in chunk_n:
+            continue  # row count already known: skip the JSON parse
         m = meta_from_json(meta)
         if seq not in chunk_n:
             chunk_n[seq] = int(m.get("n", 0))
-        if col in want:
+        if wanted:
             meta_by.setdefault(seq, {})[col] = m
     surviving = sorted(
-        seq for seq in chunk_n if _survives(meta_by.get(seq, {}), conjuncts)
+        seq
+        for seq in chunk_n
+        if _survives(meta_by.get(seq, {}), conjuncts, fillable=fillable)
     )
     if chunk_n_out is not None:
         chunk_n_out.update(chunk_n)
@@ -281,7 +297,10 @@ def scan_file(
         hi = (len(surviving) * (i + 1)) // n
         surviving = surviving[lo:hi]
     decoded: dict[str, dict[int, pa.Array]] = {c: {} for c in names}
-    if not surviving:
+    if not surviving or not any_wanted_in_file:
+        # a file holding NONE of the projected columns (projection of only
+        # added columns) must not run the payload pass at all -- chunks are
+        # still reported via chunk_n_out for null-filling
         return surviving, meta_by, decoded
 
     surv = set(surviving)
@@ -307,6 +326,20 @@ def scan_file(
                 # are compact arrow buffers, never a whole-part pylist
                 decoded[col][seq] = decode_array(payloads[i].as_py(), meta_by[seq][col])
     return surviving, meta_by, decoded
+
+
+def conjunct_state_of(
+    cols_meta: dict, n: int, c: str, op: str, v,
+    fillable: frozenset[str] = frozenset(),
+) -> str:
+    """Tri-state for one conjunct given a chunk's/part's column-meta dict --
+    the ONE place the fillable (added-column) all-null synthesis lives, so
+    count_file / count_job / count_table can't drift apart."""
+    if c in cols_meta:
+        return _conjunct_state(cols_meta[c], op, v)
+    if c in fillable:
+        return _conjunct_state({"n": n, "z": n, "t": ""}, op, v)
+    return "maybe"
 
 
 def _conjunct_state(meta: dict, op: str, v) -> str:
@@ -495,15 +528,9 @@ def count_file(
     for seq, cols in meta_by.items():
         n = next(iter(cols.values()))["n"] if cols else 0
 
-        def state_of(c, op, v):
-            if c in cols:
-                return _conjunct_state(cols[c], op, v)
-            if c in fillable:  # added column absent here: all-null chunk
-                return _conjunct_state({"n": n, "z": n, "t": ""}, op, v)
-            return "maybe"
-
         states = [
-            (state_of(c, op, v), (c, op, v)) for c, op, v in conjuncts
+            (conjunct_state_of(cols, n, c, op, v, fillable), (c, op, v))
+            for c, op, v in conjuncts
         ]
         if any(s == "none" for s, _ in states):
             continue
@@ -577,7 +604,7 @@ def iter_part_tables(
         chunk_n: dict[int, int] = {}
         surviving, meta_by, decoded = scan_file(
             path, names, conjuncts, stats_out, slice_of=slice_of,
-            chunk_n_out=chunk_n,
+            chunk_n_out=chunk_n, fillable=fillable,
         )
         for seq in surviving:
             arrays = []

@@ -219,8 +219,11 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         from .tables import EncodedTable
 
         self._path = path
-        self._fields, _ = _prepare_fields(schema, columns)
+        self._fields, names = _prepare_fields(schema, columns)
         self._gen = EncodedTable(path).manifest().get("parts_gen", 0)
+        # resolved ONCE here -- read() runs per partition per micro-batch
+        # on executors and must not re-read manifest state for this
+        self._fillable = frozenset(EncodedTable(path).added_columns()) & names
 
     def _table(self):
         from .tables import EncodedTable
@@ -265,13 +268,9 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         files = sorted(glob.glob(os.path.join(partition.value, "*.parquet")))
         if not files:
             raise FileNotFoundError(f"committed part missing: {partition.value}")
-        from .tables import EncodedTable
-
-        fillable = (
-            frozenset(EncodedTable(self._path).added_columns())
-            & {n for n, _ in self._fields}
-        )
-        for tbl in iter_part_tables(files, self._fields, [], fillable=fillable):
+        for tbl in iter_part_tables(
+            files, self._fields, [], fillable=self._fillable
+        ):
             yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:

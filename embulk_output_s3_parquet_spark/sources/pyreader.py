@@ -58,7 +58,9 @@ def read_table(
         row = parts.get(str(pid)) or parts.get(pid) or {}
         if scan_stats is not None:
             scan_stats["parts_total"] = scan_stats.get("parts_total", 0) + 1
-        if conjuncts and not _survives(row.get("zones", {}), conjuncts):
+        if conjuncts and not _survives(
+            row.get("zones", {}), conjuncts, fillable=fillable
+        ):
             # part-zone pruning: the lineage summary proves no chunk in this
             # part can match -- its files are never opened
             if scan_stats is not None:
@@ -109,7 +111,7 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
     parts = _committed_parts(path, manifest)
     fillable = frozenset(manifest.get("properties", {}).get("added-columns", []))
 
-    from .chunkscan import _conjunct_state
+    from .chunkscan import conjunct_state_of
 
     total = 0
     for pid in sorted(int(k) for k in parts):
@@ -121,16 +123,11 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
         # parts zero -- files opened only for boundary parts
         if conjuncts and row.get("zones") is not None and "rows" in row:
             zones = row.get("zones", {})
-
-            def _state(c, op, v, row=row, zones=zones):
-                if c in zones:
-                    return _conjunct_state(zones[c], op, v)
-                if c in fillable:  # part predates the column: all-null
-                    n = int(row.get("rows", 0))
-                    return _conjunct_state({"n": n, "z": n, "t": ""}, op, v)
-                return "maybe"
-
-            states = [_state(c, op, v) for c, op, v in conjuncts]
+            n_rows = int(row.get("rows", 0))
+            states = [
+                conjunct_state_of(zones, n_rows, c, op, v, fillable)
+                for c, op, v in conjuncts
+            ]
             if any(s == "none" for s in states):
                 if scan_stats is not None:
                     scan_stats["parts_skipped"] = scan_stats.get("parts_skipped", 0) + 1

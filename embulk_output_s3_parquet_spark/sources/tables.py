@@ -374,8 +374,19 @@ class EncodedTable:
             if rows:
                 self._write_shard_file(new_dir, sid, rows)
         m["parts_gen"] = old_gen + 1
+        if remove:
+            # tombstone the removed ids: a replayed streaming micro-batch or
+            # resumed encode wave must NOT re-encode them (their original
+            # rows would resurrect data a delete_job removed)
+            retired = m.setdefault("properties", {}).setdefault("retired-parts", [])
+            retired.extend(sorted(int(p) for p in remove if int(p) not in set(retired)))
         self._write_manifest(m)
         shutil.rmtree(old_dir, ignore_errors=True)
+
+    def retired_parts(self) -> set[int]:
+        """Part ids removed by delete_job: resume/replay must never
+        re-encode them (exactly-once survives row-level deletes)."""
+        return {int(p) for p in self.properties().get("retired-parts", [])}
 
     def set_property(self, key: str, value) -> None:
         """Set a table property in the core manifest (atomic rewrite) --
@@ -390,13 +401,15 @@ class EncodedTable:
         return self._core_manifest().get("properties", {})
 
     def schema(self) -> T.StructType:
-        return T.StructType.fromJson(json.loads(self.manifest()["schema"]))
+        # core manifest only: schema never lives in the lineage shards, so
+        # this must not pay the full shard read (executors call it)
+        return T.StructType.fromJson(json.loads(self._core_manifest()["schema"]))
 
     def added_columns(self) -> set[str]:
         """Columns appended by :meth:`add_column` AFTER parts were
         committed: readers fill them with nulls in parts that predate the
         addition (every other missing column stays a loud layout error)."""
-        return set(self.manifest()["properties"].get("added-columns", []))
+        return set(self.properties().get("added-columns", []))  # core manifest only
 
     def add_column(self, name: str, dtype: T.DataType) -> None:
         """Schema evolution, Iceberg-style ADD COLUMN: extend the manifest
@@ -407,7 +420,7 @@ class EncodedTable:
         cur = self.schema()
         if name in {f.name for f in cur.fields}:
             raise ConfigException(f"column {name!r} already exists")
-        if name in self.manifest()["properties"].get("dropped-columns", []):
+        if name in self.properties().get("dropped-columns", []):
             # old parts still hold this name's chunk data; re-adding would
             # resurrect stale values as if they were the new column's
             raise ConfigException(
@@ -442,6 +455,12 @@ class EncodedTable:
         added = props.get("added-columns", [])
         if name in added:
             added.remove(name)
+        wo = props.get("write-order") or []
+        if name in wo:
+            # the clustering claim no longer names a real column; scrub it
+            # so compact/delete rewrites don't sort by a ghost
+            wo = [c for c in wo if c != name]
+            props["write-order"] = wo or None
         self._write_manifest(m)
 
     def policy(self) -> CodecPolicy:
@@ -542,10 +561,11 @@ class EncodedTable:
         from .chunkscan import _survives
 
         zones = self.part_zones()
+        fillable = frozenset(self.added_columns())
         return [
             os.path.join(self.data_dir, f"part_id={p}")
             for p in sorted(self.completed_parts())
-            if _survives(zones.get(p, {}), conjuncts)
+            if _survives(zones.get(p, {}), conjuncts, fillable=fillable)
         ]
 
     def read_encoded(self, spark: SparkSession) -> DataFrame:

@@ -1225,3 +1225,67 @@ def test_schema_evolution_drop_column(spark, tmp_path):
     compact_job(spark, path)
     assert decode_job(spark, path).count() == docs.count() + 20
     assert verify_table(spark, path) == []
+
+
+def test_delete_survives_replayed_wave(spark, tmp_path):
+    """Exactly-once meets DELETE (review r4): a replayed encode wave (same
+    input, resume semantics -- the streaming sink's replay path) must NOT
+    re-encode parts that delete_job removed; retired ids are tombstoned and
+    the deleted rows stay gone."""
+    from embulk_output_s3_parquet_spark.jobs import delete_job, verify_table
+    from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "replay")
+    pol = _policy(chunk_rows=64, bloom_columns=("doc_id",))
+    encode_job(spark, docs, path, pol, if_exists="error")
+
+    victim = int(docs.select("doc_id").first()[0])
+    rep = delete_job(spark, path, ("doc_id", "==", victim))
+    assert rep["rows_deleted"] == 1
+    t = EncodedTable(path)
+    assert t.retired_parts(), "delete must tombstone removed part ids"
+
+    # replay the SAME wave (streaming sink crash-replay / batch re-run)
+    encode_job(spark, docs, path, pol, if_exists="skip")
+    got = decode_job(spark, path)
+    assert got.filter(F.col("doc_id") == victim).count() == 0, (
+        "replayed wave resurrected deleted rows"
+    )
+    assert got.count() == docs.count() - 1
+    assert verify_table(spark, path) == []
+
+
+def test_delete_job_temporal_and_decimal_literals(spark, tmp_path):
+    """Review r4: the exact delete filter must accept the same literal
+    shapes the zone layer does -- ISO strings on timestamps, strings/floats
+    on decimals -- without ANSI type-mismatch errors."""
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.jobs import delete_job
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast(T.DecimalType(12, 2)).alias("dec"),
+    )
+    path = str(tmp_path / "tdel")
+    encode_job(spark, ev, path, _policy(chunk_rows=128), if_exists="error")
+
+    cut_us = ev.selectExpr("percentile(unix_micros(ts), 0.8)").first()[0]
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(cut_us / 1e6, dt.timezone.utc).replace(
+        tzinfo=None
+    ).isoformat()
+    want = ev.filter(F.col("ts") >= F.lit(iso).cast("timestamp")).count()
+    rep = delete_job(spark, path, ("ts", ">=", iso))
+    assert rep["rows_deleted"] == want
+    # decimal with a string literal
+    left = decode_job(spark, path)
+    want_dec = left.filter(F.col("dec") >= F.lit("50.00").cast("decimal(12,2)")).count()
+    rep2 = delete_job(spark, path, ("dec", ">=", "50.00"))
+    assert rep2["rows_deleted"] == want_dec
+    # raw epoch int on a timestamp column: loud refusal, not a wrong answer
+    with pytest.raises(ConfigException, match="temporal delete literal"):
+        delete_job(spark, path, ("ts", ">=", 1700000000000000))
