@@ -184,6 +184,12 @@ def encode_job(
     if cluster and table.properties().get("write-order") != list(cluster):
         table.set_property("write-order", list(cluster))
     table.clean_staging()
+    # reserve this plan's id range BEFORE any part lands: a delete/compact
+    # rewrite racing (or running between waves of) this plan must mint its
+    # ids above the reservation, or resume would see the rewrite's id in
+    # completed_parts and silently skip that input partition's rows
+    if plan.n_parts:
+        table.note_part_extent(part_base + plan.n_parts - 1)
 
     # retired ids (delete_job tombstones) count as done: a replayed stream
     # micro-batch / resumed wave must not resurrect their original rows
@@ -252,24 +258,37 @@ def encode_parquet_job(
     table.clean_staging()
     done = table.completed_parts() | table.retired_parts()
     recorded = table.properties().get("direct-input-fingerprint")
-    if done and recorded is not None and recorded != fingerprint:
-        # part_id = split index: if the input file set or the split target
-        # changed since the first wave, the completed indices name DIFFERENT
-        # data now -- resuming would silently skip unencoded rows and
-        # collide part_ids. Refuse loudly.
-        raise ConfigException(
-            f"resume refused: input under {parquet_path} changed since this "
-            f"table's first wave (split fingerprint {recorded[:12]} -> "
-            f"{fingerprint[:12]}); re-encode with if_exists='delete' or "
-            "restore the original input"
-        )
+    if recorded is not None and recorded != fingerprint:
+        if done:
+            # part_id = split index: if the input file set or the split
+            # target changed since the first wave, the completed indices
+            # name DIFFERENT data now -- resuming would silently skip
+            # unencoded rows and collide part_ids. Refuse loudly.
+            raise ConfigException(
+                f"resume refused: input under {parquet_path} changed since "
+                f"this table's first wave (split fingerprint {recorded[:12]} "
+                f"-> {fingerprint[:12]}); re-encode with if_exists='delete' "
+                "or restore the original input"
+            )
+        # recorded but nothing committed yet (first wave died before any
+        # part landed): the old fingerprint pins nothing -- reconcile it so
+        # it can't refuse a legitimate later resume of THIS input
+        recorded = None
     if recorded is None:
         table.set_property("direct-input-fingerprint", fingerprint)
+    # reserve the full split-index range before any part lands (see
+    # encode_job): rewrites mint their ids above it
+    if _splits:
+        table.note_part_extent(len(_splits) - 1)
     # no repartition: a split IS a part and never spans tasks, so the
-    # partitionBy writer already gets whole parts -- zero shuffle end to end
+    # partitionBy writer already gets whole parts -- zero shuffle end to
+    # end. The splits planned above are passed through: encode_direct must
+    # not replan, or an input change between two plans would bypass the
+    # fingerprint guard.
     encoded = encode_direct(
         spark, parquet_path, policy, parallelism=parallelism,
         skip_parts=frozenset(done), max_parts=max_parts, cluster_by=cluster,
+        plan=(_splits, schema),
     )
     staging = table.new_staging()
     _write_chunk_files(encoded, staging)
@@ -427,6 +446,15 @@ def compact_job(
     df = decode_chunks(table.read_encoded(spark), table.schema())
 
     dfp, plan = _plan(df, policy)
+    # swap: move new dirs in under offset part_ids, then atomically replace
+    # the part set (next shard generation + one manifest pointer flip) so a
+    # crash mid-swap never exposes old+new parts together. Offset comes
+    # from the persisted high-water mark (not max(old_parts)) so the new
+    # ids can't collide with an incomplete encode plan's reserved range or
+    # a retired tombstone; the range is reserved before any dir lands.
+    offset = table.next_part_base()
+    if plan.n_parts:
+        table.note_part_extent(offset + plan.n_parts - 1)
     encoded = encode_local(dfp, policy, cluster_by=cluster).repartition("part_id")
     staging = table.new_staging()
     t0 = time.time()
@@ -434,10 +462,6 @@ def compact_job(
     on_disk = spark.read.parquet(staging)
     lineage = _lineage_rows(on_disk, table.schema().fields[0].name, time.time() - t0)
 
-    # swap: move new dirs in under offset part_ids, then atomically replace
-    # the part set (next shard generation + one manifest pointer flip) so a
-    # crash mid-swap never exposes old+new parts together
-    offset = max(old_parts, default=-1) + 1
     remap: dict[int, int] = {}
     for name in sorted(os.listdir(staging)):
         if not name.startswith("part_id="):
@@ -473,19 +497,26 @@ _CHUNK_ROW_GROUP_BYTES = 4 * 1024 * 1024
 
 
 def _write_chunk_files(encoded: DataFrame, staging: str) -> None:
+    from .sources.tables import staging_heartbeat
+
     # part_id MUST lead the sort: partitionBy's writer requires ordering by
     # the partition columns and would otherwise inject its own (non-stable)
-    # sort, destroying the (col, chunk_seq) run layout the scanner prunes on
-    (
-        encoded.sortWithinPartitions("part_id", "col", "chunk_seq")
-        .write.option("parquet.block.size", _CHUNK_ROW_GROUP_BYTES)
-        .partitionBy("part_id")
-        # append: the staging dir pre-exists holding only the .writer-lock
-        # (new_staging); the dir itself is uuid-fresh so this never mixes
-        # with another run's files
-        .mode("append")
-        .parquet(staging, compression="none")
-    )
+    # sort, destroying the (col, chunk_seq) run layout the scanner prunes on.
+    # The heartbeat keeps the .writer-lock mtime fresh for the whole write:
+    # a compute stage that runs past the cross-host staleness window before
+    # its first staged file lands must not look sweepable to a concurrent
+    # vacuum on another host.
+    with staging_heartbeat(staging):
+        (
+            encoded.sortWithinPartitions("part_id", "col", "chunk_seq")
+            .write.option("parquet.block.size", _CHUNK_ROW_GROUP_BYTES)
+            .partitionBy("part_id")
+            # append: the staging dir pre-exists holding only the
+            # .writer-lock (new_staging); the dir itself is uuid-fresh so
+            # this never mixes with another run's files
+            .mode("append")
+            .parquet(staging, compression="none")
+        )
 
 
 def _plan(df: DataFrame, policy: CodecPolicy):
@@ -767,7 +798,15 @@ def delete_job(
     )
 
     t0 = time.time()
-    dfp, _plan_out = _plan(keep, policy)
+    dfp, plan_out = _plan(keep, policy)
+    # mint replacement ids from the persisted high-water mark, NOT
+    # max(lineage): an incomplete encode plan has reserved ids above the
+    # committed set (note_part_extent), and retired tombstones must never
+    # be reused as live ids. Reserve this rewrite's range before any dir
+    # lands so a concurrent/subsequent allocator stays above it too.
+    offset = table.next_part_base()
+    if plan_out.n_parts:
+        table.note_part_extent(offset + plan_out.n_parts - 1)
     encoded = encode_local(dfp, policy, cluster_by=cluster).repartition("part_id")
     staging = table.new_staging()
     _write_chunk_files(encoded, staging)
@@ -778,7 +817,6 @@ def delete_job(
     if staged:
         on_disk = spark.read.parquet(staging)
         raw = _lineage_rows(on_disk, table.schema().fields[0].name, time.time() - t0)
-        offset = max(all_parts, default=-1) + 1
         for name in staged:
             pid = int(name.split("=", 1)[1])
             dst = os.path.join(table.data_dir, f"part_id={pid + offset}")

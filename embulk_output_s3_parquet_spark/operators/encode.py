@@ -335,10 +335,20 @@ def plan_parquet_splits(parquet_path: str, policy: CodecPolicy):
     schema = from_arrow_schema(
         _pq.ParquetFile(files[0]).schema_arrow, prefer_timestamp_ntz=True
     )
+    def _stat_sig(f: str) -> list:
+        # size + mtime, like Spark's own file-index cache invalidation: a
+        # same-shape content rewrite (same names, same row-group layout)
+        # still changes these, so a resumed job can't silently encode
+        # different bytes under the old split indices. Restoring the
+        # original files byte-for-byte still changes mtime -> still refused;
+        # that is the conservative side of the trade.
+        st = os.stat(f)
+        return [st.st_size, int(st.st_mtime)]
+
     fingerprint = _h.sha256(
         _json.dumps(
             [target] + [
-                [os.path.basename(f), [s[1:] for s in fs]]
+                [os.path.basename(f), _stat_sig(f), [s[1:] for s in fs]]
                 for f, fs in zip(files, per_file)
             ],
             separators=(",", ":"),
@@ -355,6 +365,7 @@ def encode_direct(
     skip_parts: frozenset[int] = frozenset(),
     max_parts: int | None = None,
     cluster_by: tuple[str, ...] = (),
+    plan: tuple[list, "object"] | None = None,
 ) -> DataFrame:
     """Encode a parquet-backed corpus with executor-side pyarrow scans.
 
@@ -376,7 +387,14 @@ def encode_direct(
     for the full-table encode job (reference parity: the plugin encodes
     every configured column of every page, S3ParquetPageOutput.scala:24-67).
     """
-    splits, schema, _fp = plan_parquet_splits(parquet_path, policy)
+    if plan is not None:
+        # caller (encode_parquet_job) already planned: reusing its splits
+        # keeps part_id = split index consistent with the fingerprint it
+        # recorded -- replanning here would let an input change between the
+        # two plans slip past the resume guard
+        splits, schema = plan
+    else:
+        splits, schema, _fp = plan_parquet_splits(parquet_path, policy)
     policy.validate(schema)
     names = {f.name for f in schema.fields}
     for c in cluster_by:

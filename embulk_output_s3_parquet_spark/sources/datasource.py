@@ -96,22 +96,43 @@ def _filter_pushdown_enabled() -> bool:
     stack for it. Fall back to the active session's conf (pytest / driver-side
     construction); unknown defaults to False (the always-works path).
 
-    The frame walk depends on a pyspark-private local name: if a pyspark
-    upgrade renames it, reads silently lose pruning (never correctness).
+    The frame walk depends on a pyspark-private local name (verified on the
+    4.x worker; skipped on any other major so a rename can't mislead it):
+    if it finds nothing, reads silently lose pruning (never correctness).
     ``SPARK_ENCTABLE_PUSHDOWN=1`` in the executor env (or the per-read
-    ``.option("pushdown", "true")``) force-enables as the escape hatch.
+    ``.option("pushdown", "true")``) force-enables as the escape hatch --
+    but ONLY when the conf is genuinely undetectable: a definitive "off"
+    from the worker frame or the session conf always wins, because handing
+    Spark the pushFilters reader with the conf off is a hard
+    DATA_SOURCE_PUSHDOWN_DISABLED error at init, which is strictly worse
+    than pruning-less reads.
     """
     import os
+
+    detected = _detect_filter_pushdown()
+    if detected is not None:
+        return detected
+    return os.environ.get("SPARK_ENCTABLE_PUSHDOWN", "") in ("1", "true")
+
+
+def _detect_filter_pushdown() -> bool | None:
+    """Tri-state conf detection: True/False when the worker frame or the
+    active session answers definitively, None when neither can tell (e.g.
+    a future pyspark that renamed the worker local)."""
     import sys
 
-    if os.environ.get("SPARK_ENCTABLE_PUSHDOWN", "") in ("1", "true"):
-        return True
+    try:
+        import pyspark
 
-    f = sys._getframe()
-    while f is not None:
-        if "enable_pushdown" in f.f_locals and "infile" in f.f_locals:
-            return bool(f.f_locals["enable_pushdown"])
-        f = f.f_back
+        walk_ok = pyspark.__version__.startswith("4.")
+    except Exception:
+        walk_ok = False
+    if walk_ok:
+        f = sys._getframe()
+        while f is not None:
+            if "enable_pushdown" in f.f_locals and "infile" in f.f_locals:
+                return bool(f.f_locals["enable_pushdown"])
+            f = f.f_back
     try:
         from pyspark.sql import SparkSession
 
@@ -121,7 +142,7 @@ def _filter_pushdown_enabled() -> bool:
             return str(v).lower() == "true"
     except Exception:
         pass
-    return False
+    return None
 
 
 class EncodedTablePlainReader(DataSourceReader):
@@ -513,8 +534,18 @@ class EncodedTableDataSource(DataSource):
         # availability over pruning: only expose pushFilters when the session
         # actually allows it (Spark hard-errors on the hook otherwise).
         # .option("pushdown", "false") force-disables for A/B comparison.
+        # .option("pushdown", "true") force-enables ONLY when the conf is
+        # undetectable: a definitive conf-off always wins, because the
+        # pushFilters reader with the conf off is a hard
+        # DATA_SOURCE_PUSHDOWN_DISABLED init error, not degraded pruning.
         opt = str(self.options.get("pushdown", "")).lower()
-        enabled = _filter_pushdown_enabled() if opt == "" else opt == "true"
+        if opt == "false":
+            enabled = False
+        elif opt == "true":
+            det = _detect_filter_pushdown()
+            enabled = det if det is not None else True
+        else:
+            enabled = _filter_pushdown_enabled()
         cls = EncodedTableReader if enabled else EncodedTablePlainReader
         return cls(self._path(), schema, want)
 

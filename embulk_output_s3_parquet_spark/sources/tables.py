@@ -113,6 +113,47 @@ def write_staging_lock(d: str) -> None:
         )
 
 
+class staging_heartbeat:
+    """Keep a staging dir's ``.writer-lock`` mtime fresh while a long job
+    runs: cross-host liveness (staging_is_live with no reachable pid) falls
+    back to a newest-mtime heartbeat, and a distributed writer whose
+    compute stage runs longer than STAGING_STALE_S before its first staged
+    file lands would otherwise look dead to a concurrent vacuum on another
+    host -- which would sweep its staging mid-flight. A daemon thread
+    touches the lock every ``interval`` seconds (default: a quarter of the
+    stale window) so the heartbeat reflects writer liveness, not just file
+    activity. Use as a context manager around the write stage."""
+
+    def __init__(self, staging_dir: str, interval: float | None = None):
+        self._lock_path = os.path.join(staging_dir, STAGING_LOCK)
+        self._interval = interval or STAGING_STALE_S / 4.0
+        self._stop = None
+        self._thread = None
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+
+        def beat():
+            while not self._stop.wait(self._interval):
+                try:
+                    os.utime(self._lock_path)
+                except OSError:
+                    return  # lock gone: owner committed/aborted already
+
+        self._thread = threading.Thread(
+            target=beat, name="staging-heartbeat", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        return False
+
+
 def _staging_newest_mtime(d: str) -> float:
     newest = 0.0
     try:
@@ -333,7 +374,19 @@ class EncodedTable:
 
         m = self._core_manifest()
         if m.get("parts"):
-            # legacy inline lineage: no shard files to link; rewrite fully
+            # legacy inline lineage: no shard files to link; rewrite fully.
+            # Tombstone the removed ids FIRST (same contract as the sharded
+            # branch below): a crash between the two writes leaves the ids
+            # both retired and still committed, which resume treats as done
+            # either way -- whereas tombstoning after the flip could lose
+            # the tombstones and let a replayed wave resurrect deleted rows.
+            if remove:
+                retired = m.setdefault("properties", {}).setdefault(
+                    "retired-parts", []
+                )
+                have = set(retired)
+                retired.extend(sorted(int(p) for p in remove if int(p) not in have))
+                self._write_manifest(m)
             merged = {int(k): v for k, v in self.lineage().items()}
             for p in remove:
                 merged.pop(p, None)
@@ -387,6 +440,34 @@ class EncodedTable:
         """Part ids removed by delete_job: resume/replay must never
         re-encode them (exactly-once survives row-level deletes)."""
         return {int(p) for p in self.properties().get("retired-parts", [])}
+
+    def note_part_extent(self, max_id: int) -> None:
+        """Record a MONOTONE part-id high-water mark (``max-part-id``).
+
+        Every writer that knows its plan's id range calls this BEFORE any
+        part lands: encode waves reserve [part_base, part_base+n_parts),
+        delete/compact rewrites reserve their fresh ids. Allocators that
+        mint new ids (:meth:`next_part_base`) start above this mark, so a
+        rewrite running against a PARTIALLY encoded table can never claim
+        an id a resumed wave still needs (resume would see it in
+        completed_parts and silently drop that input partition's rows),
+        nor resurrect a tombstoned retired id as a live part."""
+        max_id = int(max_id)
+        m = self._core_manifest()
+        props = m.setdefault("properties", {})
+        if int(props.get("max-part-id", -1)) < max_id:
+            props["max-part-id"] = max_id
+            self._write_manifest(m)
+
+    def next_part_base(self) -> int:
+        """First part id safe for a rewrite (delete_job/compact_job) to
+        mint: above every committed id, every retired tombstone, and the
+        persisted plan high-water mark (:meth:`note_part_extent`) -- which
+        covers ids an incomplete encode plan has reserved but not yet
+        committed."""
+        ids = self.completed_parts() | self.retired_parts()
+        hw = int(self.properties().get("max-part-id", -1))
+        return max([hw, *ids]) + 1 if ids else hw + 1
 
     def set_property(self, key: str, value) -> None:
         """Set a table property in the core manifest (atomic rewrite) --

@@ -449,9 +449,12 @@ def test_reader_class_selection_by_conf(spark, enc_docs):
         assert r.pushFilters.__func__ is DataSourceReader.pushFilters
         spark.conf.set(conf_key, "true")
         assert type(mk()) is EncodedTableReader
-        # explicit option wins over conf in both directions
+        # explicit option force-disables regardless of conf
         assert type(mk(pushdown="false")) is EncodedTablePlainReader
+        # but option 'true' cannot override a DETECTED conf-off (ADVICE r4):
+        # the pushFilters reader with the conf off is a hard
+        # DATA_SOURCE_PUSHDOWN_DISABLED init error, so the safe reader wins
         spark.conf.set(conf_key, "false")
-        assert type(mk(pushdown="true")) is EncodedTableReader
+        assert type(mk(pushdown="true")) is EncodedTablePlainReader
     finally:
         spark.conf.set(conf_key, saved)

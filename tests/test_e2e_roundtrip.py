@@ -1289,3 +1289,158 @@ def test_delete_job_temporal_and_decimal_literals(spark, tmp_path):
     # raw epoch int on a timestamp column: loud refusal, not a wrong answer
     with pytest.raises(ConfigException, match="temporal delete literal"):
         delete_job(spark, path, ("ts", ">=", 1700000000000000))
+
+
+def test_delete_on_partial_encode_plan_preserves_resume(spark, corpus, tmp_path):
+    """ADVICE r4 (medium): delete_job on a PARTIALLY encoded table must not
+    mint part ids the unfinished encode plan has reserved -- if it did,
+    resume would see those ids in completed_parts and silently skip the
+    corresponding input partitions (data loss). The persisted high-water
+    mark (note_part_extent / next_part_base) forces the rewrite's ids above
+    the whole plan range."""
+    from embulk_output_s3_parquet_spark.jobs import delete_job, verify_table
+
+    path = str(tmp_path / "partial")
+    t = encode_job(spark, corpus, path, _policy(), if_exists="error", max_parts=2)
+    done1 = t.completed_parts()
+    assert 0 < len(done1) < 8  # genuinely partial
+
+    # the plan extent was reserved up front, before any rewrite runs
+    hw = int(t.properties().get("max-part-id", -1))
+    assert hw >= max(done1)
+
+    # delete one committed row; the rewrite must allocate ABOVE the plan
+    victim = decode_job(spark, path).select("repo", "path", "commit").first()
+    rep = delete_job(
+        spark, path,
+        [("repo", "==", victim["repo"]), ("path", "==", victim["path"]),
+         ("commit", "==", victim["commit"])],
+    )
+    assert rep["rows_deleted"] == 1
+    t = EncodedTable(path)
+    new_ids = t.completed_parts() - done1
+    assert new_ids and min(new_ids) > hw, (sorted(new_ids), hw)
+
+    # resume the interrupted plan: every remaining input partition encodes
+    encode_job(spark, corpus, path, _policy(), if_exists="skip")
+    assert decode_job(spark, path).count() == ROWS - 1
+    assert verify_table(spark, path) == []
+
+
+def test_legacy_inline_lineage_delete_tombstones(spark, tmp_path):
+    """ADVICE r4 (medium): on a pre-shard table (lineage inline in the core
+    manifest), delete_job must still record retired-part tombstones --
+    otherwise a replayed wave re-encodes the removed ids and resurrects
+    deleted rows."""
+    import json
+    import shutil
+
+    from embulk_output_s3_parquet_spark.jobs import delete_job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "legacy")
+    pol = _policy(chunk_rows=64)
+    encode_job(spark, docs, path, pol, if_exists="error")
+    t = EncodedTable(path)
+
+    # rewrite the manifest into the legacy inline form the sharded layout
+    # replaced: parts embedded in the manifest, no parts-<gen> dir
+    m = t._core_manifest()
+    m["parts"] = {str(k): v for k, v in t.lineage().items()}
+    gen = m.pop("parts_gen", 0)
+    t._write_manifest(m)
+    shutil.rmtree(os.path.join(path, f"parts-{gen}"), ignore_errors=True)
+    assert t.completed_parts() == set(int(k) for k in m["parts"])
+
+    victim = int(docs.select("doc_id").first()[0])
+    rep = delete_job(spark, path, ("doc_id", "==", victim))
+    assert rep["rows_deleted"] == 1
+    t = EncodedTable(path)
+    assert t.retired_parts(), "legacy-manifest delete must tombstone"
+
+    # replayed wave: deleted row stays gone
+    encode_job(spark, docs, path, pol, if_exists="skip")
+    got = decode_job(spark, path)
+    assert got.filter(F.col("doc_id") == victim).count() == 0
+    assert got.count() == docs.count() - 1
+
+
+def test_next_part_base_monotone(tmp_path, spark):
+    """Unit contract of the high-water allocator: above committed ids,
+    retired tombstones, and the persisted plan extent; note_part_extent
+    never moves backwards."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "hw")
+    encode_job(spark, docs.limit(50), path, _policy(chunk_rows=64), if_exists="error")
+    t = EncodedTable(path)
+    top = max(t.completed_parts())
+    assert t.next_part_base() > top
+
+    t.note_part_extent(top + 100)
+    assert t.next_part_base() == top + 101
+    t.note_part_extent(top + 5)  # monotone: lower marks are ignored
+    assert t.next_part_base() == top + 101
+
+    # retired ids above the mark also push the base up
+    m = t._core_manifest()
+    m.setdefault("properties", {})["retired-parts"] = [top + 500]
+    t._write_manifest(m)
+    assert t.next_part_base() == top + 501
+
+
+def test_direct_fingerprint_reconciled_when_nothing_committed(spark, tmp_path):
+    """ADVICE r4 (low): a recorded fingerprint with ZERO committed parts
+    pins nothing -- a changed input must be accepted and the fingerprint
+    updated, not silently kept stale. With committed parts the refusal
+    still fires, including for a same-shape rewrite (mtime in the
+    fingerprint)."""
+    import shutil
+
+    from embulk_output_s3_parquet_spark.jobs import encode_parquet_job
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src + "/a.parquet")
+    path = str(tmp_path / "enc")
+
+    # first wave dies before committing anything (max_parts=0): the
+    # fingerprint is recorded, done stays empty
+    t = encode_parquet_job(spark, src, path, _policy(), max_parts=0)
+    assert t.completed_parts() == set()
+    fp0 = t.properties()["direct-input-fingerprint"]
+
+    # input changes (touch -> new mtime): accepted, fingerprint reconciled
+    os.utime(src + "/a.parquet", (1e9, 1e9))
+    t = encode_parquet_job(spark, src, path, _policy(), if_exists="skip")
+    fp1 = EncodedTable(path).properties()["direct-input-fingerprint"]
+    assert fp1 != fp0
+    assert decode_job(spark, path).count() == 500
+
+    # now parts exist: any further input change is refused loudly
+    os.utime(src + "/a.parquet", (2e9, 2e9))
+    with pytest.raises(ConfigException, match="resume refused"):
+        encode_parquet_job(spark, src, path, _policy(), if_exists="skip")
+
+
+def test_staging_heartbeat_touches_lock(tmp_path):
+    """ADVICE r4 (low): the writer-lock mtime must advance while a long
+    compute stage runs, so cross-host liveness (mtime heartbeat) cannot
+    declare a live writer dead before its first staged file lands."""
+    import time as _time
+
+    from embulk_output_s3_parquet_spark.sources.tables import (
+        STAGING_LOCK,
+        staging_heartbeat,
+        staging_is_live,
+        write_staging_lock,
+    )
+
+    d = str(tmp_path / ".staging-x")
+    os.makedirs(d)
+    write_staging_lock(d)
+    lock = os.path.join(d, STAGING_LOCK)
+    os.utime(lock, (1e9, 1e9))  # pretend the lock went stale
+    with staging_heartbeat(d, interval=0.05):
+        _time.sleep(0.3)
+    assert os.path.getmtime(lock) > 1e9
+    assert staging_is_live(d, stale_after_s=3600)
