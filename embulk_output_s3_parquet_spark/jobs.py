@@ -309,16 +309,34 @@ def decode_job(
     columns: list[str] | None = None,
     where=None,
     counters: dict | None = None,
+    at_gen: int | None = None,
 ) -> DataFrame:
     """Decode a committed table. Default: the shuffle-free part-aligned scan
     (decode_table_scan) with optional zone-map predicate skipping (``where``
     is one (col, op, literal) conjunct or a list ANDed together); use
     decode_job_chunks for encoded layouts not produced by encode_job.
     ``counters`` (from ``operators.decode.scan_counters``) surfaces
-    chunks/row-groups skipped after an action runs."""
+    chunks/row-groups skipped after an action runs.
+
+    ``at_gen`` time-travels to a retained part-set generation (Iceberg
+    snapshot read): the table must have ``snapshot-retention`` > 0 so
+    rewrites keep superseded generations on disk
+    (``EncodedTable.set_snapshot_retention`` / ``generations()``). The
+    snapshot is read with the CURRENT schema, like Iceberg's default."""
     from .operators.decode import decode_table_scan
 
     table = EncodedTable(table_path)
+    if at_gen is not None:
+        snap = table.lineage_at(at_gen)
+        if not snap:
+            return spark.createDataFrame([], table.schema())
+        # explicit part set: part-level zone pruning doesn't apply (the
+        # summaries live in the CURRENT lineage), chunk-level skipping still
+        # does inside the scanner
+        return decode_table_scan(
+            spark, table, columns=columns, where=where, counters=counters,
+            parts=set(snap),
+        )
     return decode_table_scan(
         spark, table, columns=columns, where=where, counters=counters
     )
@@ -481,8 +499,13 @@ def compact_job(
         # ordering the new parts don't have
         table.set_property("write-order", None)
     shutil.rmtree(staging, ignore_errors=True)
-    for pid in old_parts:
-        shutil.rmtree(os.path.join(table.data_dir, f"part_id={pid}"), ignore_errors=True)
+    # with snapshot retention on, the pre-compaction generation stays
+    # readable via decode_job(at_gen=...); vacuum expires it later
+    if table.snapshot_retention() == 0:
+        for pid in old_parts:
+            shutil.rmtree(
+                os.path.join(table.data_dir, f"part_id={pid}"), ignore_errors=True
+            )
     return table
 
 
@@ -657,7 +680,16 @@ def verify_table(spark: SparkSession, table_path: str) -> list[dict]:
                 {"part_id": pid, "error": "sha256 manifest mismatch",
                  "expected": want, "actual": got["sha256_manifest"]}
             )
-    for pid in set(actual_rows) - set(expected):
+    # parts referenced only by RETAINED superseded generations (snapshot
+    # time travel) are tracked, not strays; their shas were audited when
+    # their generation was current
+    snapshot_ids: set[int] = set()
+    for g in table.retained_generations()[:-1]:
+        try:
+            snapshot_ids |= set(table.lineage_at(g))
+        except ConfigException:
+            pass
+    for pid in set(actual_rows) - set(expected) - snapshot_ids:
         problems.append({"part_id": pid, "error": "untracked part on disk"})
     return problems
 
@@ -786,10 +818,34 @@ def delete_job(
     schema = table.schema()
     df = decode_table_scan(spark, table, parts=affected)
     keep = df.filter(~_conjunct_condition(conjuncts, schema))
-    # the kept rows are decoded TWICE otherwise (partition planning's size
-    # collect + the encode write); persist the filtered frame in between
-    keep = keep.persist()
+    new_lineage = _swap_in_rewrite(spark, table, affected, keep, policy)
+    rows_after = sum(r["rows"] for r in new_lineage.values())
+    report["parts_rewritten"] = len(new_lineage)
+    report["rows_deleted"] = rows_before - rows_after
+    return report
+
+
+def _swap_in_rewrite(
+    spark: SparkSession,
+    table: EncodedTable,
+    affected: set[int],
+    new_rows: DataFrame,
+    policy: CodecPolicy | None,
+) -> dict[int, dict]:
+    """Shared tail of every copy-on-write rewrite (delete/update/merge):
+    encode ``new_rows`` into fresh part ids minted above the persisted
+    high-water mark, then atomically swap them in for ``affected`` via the
+    partial generation flip (``_update_parts``: unchanged lineage shards
+    hard-linked, removed ids tombstoned; a crash before the flip leaves the
+    old table fully intact). Returns the new parts' lineage rows."""
+    import os
+    import shutil
+
     policy = policy or table.policy()
+    schema = table.schema()
+    # the rewritten rows are decoded TWICE otherwise (partition planning's
+    # size collect + the encode write); persist the frame in between
+    new_rows = new_rows.persist()
     # write-order may reference columns dropped since it was recorded;
     # cluster only by columns that still exist (drop_column also scrubs)
     names_now = {f.name for f in schema.fields}
@@ -798,7 +854,7 @@ def delete_job(
     )
 
     t0 = time.time()
-    dfp, plan_out = _plan(keep, policy)
+    dfp, plan_out = _plan(new_rows, policy)
     # mint replacement ids from the persisted high-water mark, NOT
     # max(lineage): an incomplete encode plan has reserved ids above the
     # committed set (note_part_extent), and retired tombstones must never
@@ -816,7 +872,7 @@ def delete_job(
     ]
     if staged:
         on_disk = spark.read.parquet(staging)
-        raw = _lineage_rows(on_disk, table.schema().fields[0].name, time.time() - t0)
+        raw = _lineage_rows(on_disk, schema.fields[0].name, time.time() - t0)
         for name in staged:
             pid = int(name.split("=", 1)[1])
             dst = os.path.join(table.data_dir, f"part_id={pid + offset}")
@@ -825,28 +881,246 @@ def delete_job(
             os.rename(os.path.join(staging, name), dst)
         new_lineage = {pid + offset: row for pid, row in raw.items()}
     table._update_parts(remove=affected, add=new_lineage)
-    # old affected dirs only AFTER the atomic flip (kill-safe)
-    for p in affected:
-        shutil.rmtree(
-            os.path.join(table.data_dir, f"part_id={p}"), ignore_errors=True
-        )
+    # old affected dirs only AFTER the atomic flip (kill-safe); with
+    # snapshot retention on they stay readable via decode_job(at_gen=...)
+    # until vacuum expires the superseded generation
+    if table.snapshot_retention() == 0:
+        for p in affected:
+            shutil.rmtree(
+                os.path.join(table.data_dir, f"part_id={p}"), ignore_errors=True
+            )
     shutil.rmtree(staging, ignore_errors=True)
-    keep.unpersist()
-    rows_after = sum(r["rows"] for r in new_lineage.values())
+    new_rows.unpersist()
+    return new_lineage
+
+
+def update_job(
+    spark: SparkSession,
+    table_path: str,
+    where,
+    set_exprs: dict,
+    policy: CodecPolicy | None = None,
+) -> dict:
+    """Row-level UPDATE: ``UPDATE t SET col = expr, ... WHERE pred`` as a
+    copy-on-write rewrite scoped by zone/bloom part pruning -- the Iceberg/
+    Delta UPDATE analogue on the engine's own metadata. ``where`` takes the
+    same (col, op, literal) conjunct shapes as decode_job; ``set_exprs``
+    maps target column -> SQL expression string (or Column), evaluated on
+    matching rows with every table column in scope (so ``{"price":
+    "price * 1.1"}`` works). Results are cast to the column's declared
+    type: the table schema never drifts.
+
+    Only parts whose summaries admit a matching row are rewritten; at
+    100 TB a keyed update touches a handful of parts and every provably
+    clean part keeps its files and lineage untouched.
+
+    Returns {"parts_total", "parts_affected", "parts_rewritten",
+    "rows_updated"}."""
+    from pyspark.sql import Column
+
+    from .operators.decode import decode_table_scan
+    from .sources.chunkscan import _survives, normalize_where
+
+    table = EncodedTable(table_path)
+    schema = table.schema()
+    names = [f.name for f in schema.fields]
+    conjuncts = normalize_where(where, names)
+    if not conjuncts:
+        raise ConfigException("update_job requires a predicate")
+    if not set_exprs:
+        raise ConfigException("update_job requires at least one SET column")
+    unknown = set(set_exprs) - set(names)
+    if unknown:
+        raise ConfigException(f"SET: unknown column(s) {sorted(unknown)}")
+    lineage = table.lineage()
+    zones = table.part_zones()
+    fillable = frozenset(table.added_columns())
+    affected = {
+        p
+        for p in lineage
+        if _survives(zones.get(p, {}), conjuncts, fillable=fillable)
+    }
+    report = {
+        "parts_total": len(lineage),
+        "parts_affected": len(affected),
+        "parts_rewritten": 0,
+        "rows_updated": 0,
+    }
+    if not affected:
+        return report
+
+    df = decode_table_scan(spark, table, parts=affected).persist()
+    cond = _conjunct_condition(conjuncts, schema)
+    report["rows_updated"] = df.filter(cond).count()
+    by_name = {f.name: f for f in schema.fields}
+    cols = []
+    for c in names:
+        if c in set_exprs:
+            e = set_exprs[c]
+            val = e if isinstance(e, Column) else F.expr(str(e))
+            cols.append(
+                F.when(cond, val.cast(by_name[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    updated = df.select(*cols)
+    new_lineage = _swap_in_rewrite(spark, table, affected, updated, policy)
+    df.unpersist()
     report["parts_rewritten"] = len(new_lineage)
-    report["rows_deleted"] = rows_before - rows_after
+    return report
+
+
+# a merge source larger than this skips the exact per-key bloom/zone "in"
+# probe and prunes by key RANGE only (the probe list itself must stay a
+# driver-side broadcastable literal)
+_MERGE_KEY_PROBE_CAP = 100_000
+
+
+def merge_job(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    policy: CodecPolicy | None = None,
+) -> dict:
+    """MERGE (upsert): rows of ``source`` whose ``on`` key matches an
+    existing row REPLACE it (every non-key column taken from the source);
+    unmatched source rows are INSERTED -- Iceberg/Delta's ``MERGE INTO ...
+    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` as one
+    copy-on-write rewrite.
+
+    Scale shape: the affected-part set comes from the engine's own
+    metadata -- for a small source (<= _MERGE_KEY_PROBE_CAP keys) every
+    part is probed with an exact ``key IN (...)`` against per-part blooms +
+    zone ranges; for a large source, with the source's [min, max] key
+    range. Every part the summaries exclude keeps its files untouched, so
+    a trickle upsert into a keyed/clustered 100 TB table rewrites only the
+    parts it hits. Unmatched detection needs no full-table scan either: a
+    source key outside the affected parts' summaries cannot exist
+    elsewhere, so the anti-join runs against the decoded AFFECTED rows
+    only.
+
+    ``source`` must have exactly the table's columns; duplicate keys in the
+    source are refused (ambiguous, like Iceberg's cardinality check).
+
+    Returns {"parts_total", "parts_affected", "parts_rewritten",
+    "rows_updated", "rows_inserted"}."""
+    from .operators.decode import decode_table_scan
+    from .sources.chunkscan import _survives, normalize_where
+
+    table = EncodedTable(table_path)
+    schema = table.schema()
+    names = [f.name for f in schema.fields]
+    if not on:
+        raise ConfigException("merge_job requires at least one key column")
+    missing = set(on) - set(names)
+    if missing:
+        raise ConfigException(f"merge key: unknown column(s) {sorted(missing)}")
+    if sorted(source.columns) != sorted(names):
+        raise ConfigException(
+            f"merge source columns {sorted(source.columns)} != table "
+            f"columns {sorted(names)} (MERGE inserts whole rows)"
+        )
+    source = source.select(*names).persist()  # table column order
+    n_src = source.count()
+    if source.select(*on).distinct().count() != n_src:
+        raise ConfigException(
+            "merge source has duplicate keys: each target row may match at "
+            "most one source row (deduplicate the source first)"
+        )
+
+    # affected parts from the table's own summaries: exact key-list probe
+    # (blooms + zones, op 'in') when the source is small, range otherwise
+    if n_src == 0:
+        conjuncts = None
+    elif len(on) == 1 and n_src <= _MERGE_KEY_PROBE_CAP:
+        # NULL keys match nothing (SQL join semantics): they are pure
+        # inserts and must not poison the zone probe
+        keys = [r[0] for r in source.select(on[0]).collect() if r[0] is not None]
+        conjuncts = normalize_where([(on[0], "in", keys)], names) if keys else None
+    else:
+        bounds = source.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in on],
+            *[F.max(k).alias(f"hi_{k}") for k in on],
+        ).first()
+        conjuncts = []
+        for k in on:
+            if bounds[f"lo_{k}"] is not None:
+                conjuncts.append((k, ">=", bounds[f"lo_{k}"]))
+                conjuncts.append((k, "<=", bounds[f"hi_{k}"]))
+        conjuncts = normalize_where(conjuncts, names)
+    lineage = table.lineage()
+    zones = table.part_zones()
+    fillable = frozenset(table.added_columns())
+    affected = (
+        set()
+        if conjuncts is None
+        else {
+            p
+            for p in lineage
+            if _survives(zones.get(p, {}), conjuncts, fillable=fillable)
+        }
+    )
+    report = {
+        "parts_total": len(lineage),
+        "parts_affected": len(affected),
+        "parts_rewritten": 0,
+        "rows_updated": 0,
+        "rows_inserted": 0,
+    }
+    if n_src == 0:
+        source.unpersist()
+        return report
+
+    if affected:
+        target = decode_table_scan(spark, table, parts=affected).persist()
+        # broadcast the key side only while it is provably small; a bulk
+        # merge beyond the probe cap falls back to a shuffle join
+        src_keys = source.select(*on)
+        if n_src <= _MERGE_KEY_PROBE_CAP:
+            src_keys = F.broadcast(src_keys)
+        report["rows_updated"] = (
+            target.select(*on).join(src_keys, on, "left_semi").count()
+        )
+        # matched target rows replaced by their source row; unmatched kept
+        kept = target.join(src_keys, on, "left_anti")
+        inserts = source.join(target.select(*on), on, "left_anti")
+    else:
+        kept = None
+        inserts = source
+    report["rows_inserted"] = n_src - report["rows_updated"]
+
+    # matched source rows via semi-join (NOT anti against the insert keys:
+    # NULL-key source rows never match an anti-join condition, which would
+    # land them in BOTH updates and inserts -- a double insert)
+    updates = (
+        source.join(target.select(*on), on, "left_semi") if affected else None
+    )
+    pieces = [p for p in (kept, updates, inserts) if p is not None]
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = merged.unionByName(p)
+    new_lineage = _swap_in_rewrite(spark, table, affected, merged, policy)
+    if affected:
+        target.unpersist()
+    source.unpersist()
+    report["parts_rewritten"] = len(new_lineage)
     return report
 
 
 def vacuum_job(
     table_path: str, dry_run: bool = False, stale_after_s: float | None = None
 ) -> dict:
-    """Maintenance cleanup (the remove-orphan-files analogue of Iceberg's
-    maintenance actions): delete part dirs the lineage does not claim
-    (leftovers of killed pre-commit waves), stale ``.staging-*`` dirs both
-    inside and beside the table, and lineage-shard dirs of superseded
-    generations. Committed data is NEVER touched -- readers ignore
-    everything vacuum removes, so this only reclaims space.
+    """Maintenance cleanup (the remove-orphan-files + expire-snapshots
+    analogue of Iceberg's maintenance actions): delete part dirs no
+    RETAINED generation's lineage claims (leftovers of killed pre-commit
+    waves, and data of expired snapshots), stale ``.staging-*`` dirs both
+    inside and beside the table, and lineage-shard dirs of generations past
+    the ``snapshot-retention`` window. Committed data of the current and
+    retained generations is NEVER touched -- readers ignore everything
+    vacuum removes, so this only reclaims space.
 
     Returns {"orphan_parts": [...], "staging_dirs": n, "stale_shard_dirs": n};
     ``dry_run`` reports without deleting."""
@@ -856,14 +1130,23 @@ def vacuum_job(
     import shutil
 
     table = EncodedTable(table_path)
-    committed = table.completed_parts()
+    # live = every part id any RETAINED generation still references: with
+    # snapshot-retention on, an expired gen's exclusive parts become
+    # sweepable here while parts shared with retained gens stay
+    retained = set(table.retained_generations())
+    live: set[int] = set()
+    for g in sorted(retained):
+        try:
+            live |= set(table.lineage_at(g))
+        except ConfigException:
+            pass  # gen listed but shard dir raced away; its ids aren't live
     report = {"orphan_parts": [], "staging_dirs": 0, "stale_shard_dirs": 0}
     if os.path.isdir(table.data_dir):
         for name in os.listdir(table.data_dir):
             if not name.startswith("part_id="):
                 continue
             pid = int(name.split("=", 1)[1])
-            if pid not in committed:
+            if pid not in live:
                 report["orphan_parts"].append(pid)
                 if not dry_run:
                     shutil.rmtree(os.path.join(table.data_dir, name), ignore_errors=True)
@@ -871,12 +1154,11 @@ def vacuum_job(
 
     if stale_after_s is None:
         stale_after_s = STAGING_STALE_S
-    gen = table.manifest().get("parts_gen", 0)
     report["live_staging_skipped"] = 0
     for name in os.listdir(table.path):
         stale_staging = name.startswith(".staging-")
         m = re.fullmatch(r"parts-(\d+)", name)
-        stale_gen = m is not None and int(m.group(1)) != gen
+        stale_gen = m is not None and int(m.group(1)) not in retained
         if stale_staging:
             # never sweep a LIVE writer's staging from under it (ADVICE r3):
             # a concurrent vacuum must not fail an in-flight commit

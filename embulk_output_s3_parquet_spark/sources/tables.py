@@ -361,7 +361,12 @@ class EncodedTable:
         m["parts"] = {}  # clears any legacy inline parts too
         m["parts_gen"] = old_gen + 1
         self._write_manifest(m)
-        shutil.rmtree(os.path.join(self.path, f"parts-{old_gen}"), ignore_errors=True)
+        if not int(m.get("properties", {}).get("snapshot-retention", 0) or 0):
+            shutil.rmtree(
+                os.path.join(self.path, f"parts-{old_gen}"), ignore_errors=True
+            )
+        # with retention on, the superseded shard dir stays readable
+        # (time travel); vacuum_job expires generations past the window
 
     def _update_parts(self, remove: set[int], add: dict[int, dict]) -> None:
         """Atomic PARTIAL part-set update (row-level delete / targeted
@@ -434,12 +439,70 @@ class EncodedTable:
             retired = m.setdefault("properties", {}).setdefault("retired-parts", [])
             retired.extend(sorted(int(p) for p in remove if int(p) not in set(retired)))
         self._write_manifest(m)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        if not int(m.get("properties", {}).get("snapshot-retention", 0) or 0):
+            shutil.rmtree(old_dir, ignore_errors=True)
+        # retention on: superseded shards stay for time travel (see
+        # _replace_parts); vacuum_job expires past the window
 
     def retired_parts(self) -> set[int]:
         """Part ids removed by delete_job: resume/replay must never
         re-encode them (exactly-once survives row-level deletes)."""
         return {int(p) for p in self.properties().get("retired-parts", [])}
+
+    # -- snapshots (generation retention / time travel) ---------------------
+
+    def snapshot_retention(self) -> int:
+        """How many SUPERSEDED part-set generations stay readable (Iceberg
+        snapshot-expiry analogue). 0 (default): a rewrite removes the old
+        generation's lineage shards and replaced part dirs immediately.
+        N > 0: the last N superseded generations keep their shard dirs and
+        part files on disk -- ``decode_job(at_gen=...)`` reads them --
+        until vacuum_job expires them past the window."""
+        return int(self.properties().get("snapshot-retention", 0) or 0)
+
+    def set_snapshot_retention(self, n: int) -> None:
+        if int(n) < 0:
+            raise ConfigException("snapshot-retention must be >= 0")
+        self.set_property("snapshot-retention", int(n))
+
+    def generations(self) -> list[int]:
+        """Part-set generations whose lineage is on disk, ascending; the
+        last entry is the current one. Metadata-only (one listdir)."""
+        import re
+
+        gens = {
+            int(m.group(1))
+            for name in os.listdir(self.path)
+            if (m := re.fullmatch(r"parts-(\d+)", name))
+        }
+        gens.add(self._core_manifest().get("parts_gen", 0))
+        return sorted(gens)
+
+    def retained_generations(self) -> list[int]:
+        """Generations a reader may target: the current one plus up to
+        ``snapshot_retention()`` most recent superseded ones."""
+        gens = self.generations()
+        return gens[-(self.snapshot_retention() + 1):]
+
+    def lineage_at(self, gen: int) -> dict[int, dict]:
+        """The part set as of generation ``gen`` (time travel). Raises for
+        a generation that was never written or has been expired."""
+        cur = self._core_manifest().get("parts_gen", 0)
+        if gen == cur:
+            return self.lineage()
+        d = os.path.join(self.path, f"parts-{gen}")
+        if not os.path.isdir(d):
+            raise ConfigException(
+                f"generation {gen} of {self.path} is not on disk (available: "
+                f"{self.generations()}); raise snapshot-retention before the "
+                "rewrite, or vacuum expired it"
+            )
+        out: dict[str, dict] = {}
+        for name in os.listdir(d):
+            if name.startswith("shard-") and name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    out.update(json.load(f))
+        return {int(k): v for k, v in out.items()}
 
     def note_part_extent(self, max_id: int) -> None:
         """Record a MONOTONE part-id high-water mark (``max-part-id``).

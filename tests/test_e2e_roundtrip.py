@@ -1444,3 +1444,226 @@ def test_staging_heartbeat_touches_lock(tmp_path):
         _time.sleep(0.3)
     assert os.path.getmtime(lock) > 1e9
     assert staging_is_live(d, stale_after_s=3600)
+
+
+def test_update_job_rewrites_only_affected_parts(spark, tmp_path):
+    """Row-level UPDATE (r5): SET expressions apply exactly to matching
+    rows, untouched parts keep their files (mtime + lineage stable), and
+    the result matches the framewise oracle."""
+    from embulk_output_s3_parquet_spark.jobs import update_job, verify_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "upd")
+    # doc_id blooms: surrogate parts are hash-assigned, so range zones span
+    # the domain -- a POINT update is what part pruning can scope (same
+    # shape as the delete test)
+    pol = _policy(chunk_rows=64, target_partition_bytes=65536,
+                  bloom_columns=("doc_id",))
+    encode_job(spark, docs, path, pol, if_exists="error")
+    t = EncodedTable(path)
+    before = t.lineage()
+    mtimes = {
+        p: os.path.getmtime(os.path.join(t.data_dir, f"part_id={p}"))
+        for p in before
+    }
+
+    victim = int(docs.select("doc_id").first()[0])
+    rep = update_job(
+        spark, path, ("doc_id", "==", victim),
+        {"lang": "'xx'", "n_chars": "n_chars + 1000"},
+    )
+    assert rep["rows_updated"] == 1
+    assert 0 < rep["parts_affected"] < rep["parts_total"], rep
+
+    got = decode_job(spark, path)
+    assert got.count() == docs.count()
+    assert got.filter(F.col("doc_id") == victim).select("lang").first()[0] == "xx"
+    assert got.filter(F.col("lang") == "xx").count() == 1
+    # n_chars oracle: the updated row gained exactly 1000
+    assert (
+        got.select(F.sum("n_chars")).first()[0]
+        == docs.select(F.sum("n_chars")).first()[0] + 1000
+    )
+    # untouched parts: same lineage rows, same file mtimes
+    t = EncodedTable(path)
+    after = t.lineage()
+    for p in set(before) & set(after):
+        assert after[p]["sha256_manifest"] == before[p]["sha256_manifest"]
+        assert os.path.getmtime(os.path.join(t.data_dir, f"part_id={p}")) == mtimes[p]
+    assert verify_table(spark, path) == []
+
+    # schema never drifts: SET result is cast to the declared type
+    sch = {f.name: f.dataType.simpleString() for f in decode_job(spark, path).schema.fields}
+    assert sch["n_chars"] == "bigint" and sch["lang"] == "string"
+
+    with pytest.raises(ConfigException, match="unknown column"):
+        update_job(spark, path, ("doc_id", ">", 0), {"nope": "1"})
+    with pytest.raises(ConfigException, match="requires a predicate"):
+        update_job(spark, path, None, {"lang": "'y'"})
+
+
+def test_merge_job_upsert(spark, tmp_path):
+    """MERGE (r5): matched keys are replaced with source rows, unmatched
+    source rows are inserted, pruning scopes the rewrite, and duplicate
+    source keys are refused."""
+    from embulk_output_s3_parquet_spark.jobs import merge_job, verify_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "mrg")
+    pol = _policy(chunk_rows=64, bloom_columns=("doc_id",))
+    encode_job(spark, docs, path, pol, if_exists="error", cluster_by=["doc_id"])
+    t = EncodedTable(path)
+    n_parts = len(t.lineage())
+
+    # source: 5 updated rows (text rewritten) + 3 brand-new ids
+    upd = (
+        docs.orderBy("doc_id").limit(5)
+        .withColumn("text", F.lit("MERGED"))
+        .withColumn("n_chars", F.lit(6).cast("long"))
+    )
+    top = int(docs.agg(F.max("doc_id")).first()[0])
+    new = docs.orderBy("doc_id").limit(3).select(
+        (F.col("doc_id") + top + 1).alias("doc_id"),
+        F.lit("NEW").alias("text"),
+        *[F.col(c) for c in docs.columns if c not in ("doc_id", "text")],
+    ).select(*docs.columns)
+    src = upd.unionByName(new)
+
+    rep = merge_job(spark, path, src, on=["doc_id"])
+    assert rep["rows_updated"] == 5
+    assert rep["rows_inserted"] == 3
+    # bloom + zone probe on a clustered key: only a few parts rewritten
+    assert 0 < rep["parts_affected"] < rep["parts_total"] == n_parts
+
+    got = decode_job(spark, path)
+    assert got.count() == docs.count() + 3
+    assert got.filter(F.col("text") == "MERGED").count() == 5
+    assert got.filter(F.col("text") == "NEW").count() == 3
+    # non-matched rows bit-stable
+    untouched = got.join(src.select("doc_id"), "doc_id", "left_anti")
+    orig = docs.join(src.select("doc_id"), "doc_id", "left_anti")
+    assert (
+        untouched.select(F.sum(F.sha2("text", 256).substr(1, 8).cast("string").isNotNull().cast("int"))).first()[0]
+        == orig.count()
+    )
+    assert untouched.count() == orig.count()
+    assert verify_table(spark, path) == []
+
+    # merge is idempotent for identical source rows (replace with equal)
+    rep2 = merge_job(spark, path, src, on=["doc_id"])
+    assert rep2["rows_updated"] == 8 and rep2["rows_inserted"] == 0
+    assert decode_job(spark, path).count() == docs.count() + 3
+
+    # duplicate source keys refused
+    dup = src.unionByName(src.limit(1))
+    with pytest.raises(ConfigException, match="duplicate keys"):
+        merge_job(spark, path, dup, on=["doc_id"])
+    # wrong column set refused
+    with pytest.raises(ConfigException, match="merge source columns"):
+        merge_job(spark, path, src.drop("lang"), on=["doc_id"])
+
+
+def test_merge_job_insert_only_and_empty(spark, tmp_path):
+    """MERGE with no matching keys appends without touching any existing
+    part; an empty source is a no-op."""
+    from embulk_output_s3_parquet_spark.jobs import merge_job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "mrg2")
+    encode_job(spark, docs, path, _policy(chunk_rows=64),
+               if_exists="error", cluster_by=["doc_id"])
+    t = EncodedTable(path)
+    before = set(t.lineage())
+
+    top = int(docs.agg(F.max("doc_id")).first()[0])
+    new = docs.limit(4).select(
+        (F.col("doc_id") + top + 100).alias("doc_id"),
+        *[F.col(c) for c in docs.columns if c != "doc_id"],
+    ).select(*docs.columns)
+    rep = merge_job(spark, path, new, on=["doc_id"])
+    assert rep["rows_inserted"] == 4 and rep["rows_updated"] == 0
+    assert rep["parts_affected"] == 0  # zone/bloom probe excludes every part
+    t = EncodedTable(path)
+    assert before < set(t.lineage())  # pure append
+    assert decode_job(spark, path).count() == docs.count() + 4
+
+    rep0 = merge_job(spark, path, new.limit(0), on=["doc_id"])
+    assert rep0["rows_inserted"] == 0 and rep0["parts_rewritten"] == 0
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Snapshot retention (r5): with snapshot-retention > 0, rewrites keep
+    superseded generations readable -- decode_job(at_gen=...) returns the
+    table exactly as of that generation -- and vacuum expires generations
+    past the window without touching retained or current data."""
+    from embulk_output_s3_parquet_spark.jobs import (
+        delete_job, update_job, vacuum_job, verify_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "snap")
+    pol = _policy(chunk_rows=64, bloom_columns=("doc_id",))
+    encode_job(spark, docs, path, pol, if_exists="error")
+    t = EncodedTable(path)
+    t.set_snapshot_retention(2)
+    g0 = t.generations()[-1]
+
+    victims = [int(r[0]) for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()]
+    delete_job(spark, path, ("doc_id", "==", victims[0]))
+    g1 = EncodedTable(path).generations()[-1]
+    update_job(spark, path, ("doc_id", "==", victims[1]), {"lang": "'zz'"})
+    t = EncodedTable(path)
+    g2 = t.generations()[-1]
+    assert g0 < g1 < g2 and t.retained_generations() == [g0, g1, g2]
+
+    # current read reflects both rewrites
+    cur = decode_job(spark, path)
+    assert cur.count() == docs.count() - 1
+    assert cur.filter(F.col("lang") == "zz").count() == 1
+    # g1: after the delete, before the update
+    at1 = decode_job(spark, path, at_gen=g1)
+    assert at1.count() == docs.count() - 1
+    assert at1.filter(F.col("lang") == "zz").count() == 0
+    # g0: the original table, bit-stable
+    at0 = decode_job(spark, path, at_gen=g0)
+    assert at0.count() == docs.count()
+    assert (
+        at0.select(F.sum(F.crc32(F.concat_ws("|", "doc_id", "text", "lang")))).first()[0]
+        == docs.select(F.sum(F.crc32(F.concat_ws("|", "doc_id", "text", "lang")))).first()[0]
+    )
+
+    # vacuum keeps everything inside the window
+    rep = vacuum_job(path)
+    assert rep["orphan_parts"] == [] and rep["stale_shard_dirs"] == 0
+    assert decode_job(spark, path, at_gen=g0).count() == docs.count()
+
+    # shrink the window: g0 expires, its exclusive parts are swept, g1 and
+    # current stay readable and verified
+    t.set_snapshot_retention(1)
+    rep = vacuum_job(path)
+    assert rep["stale_shard_dirs"] == 1
+    assert rep["orphan_parts"]  # g0's replaced parts reclaimed
+    with pytest.raises(ConfigException, match="not on disk"):
+        decode_job(spark, path, at_gen=g0)
+    assert decode_job(spark, path, at_gen=g1).count() == docs.count() - 1
+    assert decode_job(spark, path).count() == docs.count() - 1
+    assert verify_table(spark, path) == []
+
+
+def test_snapshot_retention_off_is_roundless(spark, tmp_path):
+    """Default retention 0: rewrites still delete superseded generations
+    immediately (no disk growth), and at_gen on a missing generation is a
+    loud error."""
+    from embulk_output_s3_parquet_spark.jobs import delete_job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "snap0")
+    encode_job(spark, docs, path, _policy(chunk_rows=64), if_exists="error")
+    t = EncodedTable(path)
+    g0 = t.generations()[-1]
+    victim = int(docs.select("doc_id").first()[0])
+    delete_job(spark, path, ("doc_id", "==", victim))
+    t = EncodedTable(path)
+    assert t.generations() == [g0 + 1]  # old gen gone immediately
+    with pytest.raises(ConfigException, match="not on disk"):
+        decode_job(spark, path, at_gen=g0)
