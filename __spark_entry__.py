@@ -1486,8 +1486,6 @@ _RT_TABLES = {
         ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
         (),
     ),
-    "rt_region": ("region", ["r_regionkey", "r_name"], ()),
-    "rt_nation": ("nation", ["n_nationkey", "n_name", "n_regionkey"], ()),
     "rt_supplier": (
         "supplier",
         ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
@@ -1501,15 +1499,117 @@ _RT_TABLES = {
 }
 
 
+def _rt_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joined round-trip (r5 fold of rt_region + rt_nation): nation JOIN
+    region, THEN the encode/decode identity -- both tables' columns still
+    round-trip bit-exact, through one contract slot, and the encode input
+    is a Catalyst join output rather than a raw scan."""
+    from embulk_output_s3_parquet_spark.operators.decode import roundtrip
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "n_regionkey", "r_regionkey", "r_name"
+    )
+    return roundtrip(joined, CodecPolicy(chunk_rows=1024))
+
+
+_RT_NATION_REGION_SQL = """
+SELECT n_nationkey, n_name, n_regionkey, r_regionkey, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def _dml_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML over the encoded format (r5): encode documents, then
+    update_job (SET lang/n_chars WHERE doc_id < 50, zone/bloom part-scoped
+    copy-on-write), then merge_job (doc_id % 7 == 0 rows replaced by
+    source rows, doc_id % 97 == 0 re-keyed +1000000 as inserts; per-part
+    bloom key probe scopes the rewrite). The decoded result must be
+    VALUE-exact against a pure-SQL oracle (CASE WHEN + key-join union) --
+    DML correctness, not just row counts. Beyond-reference: the plugin is
+    a write-only sink (no DML surface at all)."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from embulk_output_s3_parquet_spark.jobs import (
+        decode_job, encode_job, merge_job, update_job,
+    )
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), f"dml_{_h.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    encode_job(
+        spark, docs, path,
+        CodecPolicy(chunk_rows=128, bloom_columns=("doc_id",)),
+        if_exists="delete",
+    )
+    update_job(
+        spark, path, ("doc_id", "<", 50),
+        {"lang": "'xx'", "n_chars": "n_chars + 1000"},
+    )
+    matched = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.lit("MERGED"))
+        .withColumn("n_chars", F.lit(6).cast("long"))
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.lit("NEW"))
+        .withColumn("n_chars", F.lit(3).cast("long"))
+    )
+    src = matched.unionByName(inserts).select(*docs.columns)
+    merge_job(spark, path, src, on=["doc_id"])
+    out = decode_job(spark, path)
+    return out.select(
+        "doc_id", F.md5("text").alias("th"), "lang", "source", "n_chars"
+    )
+
+
+_DML_UPDATE_MERGE_SQL = """
+WITH upd AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id < 50 THEN 'xx' ELSE lang END AS lang,
+         source,
+         CASE WHEN doc_id < 50 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents
+), src AS (
+  SELECT doc_id, 'MERGED' AS text, lang, source, CAST(6 AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'NEW', lang, source, CAST(3 AS BIGINT)
+  FROM documents WHERE doc_id % 97 = 0
+), merged AS (
+  SELECT u.doc_id,
+         CASE WHEN s.doc_id IS NOT NULL THEN s.text ELSE u.text END AS text,
+         CASE WHEN s.doc_id IS NOT NULL THEN s.lang ELSE u.lang END AS lang,
+         CASE WHEN s.doc_id IS NOT NULL THEN s.source ELSE u.source END AS source,
+         CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars ELSE u.n_chars END AS n_chars
+  FROM upd u LEFT JOIN src s ON u.doc_id = s.doc_id
+  UNION ALL
+  SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
+  FROM src s WHERE s.doc_id NOT IN (SELECT doc_id FROM upd)
+)
+SELECT doc_id, md5(text) AS th, lang, source, n_chars FROM merged
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _rt(tbl, ts) for name, (tbl, _cols, ts) in _RT_TABLES.items()
     }
     q.update(
         {
+            "rt_nation_region": _rt_nation_region,
             "rt_embeddings": _rt_embeddings,
             "rt_lineitem_decimal": _rt_lineitem_decimal,
             "rt_nested_struct_map": _rt_nested_struct_map,
+            "dml_update_merge": _dml_update_merge,
             "cast_matrix_lineitem": _casts_lineitem,
             "cast_timestamps": _casts_timestamp,
             "json_render": _json_render,
@@ -1559,9 +1659,11 @@ def oracle_sql() -> dict[str, str]:
     }
     o.update(
         {
+            "rt_nation_region": _RT_NATION_REGION_SQL,
             "rt_embeddings": _RT_EMBEDDINGS_SQL,
             "rt_lineitem_decimal": _RT_LINEITEM_DECIMAL_SQL,
             "rt_nested_struct_map": _RT_NESTED_SQL,
+            "dml_update_merge": _DML_UPDATE_MERGE_SQL,
             "cast_matrix_lineitem": _CASTS_LINEITEM_SQL,
             "cast_timestamps": _CASTS_TIMESTAMP_SQL,
             "json_render": _JSON_RENDER_SQL,
