@@ -50,6 +50,11 @@ def main() -> int:
     )
     ap.add_argument("--columns", help="comma-separated projection (pruned scan)")
     ap.add_argument(
+        "--at-gen", type=int,
+        help="time travel: read a retained part-set generation (requires "
+        "snapshot-retention > 0 on the table; see run_dml.py snapshots)",
+    )
+    ap.add_argument(
         "--where", action="append", default=[], metavar="COL OP LIT",
         help="zone-map conjunct, e.g. 'n_chars>=100' (repeatable, ANDed; "
         "may-match contract -- rows are pre-filtered by chunk zones, the "
@@ -74,7 +79,7 @@ def main() -> int:
         return 0
     if not args.out:
         raise SystemExit("--out is required unless --count is given")
-    df = decode_job(spark, args.table, columns=cols, where=where)
+    df = decode_job(spark, args.table, columns=cols, where=where, at_gen=args.at_gen)
     if where:
         from pyspark.sql import functions as F
 

@@ -1,0 +1,153 @@
+"""spark-submit entry point: table maintenance + row-level DML on an
+EncodedTable (the Iceberg-maintenance analogue of the engine's job API).
+
+Usage:
+    spark-submit --master local[8] --py-files dist/engine.zip \
+        scripts/run_dml.py delete --table /tmp/enc --where 'doc_id==7'
+    ... update  --table T --where 'doc_id<50' --set "lang='xx'" \
+                --set 'n_chars=n_chars + 1000'
+    ... merge   --table T --source /path/src.parquet --on doc_id
+    ... compact --table T [--cluster-by col1,col2]
+    ... vacuum  --table T [--dry-run]
+    ... snapshots --table T [--retain N]          # list / set retention
+    ... verify  --table T
+
+Every subcommand prints ONE JSON report line (the job API's return value),
+so the CLI is scriptable the way the reference plugin's TaskReports were.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+import time
+
+_WHERE_RE = re.compile(r"^(\w+)\s*(==|>=|<=|>|<)\s*(.+)$")
+_SET_RE = re.compile(r"^(\w+)\s*=\s*(.+)$")
+
+
+def _parse_where(exprs: list[str]) -> list[tuple]:
+    out = []
+    for e in exprs:
+        m = _WHERE_RE.match(e.strip())
+        if not m:
+            raise SystemExit(f"--where must look like 'col>=literal', got {e!r}")
+        col, op, lit = m.groups()
+        try:
+            val: object = int(lit)
+        except ValueError:
+            try:
+                val = float(lit)
+            except ValueError:
+                val = lit.strip("'\"")
+        out.append((col, op, val))
+    return out
+
+
+def _parse_set(exprs: list[str]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for e in exprs:
+        m = _SET_RE.match(e.strip())
+        if not m:
+            raise SystemExit(f"--set must look like 'col=expression', got {e!r}")
+        out[m.group(1)] = m.group(2)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("delete", help="row-level copy-on-write DELETE")
+    p.add_argument("--table", required=True)
+    p.add_argument("--where", action="append", required=True)
+
+    p = sub.add_parser("update", help="row-level copy-on-write UPDATE")
+    p.add_argument("--table", required=True)
+    p.add_argument("--where", action="append", required=True)
+    p.add_argument("--set", action="append", required=True, dest="set_exprs")
+
+    p = sub.add_parser("merge", help="MERGE/upsert a parquet source by key")
+    p.add_argument("--table", required=True)
+    p.add_argument("--source", required=True, help="parquet path, table columns")
+    p.add_argument("--on", required=True, help="comma-separated key columns")
+
+    p = sub.add_parser("compact", help="rewrite into byte-balanced parts")
+    p.add_argument("--table", required=True)
+    p.add_argument("--cluster-by", help="comma-separated re-cluster columns")
+
+    p = sub.add_parser("vacuum", help="remove orphans + expired snapshots")
+    p.add_argument("--table", required=True)
+    p.add_argument("--dry-run", action="store_true")
+
+    p = sub.add_parser("snapshots", help="list generations / set retention")
+    p.add_argument("--table", required=True)
+    p.add_argument("--retain", type=int, help="set snapshot-retention to N")
+
+    p = sub.add_parser("verify", help="sha256 lineage audit")
+    p.add_argument("--table", required=True)
+
+    args = ap.parse_args()
+
+    t0 = time.time()
+    # vacuum + snapshots are metadata-only: no SparkSession needed, which
+    # keeps them runnable from a cron shell, not just spark-submit
+    if args.cmd == "vacuum":
+        from embulk_output_s3_parquet_spark.jobs import vacuum_job
+
+        rep = vacuum_job(args.table, dry_run=args.dry_run)
+    elif args.cmd == "snapshots":
+        from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+        t = EncodedTable(args.table)
+        if args.retain is not None:
+            t.set_snapshot_retention(args.retain)
+        rep = {
+            "generations": t.generations(),
+            "retained": t.retained_generations(),
+            "snapshot_retention": t.snapshot_retention(),
+        }
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        if args.cmd == "delete":
+            from embulk_output_s3_parquet_spark.jobs import delete_job
+
+            rep = delete_job(spark, args.table, _parse_where(args.where))
+        elif args.cmd == "update":
+            from embulk_output_s3_parquet_spark.jobs import update_job
+
+            rep = update_job(
+                spark, args.table, _parse_where(args.where),
+                _parse_set(args.set_exprs),
+            )
+        elif args.cmd == "merge":
+            from embulk_output_s3_parquet_spark.jobs import merge_job
+
+            src = spark.read.parquet(args.source)
+            rep = merge_job(spark, args.table, src, on=args.on.split(","))
+        elif args.cmd == "compact":
+            from embulk_output_s3_parquet_spark.jobs import compact_job
+
+            cb = args.cluster_by.split(",") if args.cluster_by else None
+            t = compact_job(spark, args.table, cluster_by=cb)
+            rep = {"parts": len(t.lineage())}
+        elif args.cmd == "verify":
+            from embulk_output_s3_parquet_spark.jobs import verify_table
+
+            problems = verify_table(spark, args.table)
+            rep = {"problems": problems, "ok": not problems}
+        else:  # pragma: no cover
+            raise SystemExit(f"unknown command {args.cmd}")
+
+    rep["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(rep))
+    return 0 if rep.get("ok", True) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
