@@ -155,6 +155,24 @@ def main() -> int:
     extra["corpus_decode_gbps"] = round(
         cstats["raw"] / timings["decode_corpus"] / 1e9, 4
     )
+
+    # export_corpus: the production EXPORT path (jobs.export_job) -- tasks
+    # decode with pyarrow and write snappy parquet straight to disk, no
+    # JVM<->Python hop for payload bytes; includes the full output write,
+    # so compare against parquet_snappy_baseline (same bytes written), not
+    # decode_corpus (count only)
+    from embulk_output_s3_parquet_spark.jobs import export_job
+
+    export_dir = "/tmp/bench_export_corpus"
+
+    def run_export():
+        shutil.rmtree(export_dir, ignore_errors=True)
+        return export_job(spark, enc_table, export_dir)
+
+    timed("export_corpus", run_export, repeats=2)
+    extra["corpus_export_gbps"] = round(
+        cstats["raw"] / timings["export_corpus"] / 1e9, 4
+    )
     extra["corpus_rows"] = corpus_rows
     extra["corpus_raw_bytes"] = int(cstats["raw"])
     extra["corpus_enc_bytes"] = int(cstats["enc"])

@@ -1110,6 +1110,133 @@ def merge_job(
     return report
 
 
+def export_job(
+    spark: SparkSession,
+    table_path: str,
+    out_dir: str,
+    columns: list[str] | None = None,
+    where=None,
+    compression: str = "snappy",
+    at_gen: int | None = None,
+) -> dict:
+    """Decode an EncodedTable to a parquet dataset ENTIRELY executor-side:
+    each task opens its committed part dirs with pyarrow, decodes surviving
+    chunks (zone/bloom chunk pruning under ``where``), applies the EXACT
+    predicate with pyarrow.compute, and writes ``part-<pid>.parquet``
+    straight into ``out_dir`` -- encoded bytes and decoded rows never cross
+    the JVM<->Python Arrow IPC socket, which caps any DataFrame-path decode
+    at ~0.55 GB/s aggregate on this box (measured round 4). This is the
+    100 TB export shape: executors read the encoded format and write
+    object-store parquet; the only thing that moves driver-side is one
+    report row per part.
+
+    Atomicity: tasks write to a temp name and os.replace into place; the
+    driver writes ``_SUCCESS`` only after every part reported, so a
+    partially failed export is distinguishable (same contract as Spark's
+    own committer). Task retries simply re-replace their file.
+
+    ``at_gen`` exports a retained snapshot generation. Returns
+    {"rows", "files", "bytes", "wall_s"}."""
+    import os
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .operators.decode import _prune_schema
+    from .sources.chunkscan import normalize_where
+
+    t0 = time.time()
+    table = EncodedTable(table_path)
+    out_schema = _prune_schema(table.schema(), columns)
+    arrow_schema = to_arrow_schema(out_schema)
+    names = [f.name for f in out_schema.fields]
+    fields = [(f.name, f.type) for f in arrow_schema]
+    conjuncts = normalize_where(where, names)
+    fillable = frozenset(table.added_columns()) & set(names)
+    lineage = table.lineage_at(at_gen) if at_gen is not None else table.lineage()
+    if not lineage:
+        raise ConfigException(f"table {table_path} has no committed partitions")
+    os.makedirs(out_dir, exist_ok=True)
+
+    dirs = [
+        (pid, os.path.join(table.data_dir, f"part_id={pid}"))
+        for pid in sorted(lineage)
+    ]
+    par = min(len(dirs), spark.sparkContext.defaultParallelism * 2)
+    src = spark.createDataFrame(dirs, "part_id long, dir string").repartition(par)
+
+    def export(it):
+        import glob as _glob
+        import os as _os
+        import tempfile as _tf
+
+        import pandas as pd
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        from embulk_output_s3_parquet_spark.sources.chunkscan import (
+            _match_mask,
+            iter_part_tables,
+        )
+
+        for pdf in it:
+            out_rows = []
+            for pid, d in zip(pdf["part_id"], pdf["dir"]):
+                files = sorted(_glob.glob(_os.path.join(d, "*.parquet")))
+                if not files:
+                    raise FileNotFoundError(f"committed part missing: {d}")
+                dst = _os.path.join(out_dir, f"part-{int(pid):06d}.parquet")
+                fd, tmp = _tf.mkstemp(dir=out_dir, prefix=".export-")
+                _os.close(fd)
+                n = 0
+                writer = _pq.ParquetWriter(
+                    tmp, arrow_schema, compression=compression
+                )
+                try:
+                    for tbl in iter_part_tables(
+                        files, fields, conjuncts, fillable=fillable
+                    ):
+                        if conjuncts:  # exact filter (scan is may-match)
+                            mask = None
+                            for col, op, v in conjuncts:
+                                m = _match_mask(tbl[col].combine_chunks(), op, v)
+                                mask = m if mask is None else pc.and_(mask, m)
+                            tbl = tbl.filter(mask)
+                        if tbl.num_rows:
+                            writer.write_table(tbl)
+                            n += tbl.num_rows
+                finally:
+                    writer.close()
+                if n:
+                    _os.replace(tmp, dst)
+                    out_rows.append((int(pid), n, _os.path.getsize(dst)))
+                else:
+                    _os.unlink(tmp)  # fully-filtered part: no empty file
+                    out_rows.append((int(pid), 0, 0))
+            yield pd.DataFrame(
+                out_rows, columns=["part_id", "rows", "bytes"]
+            )
+
+    rep = src.mapInPandas(export, schema="part_id long, rows long, bytes long")
+    agg = rep.agg(
+        F.sum("rows").alias("rows"),
+        F.sum("bytes").alias("bytes"),
+        F.count("*").alias("parts"),
+        F.sum((F.col("rows") > 0).cast("int")).alias("files"),
+    ).first()
+    if int(agg["parts"]) != len(dirs):  # a task vanished without reporting
+        raise ConfigException(
+            f"export incomplete: {agg['parts']}/{len(dirs)} parts reported"
+        )
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass
+    return {
+        "rows": int(agg["rows"] or 0),
+        "files": int(agg["files"] or 0),
+        "bytes": int(agg["bytes"] or 0),
+        "wall_s": round(time.time() - t0, 2),
+    }
+
+
 def vacuum_job(
     table_path: str, dry_run: bool = False, stale_after_s: float | None = None
 ) -> dict:

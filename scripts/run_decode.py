@@ -55,6 +55,12 @@ def main() -> int:
         "snapshot-retention > 0 on the table; see run_dml.py snapshots)",
     )
     ap.add_argument(
+        "--direct", action="store_true",
+        help="executor-side export (jobs.export_job): tasks decode with "
+        "pyarrow and write parquet straight to --out, no JVM<->Python hop; "
+        "--where is applied EXACTLY",
+    )
+    ap.add_argument(
         "--where", action="append", default=[], metavar="COL OP LIT",
         help="zone-map conjunct, e.g. 'n_chars>=100' (repeatable, ANDed; "
         "may-match contract -- rows are pre-filtered by chunk zones, the "
@@ -79,6 +85,15 @@ def main() -> int:
         return 0
     if not args.out:
         raise SystemExit("--out is required unless --count is given")
+    if args.direct:
+        from embulk_output_s3_parquet_spark.jobs import export_job
+
+        rep = export_job(
+            spark, args.table, args.out, columns=cols, where=where,
+            at_gen=args.at_gen,
+        )
+        print(json.dumps({**rep, "out": args.out}))
+        return 0
     df = decode_job(spark, args.table, columns=cols, where=where, at_gen=args.at_gen)
     if where:
         from pyspark.sql import functions as F

@@ -1667,3 +1667,49 @@ def test_snapshot_retention_off_is_roundless(spark, tmp_path):
     assert t.generations() == [g0 + 1]  # old gen gone immediately
     with pytest.raises(ConfigException, match="not on disk"):
         decode_job(spark, path, at_gen=g0)
+
+
+def test_export_job_direct_parquet(spark, tmp_path):
+    """Executor-side export (r5): decode -> parquet written by pyarrow in
+    the tasks (no JVM hop); output rows are value-identical to decode_job,
+    predicates are EXACT (not may-match), projection prunes, and at_gen
+    exports a retained snapshot."""
+    from embulk_output_s3_parquet_spark.jobs import delete_job, export_job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "exp")
+    encode_job(spark, docs, path, _policy(chunk_rows=64), if_exists="error")
+
+    out = str(tmp_path / "out_full")
+    rep = export_job(spark, path, out)
+    assert rep["rows"] == docs.count() and rep["files"] > 0
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    got = spark.read.parquet(out)
+    a = got.selectExpr("sum(crc32(concat_ws('|', doc_id, text, lang))) h").first()[0]
+    b = docs.selectExpr("sum(crc32(concat_ws('|', doc_id, text, lang))) h").first()[0]
+    assert a == b and got.count() == docs.count()
+
+    # exact predicate + projection
+    out2 = str(tmp_path / "out_filtered")
+    rep2 = export_job(
+        spark, path, out2, columns=["doc_id", "n_chars"],
+        where=("n_chars", ">=", 450),
+    )
+    want = docs.filter(F.col("n_chars") >= 450)
+    assert rep2["rows"] == want.count()
+    got2 = spark.read.parquet(out2)
+    assert set(got2.columns) == {"doc_id", "n_chars"}
+    assert got2.filter(F.col("n_chars") < 450).count() == 0
+    assert got2.count() == want.count()
+
+    # snapshot export: delete a row under retention, export the old gen
+    t = EncodedTable(path)
+    t.set_snapshot_retention(1)
+    g0 = t.generations()[-1]
+    victim = int(docs.select("doc_id").first()[0])
+    delete_job(spark, path, ("doc_id", "==", victim))
+    out3 = str(tmp_path / "out_snap")
+    rep3 = export_job(spark, path, out3, at_gen=g0)
+    assert rep3["rows"] == docs.count()  # pre-delete snapshot
+    out4 = str(tmp_path / "out_cur")
+    assert export_job(spark, path, out4)["rows"] == docs.count() - 1
