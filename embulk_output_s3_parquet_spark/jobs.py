@@ -1157,12 +1157,22 @@ def export_job(
         raise ConfigException(f"table {table_path} has no committed partitions")
     os.makedirs(out_dir, exist_ok=True)
 
-    dirs = [
-        (pid, os.path.join(table.data_dir, f"part_id={pid}"))
+    cores = spark.sparkContext.defaultParallelism
+    n_parts = len(lineage)
+    # sub-part fan-out, same shape as decode_table_scan: with fewer parts
+    # than cores, split each part's chunk list into n_sub contiguous slices
+    # (each slice writes its own output file) so export parallelism tracks
+    # the cluster; at scale (parts >> cores) n_sub stays 1
+    n_sub = max(1, min(-(-cores // n_parts), 16)) if n_parts < cores else 1
+    work = [
+        (pid, os.path.join(table.data_dir, f"part_id={pid}"), i, n_sub)
         for pid in sorted(lineage)
+        for i in range(n_sub)
     ]
-    par = min(len(dirs), spark.sparkContext.defaultParallelism * 2)
-    src = spark.createDataFrame(dirs, "part_id long, dir string").repartition(par)
+    par = min(len(work), cores * 2)
+    src = spark.createDataFrame(
+        work, "part_id long, dir string, sl int, n_sub int"
+    ).repartition(par)
 
     def export(it):
         import glob as _glob
@@ -1180,11 +1190,16 @@ def export_job(
 
         for pdf in it:
             out_rows = []
-            for pid, d in zip(pdf["part_id"], pdf["dir"]):
+            for pid, d, sl, nsub in zip(
+                pdf["part_id"], pdf["dir"], pdf["sl"], pdf["n_sub"]
+            ):
                 files = sorted(_glob.glob(_os.path.join(d, "*.parquet")))
                 if not files:
                     raise FileNotFoundError(f"committed part missing: {d}")
-                dst = _os.path.join(out_dir, f"part-{int(pid):06d}.parquet")
+                suffix = f"-s{int(sl):02d}" if int(nsub) > 1 else ""
+                dst = _os.path.join(
+                    out_dir, f"part-{int(pid):06d}{suffix}.parquet"
+                )
                 fd, tmp = _tf.mkstemp(dir=out_dir, prefix=".export-")
                 _os.close(fd)
                 n = 0
@@ -1193,7 +1208,8 @@ def export_job(
                 )
                 try:
                     for tbl in iter_part_tables(
-                        files, fields, conjuncts, fillable=fillable
+                        files, fields, conjuncts, fillable=fillable,
+                        slice_of=(int(sl), int(nsub)) if int(nsub) > 1 else None,
                     ):
                         if conjuncts:  # exact filter (scan is may-match)
                             mask = None
@@ -1210,7 +1226,7 @@ def export_job(
                     _os.replace(tmp, dst)
                     out_rows.append((int(pid), n, _os.path.getsize(dst)))
                 else:
-                    _os.unlink(tmp)  # fully-filtered part: no empty file
+                    _os.unlink(tmp)  # fully-filtered slice: no empty file
                     out_rows.append((int(pid), 0, 0))
             yield pd.DataFrame(
                 out_rows, columns=["part_id", "rows", "bytes"]
@@ -1220,12 +1236,12 @@ def export_job(
     agg = rep.agg(
         F.sum("rows").alias("rows"),
         F.sum("bytes").alias("bytes"),
-        F.count("*").alias("parts"),
+        F.count("*").alias("slices"),
         F.sum((F.col("rows") > 0).cast("int")).alias("files"),
     ).first()
-    if int(agg["parts"]) != len(dirs):  # a task vanished without reporting
+    if int(agg["slices"]) != len(work):  # a task vanished without reporting
         raise ConfigException(
-            f"export incomplete: {agg['parts']}/{len(dirs)} parts reported"
+            f"export incomplete: {agg['slices']}/{len(work)} slices reported"
         )
     with open(os.path.join(out_dir, "_SUCCESS"), "w"):
         pass
