@@ -139,6 +139,21 @@ def _lineage_rows(encoded_on_disk: DataFrame, first_col: str, wall_s: float) -> 
     return out
 
 
+def _record_write_order(table: EncodedTable, cluster: tuple, zorder: bool) -> None:
+    """Persist the clustering layout (Iceberg sort-order metadata analogue):
+    ``write-order`` names the columns, ``write-order-zorder`` records
+    whether the layout is a Z-curve -- rewrites (compact/delete/update/
+    merge) re-apply the SAME layout so a maintenance pass never silently
+    un-clusters or de-zorders a table."""
+    if not cluster:
+        return
+    props = table.properties()
+    if props.get("write-order") != list(cluster):
+        table.set_property("write-order", list(cluster))
+    if bool(props.get("write-order-zorder", False)) != bool(zorder):
+        table.set_property("write-order-zorder", bool(zorder))
+
+
 def encode_job(
     spark: SparkSession,
     df: DataFrame,
@@ -149,6 +164,7 @@ def encode_job(
     part_base: int = 0,
     shuffle_mode: str = "chunks",
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> EncodedTable:
     """Encode ``df`` into an EncodedTable; resumes from the manifest.
 
@@ -167,6 +183,13 @@ def encode_job(
     chunking (Iceberg-write-order analogue): the columns' per-chunk zone
     maps become tight disjoint ranges, so ``decode_job(where=...)`` range
     predicates skip most chunks' payload IO instead of none.
+
+    ``zorder=True`` replaces the lexicographic cluster sort with a Z-curve
+    over the ``cluster_by`` columns (rank-interleaved, task-local -- see
+    operators.encode._zorder_take): per-chunk zones become tight boxes in
+    EVERY clustered dimension, so range predicates on any of them prune,
+    not just the leading one (Delta OPTIMIZE ZORDER / Iceberg sort-order
+    analogue).
     """
     policy = policy or CodecPolicy()
     policy.validate(df.schema)
@@ -181,8 +204,7 @@ def encode_job(
     if part_base:
         dfp = dfp.withColumn("part_id", (F.col("part_id") + F.lit(part_base)).cast("long"))
     table = EncodedTable.create(table_path, df.schema, policy, if_exists=if_exists)
-    if cluster and table.properties().get("write-order") != list(cluster):
-        table.set_property("write-order", list(cluster))
+    _record_write_order(table, cluster, zorder)
     table.clean_staging()
     # reserve this plan's id range BEFORE any part lands: a delete/compact
     # rewrite racing (or running between waves of) this plan must mint its
@@ -202,11 +224,18 @@ def encode_job(
         keep = spark.createDataFrame([(p,) for p in todo], "part_id long")
         dfp = dfp.join(F.broadcast(keep), "part_id", "left_semi")
 
-    if shuffle_mode == "rows":
-        encoded = encode_grouped(dfp, policy, cluster_by=cluster)
+    if shuffle_mode == "rows" or zorder:
+        # z-order requires WHOLE parts per task: rank-interleaving over a
+        # scan-partition fragment of a part gives fragment-sized boxes
+        # (measured: 0.65x-domain chunk zones vs 0.23 with co-located
+        # parts). The raw-row shuffle is the same trade Delta's OPTIMIZE
+        # ZORDER makes (repartition by z-range before rewriting files).
+        encoded = encode_grouped(dfp, policy, cluster_by=cluster, zorder=zorder)
     else:
         # shuffle AFTER encoding: only compressed chunks move to part files
-        encoded = encode_local(dfp, policy, cluster_by=cluster).repartition("part_id")
+        encoded = encode_local(
+            dfp, policy, cluster_by=cluster, zorder=zorder
+        ).repartition("part_id")
     staging = table.new_staging()
     _write_chunk_files(encoded, staging)
 
@@ -231,6 +260,7 @@ def encode_parquet_job(
     max_parts: int | None = None,
     parallelism: int | None = None,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> EncodedTable:
     """File-input encode job: executor-side pyarrow split scans
     (operators.encode.encode_direct -- no JVM->Python raw-byte hop) feeding
@@ -253,8 +283,7 @@ def encode_parquet_job(
             raise ConfigException(f"cluster_by: unknown column {c!r}")
     t0 = time.time()
     table = EncodedTable.create(table_path, schema, policy, if_exists=if_exists)
-    if cluster and table.properties().get("write-order") != list(cluster):
-        table.set_property("write-order", list(cluster))
+    _record_write_order(table, cluster, zorder)
     table.clean_staging()
     done = table.completed_parts() | table.retired_parts()
     recorded = table.properties().get("direct-input-fingerprint")
@@ -288,7 +317,7 @@ def encode_parquet_job(
     encoded = encode_direct(
         spark, parquet_path, policy, parallelism=parallelism,
         skip_parts=frozenset(done), max_parts=max_parts, cluster_by=cluster,
-        plan=(_splits, schema),
+        plan=(_splits, schema), zorder=zorder,
     )
     staging = table.new_staging()
     _write_chunk_files(encoded, staging)
@@ -434,6 +463,7 @@ def compact_job(
     table_path: str,
     policy: CodecPolicy | None = None,
     cluster_by: list[str] | None = None,
+    zorder: bool | None = None,
 ) -> EncodedTable:
     """Rewrite an EncodedTable into freshly planned, byte-balanced parts.
 
@@ -456,6 +486,8 @@ def compact_job(
     policy = policy or table.policy()
     if cluster_by is None:
         cluster_by = table.properties().get("write-order") or []
+    if zorder is None:  # inherit the recorded layout kind, like cluster_by
+        zorder = bool(table.properties().get("write-order-zorder", False))
     cluster = tuple(cluster_by)
     names = {f.name for f in table.schema().fields}
     for c in cluster:
@@ -473,7 +505,12 @@ def compact_job(
     offset = table.next_part_base()
     if plan.n_parts:
         table.note_part_extent(offset + plan.n_parts - 1)
-    encoded = encode_local(dfp, policy, cluster_by=cluster).repartition("part_id")
+    if zorder:
+        encoded = encode_grouped(dfp, policy, cluster_by=cluster, zorder=True)
+    else:
+        encoded = encode_local(dfp, policy, cluster_by=cluster).repartition(
+            "part_id"
+        )
     staging = table.new_staging()
     t0 = time.time()
     _write_chunk_files(encoded, staging)
@@ -493,11 +530,12 @@ def compact_job(
         os.rename(os.path.join(staging, name), dst)
     table._replace_parts({remap[pid]: row for pid, row in lineage.items()})
     if cluster:
-        table.set_property("write-order", list(cluster))
+        _record_write_order(table, cluster, bool(zorder))
     elif table.properties().get("write-order"):
         # explicitly un-clustered rewrite: the stale property would claim an
         # ordering the new parts don't have
         table.set_property("write-order", None)
+        table.set_property("write-order-zorder", False)
     shutil.rmtree(staging, ignore_errors=True)
     # with snapshot retention on, the pre-compaction generation stays
     # readable via decode_job(at_gen=...); vacuum expires it later
@@ -849,9 +887,11 @@ def _swap_in_rewrite(
     # write-order may reference columns dropped since it was recorded;
     # cluster only by columns that still exist (drop_column also scrubs)
     names_now = {f.name for f in schema.fields}
+    props = table.properties()
     cluster = tuple(
-        c for c in (table.properties().get("write-order") or []) if c in names_now
+        c for c in (props.get("write-order") or []) if c in names_now
     )
+    zorder = bool(props.get("write-order-zorder", False))
 
     t0 = time.time()
     dfp, plan_out = _plan(new_rows, policy)
@@ -863,7 +903,12 @@ def _swap_in_rewrite(
     offset = table.next_part_base()
     if plan_out.n_parts:
         table.note_part_extent(offset + plan_out.n_parts - 1)
-    encoded = encode_local(dfp, policy, cluster_by=cluster).repartition("part_id")
+    if zorder:
+        encoded = encode_grouped(dfp, policy, cluster_by=cluster, zorder=True)
+    else:
+        encoded = encode_local(dfp, policy, cluster_by=cluster).repartition(
+            "part_id"
+        )
     staging = table.new_staging()
     _write_chunk_files(encoded, staging)
     new_lineage: dict[int, dict] = {}

@@ -148,10 +148,51 @@ def _encode_slices(
     return pa.table(cols, schema=_ENC_ARROW)
 
 
+_ZORDER_BITS = 12  # per-column rank resolution: 4096 buckets
+
+
+def _zorder_take(data: "pa.Table", cols: tuple[str, ...]) -> "pa.Table":
+    """Reorder a part's rows along a Z-curve (Morton order) over ``cols``.
+
+    Per column, rows are RANK-normalized within this part (pc.sort_indices
+    -> inverse permutation -> bucket in [0, 2^_ZORDER_BITS)) and the bucket
+    bits are interleaved into one sort key. Rank normalization is exact,
+    needs no global quantiles, works for any orderable arrow type (strings,
+    timestamps, decimals; nulls rank last), and is TASK-LOCAL -- no extra
+    shuffle or driver pass, which is what lets Z-ordering ride the existing
+    encode pipeline at 100 TB. Because the partition planner assigns rows
+    to parts content-independently, per-part ranks approximate the global
+    distribution, so per-chunk zone maps become tight multi-dimensional
+    boxes: range predicates on ANY clustered column skip chunks, where a
+    lexicographic sort only tightens the leading column (Iceberg/Delta's
+    OPTIMIZE ZORDER rationale)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = data.num_rows
+    if n <= 1 or not cols:
+        return data
+    z = np.zeros(n, dtype=np.uint64)
+    ncols = len(cols)
+    for ci, c in enumerate(cols):
+        arr = data[c].combine_chunks()
+        order = pc.sort_indices(arr).to_numpy(zero_copy_only=False)
+        rank = np.empty(n, dtype=np.uint64)
+        rank[order] = np.arange(n, dtype=np.uint64)
+        code = (rank * (1 << _ZORDER_BITS)) // n
+        for b in range(_ZORDER_BITS):
+            z |= ((code >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                b * ncols + ci
+            )
+    perm = np.argsort(z, kind="stable")
+    return data.take(pa.array(perm))
+
+
 def encode_grouped(
     df_with_part: DataFrame,
     policy: CodecPolicy,
     cluster_by: tuple[str, ...] = (),
+    zorder: bool = False,
 ) -> DataFrame:
     """Encode a partition-planned DataFrame (must carry ``part_id``).
 
@@ -170,7 +211,9 @@ def encode_grouped(
         k = key[0]
         part_id = k.as_py() if hasattr(k, "as_py") else int(k)
         data = table.drop_columns(["part_id"])
-        if cluster_by:
+        if cluster_by and zorder:
+            data = _zorder_take(data, cluster_by)
+        elif cluster_by:
             data = data.sort_by([(c, "ascending") for c in cluster_by])
         eff = _effective_chunk_rows(data, chunk_rows, policy.chunk_bytes)
         return _encode_slices(part_id, data, colmap, eff, bloom_cols=bloom_cols)
@@ -182,6 +225,7 @@ def encode_local(
     df_with_part: DataFrame,
     policy: CodecPolicy,
     cluster_by: tuple[str, ...] = (),
+    zorder: bool = False,
 ) -> DataFrame:
     """Shuffle-free encode of a partition-planned DataFrame.
 
@@ -226,6 +270,12 @@ def encode_local(
         def flush(pid: int, tail_too: bool):
             nonlocal seq
             table = pa.concat_tables(pending[pid])
+            if zorder and cluster_by:
+                # z-sort the accumulated window before slicing: each flush
+                # wave's chunks get tight multi-column zone boxes (the JVM
+                # pre-sort below handles the lexicographic case; it cannot
+                # compute the rank-interleaved key)
+                table = _zorder_take(table, cluster_by)
             full = (table.num_rows // chunk_rows) * chunk_rows
             cut = table.num_rows if tail_too else full
             if cut:
@@ -258,7 +308,12 @@ def encode_local(
                 pid = int(pids[s])
                 pending.setdefault(pid, []).append(data.slice(int(s), int(e - s)))
                 pending_rows[pid] = pending_rows.get(pid, 0) + int(e - s)
-                if pending_rows[pid] >= chunk_rows:
+                # z-order must see the WHOLE part segment before chunking
+                # (a per-chunk-window z-sort is a no-op for zone quality),
+                # so early flushing is disabled for it; memory stays bounded
+                # by the scan partition (maxPartitionBytes), same order as
+                # encode_grouped's per-part buffering
+                if pending_rows[pid] >= chunk_rows and not zorder:
                     out = flush(pid, tail_too=False)
                     if out is not None:
                         yield from out.to_batches()
@@ -267,7 +322,11 @@ def encode_local(
             if out is not None:
                 yield from out.to_batches()
 
-    return df_with_part.sortWithinPartitions("part_id", *cluster_by).mapInArrow(
+    # part_id must lead the sort (segment detection); the cluster columns
+    # join it only for the lexicographic case -- z-order re-sorts in the
+    # kernel, where the rank-interleaved key can actually be computed
+    sort_cols = ("part_id",) if zorder else ("part_id", *cluster_by)
+    return df_with_part.sortWithinPartitions(*sort_cols).mapInArrow(
         enc, schema=ENCODED_SCHEMA
     )
 
@@ -366,6 +425,7 @@ def encode_direct(
     max_parts: int | None = None,
     cluster_by: tuple[str, ...] = (),
     plan: tuple[list, "object"] | None = None,
+    zorder: bool = False,
 ) -> DataFrame:
     """Encode a parquet-backed corpus with executor-side pyarrow scans.
 
@@ -443,7 +503,9 @@ def encode_direct(
                 # letting each task spin up arrow's full thread pool
                 # oversubscribes 32x32 and thrashes the box
                 t = pf.read_row_groups(list(range(rg0, rg1)), use_threads=False)
-                if cluster_by:
+                if cluster_by and zorder:
+                    t = _zorder_take(t, cluster_by)
+                elif cluster_by:
                     # per-part write ordering: zones of these columns become
                     # tight disjoint ranges (same semantics as encode_grouped)
                     t = t.sort_by([(c, "ascending") for c in cluster_by])

@@ -41,6 +41,12 @@ def main() -> int:
         "(tight zone maps; Iceberg write-order analogue)",
     )
     ap.add_argument(
+        "--zorder", action="store_true",
+        help="with --cluster-by: Z-curve (rank-interleaved) clustering "
+        "instead of lexicographic -- range predicates on ANY clustered "
+        "column prune chunks (Delta OPTIMIZE ZORDER analogue)",
+    )
+    ap.add_argument(
         "--bloom-columns", default=None, metavar="COL[,COL...]",
         help="record per-chunk Bloom filters on these columns (equality/IN "
         "data skipping for point lookups; string/binary/int only)",
@@ -137,12 +143,14 @@ def main() -> int:
             spark, args.input_parquet, args.out, policy,
             if_exists=args.if_exists, max_parts=args.max_parts,
             cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            zorder=args.zorder,
         )
     else:
         table = encode_job(
             spark, df, args.out, policy, if_exists=args.if_exists,
             max_parts=args.max_parts,
             cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            zorder=args.zorder,
         )
     wall = time.time() - t0
     m = table_metrics(table)

@@ -1713,3 +1713,78 @@ def test_export_job_direct_parquet(spark, tmp_path):
     assert rep3["rows"] == docs.count()  # pre-delete snapshot
     out4 = str(tmp_path / "out_cur")
     assert export_job(spark, path, out4)["rows"] == docs.count() - 1
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering (r5): with cluster_by=[x, y] a lexicographic sort
+    only tightens x's chunk zones -- a y-range predicate skips almost
+    nothing. zorder=True interleaves both ranks, so BOTH dimensions' zones
+    become tight boxes and a y predicate prunes most chunks too. Content is
+    sort-invariant: both tables decode to the same multiset."""
+    from embulk_output_s3_parquet_spark.operators.decode import scan_counters
+
+    df = spark.range(0, 40000, 1, 4).select(
+        F.pmod(F.xxhash64("id"), F.lit(100000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100000)).alias("y"),
+        F.col("id"),
+    )
+    pol = CodecPolicy(chunk_rows=128, chunk_bytes=0, target_partition_bytes=1 << 20)
+    lex_path, zo_path = str(tmp_path / "lex"), str(tmp_path / "zo")
+    t_lex = encode_job(spark, df, lex_path, pol, if_exists="error",
+                       cluster_by=["x", "y"])
+    t_zo = encode_job(spark, df, zo_path, pol, if_exists="error",
+                      cluster_by=["x", "y"], zorder=True)
+    assert t_zo.properties().get("write-order-zorder") is True
+    assert "write-order-zorder" not in t_lex.properties()
+
+    def skipped_frac(path, where):
+        ctr = scan_counters(spark)
+        decode_job(spark, path, where=where, counters=ctr).count()
+        return ctr["chunks_skipped"].value / max(ctr["chunks_total"].value, 1)
+
+    # leading column: both layouts prune well
+    assert skipped_frac(lex_path, ("x", ">=", 95000)) >= 0.7
+    assert skipped_frac(zo_path, ("x", ">=", 95000)) >= 0.5
+    # second column: ONLY the z-ordered layout prunes
+    lex_y = skipped_frac(lex_path, ("y", ">=", 95000))
+    zo_y = skipped_frac(zo_path, ("y", ">=", 95000))
+    assert zo_y >= 0.5, (lex_y, zo_y)
+    assert zo_y > lex_y + 0.3, (lex_y, zo_y)
+
+    # sort-invariance: identical content both ways, exact filters agree
+    a = decode_job(spark, lex_path).selectExpr(
+        "sum(crc32(concat_ws('|', x, y, id))) h", "count(*) n").first()
+    b = decode_job(spark, zo_path).selectExpr(
+        "sum(crc32(concat_ws('|', x, y, id))) h", "count(*) n").first()
+    assert a == b
+    want = df.filter((F.col("x") >= 50000) & (F.col("y") < 20000)).count()
+    got = decode_job(
+        spark, zo_path, where=[("x", ">=", 50000), ("y", "<", 20000)]
+    ).filter((F.col("x") >= 50000) & (F.col("y") < 20000)).count()
+    assert got == want
+
+
+def test_zorder_survives_rewrites(spark, tmp_path):
+    """The recorded z-order layout is re-applied by delete/compact rewrites
+    (write-order-zorder property), so maintenance never de-zorders."""
+    from embulk_output_s3_parquet_spark.jobs import compact_job, delete_job
+    from embulk_output_s3_parquet_spark.operators.decode import scan_counters
+
+    df = spark.range(0, 20000, 1, 2).select(
+        F.pmod(F.xxhash64("id"), F.lit(100000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100000)).alias("y"),
+        F.col("id"),
+    )
+    pol = CodecPolicy(chunk_rows=128, chunk_bytes=0, target_partition_bytes=1 << 20)
+    path = str(tmp_path / "zr")
+    encode_job(spark, df, path, pol, if_exists="error",
+               cluster_by=["x", "y"], zorder=True)
+    delete_job(spark, path, ("id", "==", 7))
+    compact_job(spark, path)
+    t = EncodedTable(path)
+    assert t.properties().get("write-order-zorder") is True
+
+    ctr = scan_counters(spark)
+    decode_job(spark, path, where=("y", ">=", 95000), counters=ctr).count()
+    assert ctr["chunks_skipped"].value / max(ctr["chunks_total"].value, 1) >= 0.5
+    assert decode_job(spark, path).count() == 20000 - 1
