@@ -1155,11 +1155,11 @@ FROM documents WHERE doc_id >= 400 ORDER BY doc_id
 
 
 def _filter_clustered_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cluster_by write ordering + zone scan, oracle-checked: documents are
-    re-clustered on n_chars at encode time, so the n_chars range predicate
-    skips most chunks' payload IO (zones are tight disjoint ranges instead
-    of full-domain); values must still match the plain-table oracle
-    exactly."""
+    """Z-ORDER clustering + zone scan, oracle-checked (r5: upgraded from
+    lexicographic): documents are re-clustered on a Morton curve over
+    (n_chars, doc_id) at encode time, so range predicates on BOTH columns
+    skip chunks (per-chunk zones are tight 2-D boxes); values must still
+    match the plain-table oracle exactly."""
     import hashlib as _h
     import os
     import tempfile
@@ -1170,24 +1170,26 @@ def _filter_clustered_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     path = os.path.join(
         tempfile.gettempdir(),
-        f"clusterscan_{_h.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"zorderscan_{_h.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     encode_job(
         spark, docs, path, CodecPolicy(chunk_rows=64), if_exists="delete",
-        cluster_by=["n_chars"],
+        cluster_by=["n_chars", "doc_id"], zorder=True,
     )
     scan = decode_job(
-        spark, path, columns=["doc_id", "n_chars"], where=("n_chars", ">=", 450)
+        spark, path, columns=["doc_id", "n_chars"],
+        where=[("n_chars", ">=", 450), ("doc_id", "<", 400)],
     )
     return (
-        scan.filter(F.col("n_chars") >= 450)
+        scan.filter((F.col("n_chars") >= 450) & (F.col("doc_id") < 400))
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
 
 
 _FILTER_CLUSTERED_SQL = """
-SELECT doc_id, n_chars FROM documents WHERE n_chars >= 450 ORDER BY doc_id
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= 450 AND doc_id < 400 ORDER BY doc_id
 """
 
 

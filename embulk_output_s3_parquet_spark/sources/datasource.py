@@ -320,7 +320,9 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
     Modes: default/append errors if the table exists (part_id collision
     semantics are the job API's business -- use encode_job part_base for
     append); overwrite recreates. Options: chunk_rows, codec,
-    bloom_columns (comma-separated), cluster_by (comma-separated).
+    bloom_columns (comma-separated), cluster_by (comma-separated),
+    zorder ("true": Z-curve clustering over the cluster_by columns --
+    multi-dimensional zone boxes instead of leading-column ranges).
     """
 
     def __init__(self, path: str, schema: StructType, options, overwrite: bool):
@@ -338,6 +340,7 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
         self._cluster = (
             options["cluster_by"].split(",") if options.get("cluster_by") else []
         )
+        self._zorder = str(options.get("zorder", "")).lower() == "true"
         unknown = set(self._cluster) - {f.name for f in schema.fields}
         if unknown:
             raise ValueError(f"cluster_by: unknown columns {sorted(unknown)}")
@@ -412,9 +415,15 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
             # rows, same bound as the grouped encode path.
             batches = list(iterator)
             if batches:
-                whole = pa.Table.from_batches(batches).sort_by(
-                    [(c, "ascending") for c in self._cluster]
-                )
+                whole = pa.Table.from_batches(batches)
+                if self._zorder:
+                    from ..operators.encode import _zorder_take
+
+                    whole = _zorder_take(whole, tuple(self._cluster))
+                else:
+                    whole = whole.sort_by(
+                        [(c, "ascending") for c in self._cluster]
+                    )
                 iterator = iter(whole.combine_chunks().to_batches())
             else:
                 iterator = iter(())

@@ -458,3 +458,35 @@ def test_reader_class_selection_by_conf(spark, enc_docs):
         assert type(mk(pushdown="true")) is EncodedTablePlainReader
     finally:
         spark.conf.set(conf_key, saved)
+
+
+def test_writer_zorder_option(spark, tmp_path):
+    """.option('zorder','true') with cluster_by: the Catalyst writer lays
+    each task partition on a Morton curve, so chunk zones are tight in both
+    clustered dimensions and reads through the same format stay exact."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000, 1, 2).select(
+        F.pmod(F.xxhash64("id"), F.lit(100000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100000)).alias("y"),
+        F.col("id"),
+    )
+    spark.dataSource.register(EncodedTableDataSource)
+    path = str(tmp_path / "wzo")
+    (
+        df.write.format("enctable").mode("append")
+        .option("cluster_by", "x,y").option("zorder", "true")
+        .option("chunk_rows", "128").save(path)
+    )
+    back = spark.read.format("enctable").load(path)
+    assert back.count() == 20000
+    a = back.selectExpr("sum(crc32(concat_ws('|', x, y, id))) h").first()[0]
+    b = df.selectExpr("sum(crc32(concat_ws('|', x, y, id))) h").first()[0]
+    assert a == b
+    # second-dimension pruning bites through the job-API reader too
+    from embulk_output_s3_parquet_spark.jobs import decode_job
+    from embulk_output_s3_parquet_spark.operators.decode import scan_counters
+
+    ctr = scan_counters(spark)
+    decode_job(spark, path, where=("y", ">=", 95000), counters=ctr).count()
+    assert ctr["chunks_skipped"].value / max(ctr["chunks_total"].value, 1) >= 0.5
