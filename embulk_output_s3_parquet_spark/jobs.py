@@ -233,9 +233,9 @@ def encode_job(
         encoded = encode_grouped(dfp, policy, cluster_by=cluster, zorder=zorder)
     else:
         # shuffle AFTER encoding: only compressed chunks move to part files
-        encoded = encode_local(
-            dfp, policy, cluster_by=cluster, zorder=zorder
-        ).repartition("part_id")
+        encoded = encode_local(dfp, policy, cluster_by=cluster).repartition(
+            "part_id"
+        )
     staging = table.new_staging()
     _write_chunk_files(encoded, staging)
 
@@ -371,7 +371,9 @@ def decode_job(
     )
 
 
-def count_job(spark: SparkSession, table_path: str, where=None) -> int:
+def count_job(
+    spark: SparkSession, table_path: str, where=None, at_gen: int | None = None
+) -> int:
     """Exact COUNT(*) with metadata-only pruning: chunks whose zone + null
     metadata prove full inclusion contribute their row count with NO payload
     read; fully-excluded chunks contribute zero; only boundary chunks decode
@@ -392,7 +394,9 @@ def count_job(spark: SparkSession, table_path: str, where=None) -> int:
     table = EncodedTable(table_path)
     names = [f.name for f in table.schema().fields]
     conjuncts = normalize_where(where, names)  # fail fast on the driver
-    lineage = table.lineage()
+    lineage = (
+        table.lineage_at(at_gen) if at_gen is not None else table.lineage()
+    )
     if not lineage:
         from .plans.policy import ConfigException
 
@@ -718,11 +722,12 @@ def verify_table(spark: SparkSession, table_path: str) -> list[dict]:
                 {"part_id": pid, "error": "sha256 manifest mismatch",
                  "expected": want, "actual": got["sha256_manifest"]}
             )
-    # parts referenced only by RETAINED superseded generations (snapshot
-    # time travel) are tracked, not strays; their shas were audited when
-    # their generation was current
+    # parts referenced by ANY on-disk superseded generation are tracked,
+    # not strays -- including generations past the retention window that
+    # vacuum has not expired yet (a state every rewrite creates); their
+    # shas were audited when their generation was current
     snapshot_ids: set[int] = set()
-    for g in table.retained_generations()[:-1]:
+    for g in table.generations()[:-1]:
         try:
             snapshot_ids |= set(table.lineage_at(g))
         except ConfigException:
@@ -1070,7 +1075,12 @@ def merge_job(
         )
     source = source.select(*names).persist()  # table column order
     n_src = source.count()
-    if source.select(*on).distinct().count() != n_src:
+    # cardinality check (Iceberg's): each TARGET row may match at most one
+    # source row. Rows with any NULL key match nothing (SQL join
+    # semantics) -- they are pure inserts and must not trip the check
+    # (distinct() would collapse NULLs as if they were equal keys).
+    keyed = source.na.drop(subset=list(on))
+    if keyed.select(*on).distinct().count() != keyed.count():
         raise ConfigException(
             "merge source has duplicate keys: each target row may match at "
             "most one source row (deduplicate the source first)"
@@ -1119,30 +1129,34 @@ def merge_job(
         source.unpersist()
         return report
 
+    non_key = [c for c in names if c not in on]
     if affected:
         target = decode_table_scan(spark, table, parts=affected).persist()
-        # broadcast the key side only while it is provably small; a bulk
-        # merge beyond the probe cap falls back to a shuffle join
-        src_keys = source.select(*on)
-        if n_src <= _MERGE_KEY_PROBE_CAP:
-            src_keys = F.broadcast(src_keys)
-        report["rows_updated"] = (
-            target.select(*on).join(src_keys, on, "left_semi").count()
+        # broadcast the source side only while it is provably small; a
+        # bulk merge beyond the probe cap falls back to a shuffle join
+        src = source if n_src > _MERGE_KEY_PROBE_CAP else F.broadcast(source)
+        # WHEN MATCHED THEN UPDATE SET *: every matched TARGET row takes
+        # the source row's non-key values -- an inner join on the keys, so
+        # a table that legitimately holds duplicate-key rows keeps its
+        # multiplicity (each duplicate updates; nothing silently collapses)
+        src_renamed = src.select(
+            *on, *[F.col(c).alias(f"__src_{c}") for c in non_key]
         )
-        # matched target rows replaced by their source row; unmatched kept
-        kept = target.join(src_keys, on, "left_anti")
-        inserts = source.join(target.select(*on), on, "left_anti")
+        updates = target.join(src_renamed, on, "inner").select(
+            *[
+                F.col(f"__src_{c}").alias(c) if c in set(non_key) else F.col(c)
+                for c in names
+            ]
+        )
+        kept = target.join(src.select(*on), on, "left_anti")
+        inserts = source.join(target.select(*on), on, "left_anti").persist()
+        report["rows_updated"] = updates.count()
+        report["rows_inserted"] = inserts.count()
     else:
-        kept = None
+        kept = updates = None
         inserts = source
-    report["rows_inserted"] = n_src - report["rows_updated"]
+        report["rows_inserted"] = n_src
 
-    # matched source rows via semi-join (NOT anti against the insert keys:
-    # NULL-key source rows never match an anti-join condition, which would
-    # land them in BOTH updates and inserts -- a double insert)
-    updates = (
-        source.join(target.select(*on), on, "left_semi") if affected else None
-    )
     pieces = [p for p in (kept, updates, inserts) if p is not None]
     merged = pieces[0]
     for p in pieces[1:]:
@@ -1150,6 +1164,7 @@ def merge_job(
     new_lineage = _swap_in_rewrite(spark, table, affected, merged, policy)
     if affected:
         target.unpersist()
+        inserts.unpersist()
     source.unpersist()
     report["parts_rewritten"] = len(new_lineage)
     return report
@@ -1200,6 +1215,29 @@ def export_job(
     lineage = table.lineage_at(at_gen) if at_gen is not None else table.lineage()
     if not lineage:
         raise ConfigException(f"table {table_path} has no committed partitions")
+    # overwrite semantics, hygienically: part ids change on every rewrite,
+    # so re-exporting over the previous output would leave STALE part files
+    # under a fresh _SUCCESS. Clear prior export artifacts -- and refuse a
+    # directory holding anything this job didn't write (never delete files
+    # we can't identify as ours).
+    if os.path.isdir(out_dir):
+        entries = os.listdir(out_dir)
+
+        def _ours(e: str) -> bool:
+            return (
+                (e.startswith("part-") and e.endswith(".parquet"))
+                or e == "_SUCCESS"
+                or e.startswith(".export-")
+            )
+
+        foreign = [e for e in entries if not _ours(e)]
+        if foreign:
+            raise ConfigException(
+                f"export refused: {out_dir} contains non-export entries "
+                f"{sorted(foreign)[:5]} -- pick an empty directory"
+            )
+        for e in entries:
+            os.unlink(os.path.join(out_dir, e))
     os.makedirs(out_dir, exist_ok=True)
 
     cores = spark.sparkContext.defaultParallelism

@@ -174,13 +174,20 @@ def _zorder_take(data: "pa.Table", cols: tuple[str, ...]) -> "pa.Table":
         return data
     z = np.zeros(n, dtype=np.uint64)
     ncols = len(cols)
+    # the interleaved key must fit uint64: numpy shifts of >= 64 silently
+    # yield 0, which would drop every column's MOST significant rank bits
+    # and degrade the layout to noise -- trade per-column resolution for
+    # column count instead (6 cols -> 10 bits each, still 1024 buckets)
+    bits = min(_ZORDER_BITS, 64 // ncols)
+    if bits == 0:
+        raise ValueError(f"zorder supports at most 64 columns, got {ncols}")
     for ci, c in enumerate(cols):
         arr = data[c].combine_chunks()
         order = pc.sort_indices(arr).to_numpy(zero_copy_only=False)
         rank = np.empty(n, dtype=np.uint64)
         rank[order] = np.arange(n, dtype=np.uint64)
-        code = (rank * (1 << _ZORDER_BITS)) // n
-        for b in range(_ZORDER_BITS):
+        code = (rank * (1 << bits)) // n
+        for b in range(bits):
             z |= ((code >> np.uint64(b)) & np.uint64(1)) << np.uint64(
                 b * ncols + ci
             )
@@ -225,7 +232,6 @@ def encode_local(
     df_with_part: DataFrame,
     policy: CodecPolicy,
     cluster_by: tuple[str, ...] = (),
-    zorder: bool = False,
 ) -> DataFrame:
     """Shuffle-free encode of a partition-planned DataFrame.
 
@@ -270,12 +276,6 @@ def encode_local(
         def flush(pid: int, tail_too: bool):
             nonlocal seq
             table = pa.concat_tables(pending[pid])
-            if zorder and cluster_by:
-                # z-sort the accumulated window before slicing: each flush
-                # wave's chunks get tight multi-column zone boxes (the JVM
-                # pre-sort below handles the lexicographic case; it cannot
-                # compute the rank-interleaved key)
-                table = _zorder_take(table, cluster_by)
             full = (table.num_rows // chunk_rows) * chunk_rows
             cut = table.num_rows if tail_too else full
             if cut:
@@ -308,12 +308,7 @@ def encode_local(
                 pid = int(pids[s])
                 pending.setdefault(pid, []).append(data.slice(int(s), int(e - s)))
                 pending_rows[pid] = pending_rows.get(pid, 0) + int(e - s)
-                # z-order must see the WHOLE part segment before chunking
-                # (a per-chunk-window z-sort is a no-op for zone quality),
-                # so early flushing is disabled for it; memory stays bounded
-                # by the scan partition (maxPartitionBytes), same order as
-                # encode_grouped's per-part buffering
-                if pending_rows[pid] >= chunk_rows and not zorder:
+                if pending_rows[pid] >= chunk_rows:
                     out = flush(pid, tail_too=False)
                     if out is not None:
                         yield from out.to_batches()
@@ -322,11 +317,12 @@ def encode_local(
             if out is not None:
                 yield from out.to_batches()
 
-    # part_id must lead the sort (segment detection); the cluster columns
-    # join it only for the lexicographic case -- z-order re-sorts in the
-    # kernel, where the rank-interleaved key can actually be computed
-    sort_cols = ("part_id",) if zorder else ("part_id", *cluster_by)
-    return df_with_part.sortWithinPartitions(*sort_cols).mapInArrow(
+    # part_id must lead the sort (segment detection). Z-order is NOT
+    # offered here: a task only holds scan-partition FRAGMENTS of each
+    # part, and rank-interleaving a fragment gives fragment-sized zone
+    # boxes (measured 0.65x-domain vs 0.23 with whole parts) -- zorder
+    # callers route through encode_grouped, which co-locates whole parts.
+    return df_with_part.sortWithinPartitions("part_id", *cluster_by).mapInArrow(
         enc, schema=ENCODED_SCHEMA
     )
 
@@ -395,14 +391,16 @@ def plan_parquet_splits(parquet_path: str, policy: CodecPolicy):
         _pq.ParquetFile(files[0]).schema_arrow, prefer_timestamp_ntz=True
     )
     def _stat_sig(f: str) -> list:
-        # size + mtime, like Spark's own file-index cache invalidation: a
-        # same-shape content rewrite (same names, same row-group layout)
-        # still changes these, so a resumed job can't silently encode
-        # different bytes under the old split indices. Restoring the
-        # original files byte-for-byte still changes mtime -> still refused;
-        # that is the conservative side of the trade.
+        # size + NANOSECOND mtime (what Spark's own file-index invalidation
+        # keys on): a same-shape content rewrite (same names, same
+        # row-group layout, same size) still changes these, so a resumed
+        # job can't silently encode different bytes under the old split
+        # indices -- whole-second truncation would let a same-second
+        # regeneration slip through. Restoring the original files
+        # byte-for-byte still changes mtime -> still refused; that is the
+        # conservative side of the trade.
         st = os.stat(f)
-        return [st.st_size, int(st.st_mtime)]
+        return [st.st_size, st.st_mtime_ns]
 
     fingerprint = _h.sha256(
         _json.dumps(

@@ -467,20 +467,29 @@ class EncodedTable:
 
     def generations(self) -> list[int]:
         """Part-set generations whose lineage is on disk, ascending; the
-        last entry is the current one. Metadata-only (one listdir)."""
+        last entry is ALWAYS the manifest's current one. A parts-<g> dir
+        with g beyond the manifest pointer is NOT a generation -- it is the
+        debris (or in-flight build) of a rewrite that has not committed,
+        and must never anchor retention math: treating it as current would
+        let vacuum sweep the LIVE generation's shards and committed parts
+        after a crashed pre-flip rewrite. Metadata-only (one listdir)."""
         import re
 
+        cur = self._core_manifest().get("parts_gen", 0)
         gens = {
-            int(m.group(1))
+            g
             for name in os.listdir(self.path)
             if (m := re.fullmatch(r"parts-(\d+)", name))
+            and (g := int(m.group(1))) <= cur
         }
-        gens.add(self._core_manifest().get("parts_gen", 0))
+        gens.add(cur)
         return sorted(gens)
 
     def retained_generations(self) -> list[int]:
         """Generations a reader may target: the current one plus up to
-        ``snapshot_retention()`` most recent superseded ones."""
+        ``snapshot_retention()`` most recent superseded ones. Anchored on
+        the manifest pointer (see generations()), never on directory
+        names."""
         gens = self.generations()
         return gens[-(self.snapshot_retention() + 1):]
 
@@ -488,6 +497,14 @@ class EncodedTable:
         """The part set as of generation ``gen`` (time travel). Raises for
         a generation that was never written or has been expired."""
         cur = self._core_manifest().get("parts_gen", 0)
+        if gen > cur:
+            # a parts-<g> dir beyond the manifest pointer is an uncommitted
+            # rewrite's debris, not a snapshot -- reading it would expose
+            # a part set that never existed
+            raise ConfigException(
+                f"generation {gen} of {self.path} was never committed "
+                f"(current is {cur})"
+            )
         if gen == cur:
             return self.lineage()
         d = os.path.join(self.path, f"parts-{gen}")

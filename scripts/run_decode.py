@@ -80,7 +80,7 @@ def main() -> int:
     if args.count:
         from embulk_output_s3_parquet_spark.jobs import count_job
 
-        n = count_job(spark, args.table, where=where)
+        n = count_job(spark, args.table, where=where, at_gen=args.at_gen)
         print(json.dumps({"count": n, "wall_s": round(time.time() - t0, 2)}))
         return 0
     if not args.out:

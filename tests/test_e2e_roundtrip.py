@@ -1788,3 +1788,108 @@ def test_zorder_survives_rewrites(spark, tmp_path):
     decode_job(spark, path, where=("y", ">=", 95000), counters=ctr).count()
     assert ctr["chunks_skipped"].value / max(ctr["chunks_total"].value, 1) >= 0.5
     assert decode_job(spark, path).count() == 20000 - 1
+
+
+def test_vacuum_safe_after_crashed_preflip_rewrite(spark, tmp_path):
+    """Review r5 (critical): a rewrite that crashed AFTER building the next
+    generation's shard dir but BEFORE the manifest flip leaves a
+    parts-(g+1) dir on disk. Vacuum must anchor on the MANIFEST pointer --
+    treating the debris dir as current would sweep the live generation's
+    shards and committed parts (total data loss)."""
+    import shutil
+
+    from embulk_output_s3_parquet_spark.jobs import vacuum_job, verify_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "crash")
+    encode_job(spark, docs, path, _policy(chunk_rows=64), if_exists="error")
+    t = EncodedTable(path)
+    gen = t.generations()[-1]
+
+    # simulate the crash: next-gen shard dir exists, manifest NOT flipped
+    src = os.path.join(path, f"parts-{gen}")
+    dst = os.path.join(path, f"parts-{gen + 1}")
+    shutil.copytree(src, dst)
+    assert t.generations()[-1] == gen  # debris is not a generation
+    with pytest.raises(ConfigException, match="never committed"):
+        t.lineage_at(gen + 1)
+
+    rep = vacuum_job(path)
+    # the debris dir was swept; the LIVE generation and its parts were not
+    assert rep["stale_shard_dirs"] == 1
+    assert rep["orphan_parts"] == []
+    assert os.path.isdir(src) and not os.path.exists(dst)
+    assert decode_job(spark, path).count() == docs.count()
+    assert verify_table(spark, path) == []
+
+
+def test_merge_preserves_duplicate_target_rows(spark, tmp_path):
+    """Review r5: a target that legitimately holds duplicate-key rows (two
+    appended waves) must have EVERY matched row updated -- not collapsed to
+    one -- and NULL-key source rows are pure inserts, never a false
+    duplicate-key refusal."""
+    from embulk_output_s3_parquet_spark.jobs import merge_job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    path = str(tmp_path / "dupmrg")
+    pol = _policy(chunk_rows=64)
+    encode_job(spark, docs, path, pol, if_exists="error")
+    # second wave: re-append the same rows under new part ids -> every
+    # doc_id now has exactly two rows
+    encode_job(spark, docs, path, pol, if_exists="skip", part_base=1000)
+    assert decode_job(spark, path).count() == 100
+
+    victim = int(docs.select("doc_id").first()[0])
+    src_upd = docs.filter(F.col("doc_id") == victim).withColumn(
+        "text", F.lit("DUPMERGED")
+    )
+    src_null = docs.limit(2).select(
+        F.lit(None).cast("long").alias("doc_id"),
+        *[F.col(c) for c in docs.columns if c != "doc_id"],
+    ).select(*docs.columns).withColumn("text", F.lit("NULLKEY"))
+    # two NULL-key rows + one keyed row: must NOT be refused as duplicates
+    rep = merge_job(spark, path, src_upd.unionByName(src_null), on=["doc_id"])
+    assert rep["rows_updated"] == 2  # BOTH duplicate target rows updated
+    assert rep["rows_inserted"] == 2  # both NULL-key rows inserted once
+
+    got = decode_job(spark, path)
+    assert got.count() == 100 + 2  # multiplicity preserved + inserts
+    assert got.filter(F.col("text") == "DUPMERGED").count() == 2
+    assert got.filter(F.col("text") == "NULLKEY").count() == 2
+
+
+def test_export_reexport_and_count_at_gen(spark, tmp_path):
+    """Review r5: re-exporting over a previous export must not leave stale
+    part files under a fresh _SUCCESS; a directory with foreign files is
+    refused; count_job honors at_gen."""
+    from embulk_output_s3_parquet_spark.jobs import count_job, delete_job, export_job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "reexp")
+    encode_job(spark, docs, path, _policy(chunk_rows=64), if_exists="error")
+    t = EncodedTable(path)
+    t.set_snapshot_retention(1)
+    g0 = t.generations()[-1]
+    out = str(tmp_path / "out")
+    export_job(spark, path, out)
+    n_files_before = len(glob.glob(os.path.join(out, "part-*.parquet")))
+
+    victim = int(docs.select("doc_id").first()[0])
+    delete_job(spark, path, ("doc_id", "==", victim))
+    export_job(spark, path, out)  # re-export: stale files must vanish
+    got = spark.read.parquet(out)
+    assert got.count() == docs.count() - 1
+    assert got.filter(F.col("doc_id") == victim).count() == 0
+    assert len(glob.glob(os.path.join(out, "part-*.parquet"))) > 0
+    assert n_files_before > 0
+
+    # foreign file: refuse, never delete what we didn't write
+    with open(os.path.join(out, "keep.txt"), "w") as f:
+        f.write("x")
+    with pytest.raises(ConfigException, match="non-export"):
+        export_job(spark, path, out)
+    assert os.path.exists(os.path.join(out, "keep.txt"))
+
+    # snapshot count
+    assert count_job(spark, path, at_gen=g0) == docs.count()
+    assert count_job(spark, path) == docs.count() - 1
