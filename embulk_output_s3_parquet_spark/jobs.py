@@ -1178,6 +1178,8 @@ def export_job(
     where=None,
     compression: str = "snappy",
     at_gen: int | None = None,
+    since_part: int | None = None,
+    expect_gen: int | None = None,
 ) -> dict:
     """Decode an EncodedTable to a parquet dataset ENTIRELY executor-side:
     each task opens its committed part dirs with pyarrow, decodes surviving
@@ -1195,8 +1197,20 @@ def export_job(
     partially failed export is distinguishable (same contract as Spark's
     own committer). Task retries simply re-replace their file.
 
-    ``at_gen`` exports a retained snapshot generation. Returns
-    {"rows", "files", "bytes", "wall_s"}."""
+    ``at_gen`` exports a retained snapshot generation.
+
+    Incremental mode (``since_part``): export ONLY parts with id >
+    since_part, appending new files beside the previous export instead of
+    clearing it -- the batch twin of the enctable readStream source (parts
+    are immutable and ids grow monotonically, so "new since watermark" is
+    exact). The returned ``max_part_id``/``parts_gen`` are the next call's
+    watermark; pass ``expect_gen`` and the job refuses if a rewrite
+    (delete/update/merge/compact) bumped the generation since -- rewritten
+    history makes an incremental tail silently wrong, the same guard the
+    stream reader enforces.
+
+    Returns {"rows", "files", "bytes", "wall_s", "max_part_id",
+    "parts_gen"}."""
     import os
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -1215,12 +1229,29 @@ def export_job(
     lineage = table.lineage_at(at_gen) if at_gen is not None else table.lineage()
     if not lineage:
         raise ConfigException(f"table {table_path} has no committed partitions")
+    cur_gen = table.generations()[-1]
+    if since_part is not None:
+        if expect_gen is not None and cur_gen != expect_gen:
+            raise ConfigException(
+                f"incremental export refused: table generation moved "
+                f"{expect_gen} -> {cur_gen} (a rewrite changed history); "
+                "re-export fully"
+            )
+        max_id = max(lineage)
+        lineage = {p: r for p, r in lineage.items() if p > since_part}
+        if not lineage:
+            return {
+                "rows": 0, "files": 0, "bytes": 0,
+                "wall_s": round(time.time() - t0, 2),
+                "max_part_id": max_id, "parts_gen": cur_gen,
+            }
     # overwrite semantics, hygienically: part ids change on every rewrite,
     # so re-exporting over the previous output would leave STALE part files
     # under a fresh _SUCCESS. Clear prior export artifacts -- and refuse a
     # directory holding anything this job didn't write (never delete files
-    # we can't identify as ours).
-    if os.path.isdir(out_dir):
+    # we can't identify as ours). Incremental mode APPENDS instead (its
+    # new part ids cannot collide with already-exported file names).
+    if os.path.isdir(out_dir) and since_part is None:
         entries = os.listdir(out_dir)
 
         def _ours(e: str) -> bool:
@@ -1333,6 +1364,8 @@ def export_job(
         "files": int(agg["files"] or 0),
         "bytes": int(agg["bytes"] or 0),
         "wall_s": round(time.time() - t0, 2),
+        "max_part_id": max(lineage),  # the next incremental watermark
+        "parts_gen": cur_gen,
     }
 
 

@@ -55,6 +55,17 @@ def main() -> int:
         "snapshot-retention > 0 on the table; see run_dml.py snapshots)",
     )
     ap.add_argument(
+        "--since-part", type=int, default=None,
+        help="with --direct: incremental export of parts ABOVE this "
+        "watermark (appends beside the previous export; returned "
+        "max_part_id is the next watermark)",
+    )
+    ap.add_argument(
+        "--expect-gen", type=int, default=None,
+        help="with --since-part: refuse if the table generation moved (a "
+        "rewrite changed history)",
+    )
+    ap.add_argument(
         "--direct", action="store_true",
         help="executor-side export (jobs.export_job): tasks decode with "
         "pyarrow and write parquet straight to --out, no JVM<->Python hop; "
@@ -90,7 +101,8 @@ def main() -> int:
 
         rep = export_job(
             spark, args.table, args.out, columns=cols, where=where,
-            at_gen=args.at_gen,
+            at_gen=args.at_gen, since_part=args.since_part,
+            expect_gen=args.expect_gen,
         )
         print(json.dumps({**rep, "out": args.out}))
         return 0

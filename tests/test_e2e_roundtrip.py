@@ -1893,3 +1893,43 @@ def test_export_reexport_and_count_at_gen(spark, tmp_path):
     # snapshot count
     assert count_job(spark, path, at_gen=g0) == docs.count()
     assert count_job(spark, path) == docs.count() - 1
+
+
+def test_export_incremental_watermark(spark, tmp_path):
+    """Incremental export (r5): since_part exports only parts above the
+    watermark and APPENDS beside the previous export; a rewrite bumps the
+    generation and the guarded call refuses (same contract as the stream
+    source); an up-to-date watermark is a cheap no-op."""
+    from embulk_output_s3_parquet_spark.jobs import delete_job, export_job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "inc")
+    pol = _policy(chunk_rows=64)
+    encode_job(spark, w1, path, pol, if_exists="error")
+    out = str(tmp_path / "out")
+
+    rep1 = export_job(spark, path, out)
+    assert rep1["rows"] == w1.count()
+    wm, gen = rep1["max_part_id"], rep1["parts_gen"]
+
+    # nothing new: no-op, watermark stable
+    rep_noop = export_job(spark, path, out, since_part=wm, expect_gen=gen)
+    assert rep_noop["rows"] == 0 and rep_noop["max_part_id"] == wm
+
+    # second wave appended -> incremental export delivers only its rows
+    encode_job(spark, w2, path, pol, if_exists="skip", part_base=1000)
+    rep2 = export_job(spark, path, out, since_part=wm, expect_gen=gen)
+    assert rep2["rows"] == w2.count()
+    assert rep2["max_part_id"] > wm
+    got = spark.read.parquet(out)
+    assert got.count() == docs.count()
+    assert got.select(F.sum("n_chars")).first()[0] == docs.select(F.sum("n_chars")).first()[0]
+
+    # a rewrite breaks the incremental contract loudly
+    victim = int(docs.select("doc_id").first()[0])
+    delete_job(spark, path, ("doc_id", "==", victim))
+    with pytest.raises(ConfigException, match="generation moved"):
+        export_job(spark, path, out, since_part=rep2["max_part_id"],
+                   expect_gen=rep2["parts_gen"])
