@@ -224,6 +224,8 @@ class OutputPlan:
     exprs: list[Column]
     policy: CodecPolicy
     properties: dict = field(default_factory=dict)
+    cluster_by: list = field(default_factory=list)
+    zorder: bool = False
 
     def apply(self, df: DataFrame) -> DataFrame:
         return df.select(*self.exprs)
@@ -279,8 +281,20 @@ def load_output_config(cfg: dict, schema: T.StructType) -> OutputPlan:
         cname for cname, opt in col_opts.items() if opt.get("bloom") is True
     )
     policy = CodecPolicy(column_options=forced, bloom_columns=blooms)
+    # table-level engine extensions: cluster_by (write ordering) and
+    # zorder (Morton clustering over the cluster_by columns) -- validated
+    # eagerly like every other config error, BEFORE any data moves
+    cluster_by = list(cfg.get("cluster_by") or [])
+    unknown_cluster = [c for c in cluster_by if c not in names]
+    if unknown_cluster:
+        raise ConfigException(f"cluster_by: unknown column(s) {unknown_cluster}")
+    zorder = bool(cfg.get("zorder", False))
+    if zorder and not cluster_by:
+        raise ConfigException("zorder: true requires cluster_by")
     return OutputPlan(
         exprs=exprs,
         policy=policy,
         properties={"compression_codec": codec, "default_timezone": default_tz},
+        cluster_by=cluster_by,
+        zorder=zorder,
     )

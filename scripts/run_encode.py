@@ -124,6 +124,10 @@ def main() -> int:
         policy.bloom_columns = tuple(
             dict.fromkeys(plan.policy.bloom_columns + policy.bloom_columns)
         )
+        if plan.cluster_by and not args.cluster_by:
+            args.cluster_by = ",".join(plan.cluster_by)
+        if plan.zorder and not args.zorder:
+            args.zorder = True
 
     # warm Python UDF workers on all cores so measured wall is steady-state
     import pyarrow as pa

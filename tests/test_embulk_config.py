@@ -139,3 +139,33 @@ def test_engine_extension_codec_and_bloom_options(spark, six):
             {"column_options": {"c3": {"codec": "lzo"}}}, six.schema
         )
         bad.policy.validate(bad.apply(six).schema)
+
+
+def test_table_level_cluster_and_zorder_extensions():
+    """Engine extensions at the out: level (r5): cluster_by and zorder ride
+    the embulk config, validated eagerly (unknown columns / zorder without
+    cluster_by are ConfigExceptions before any data moves)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.plans.embulk_config import (
+        load_output_config,
+    )
+    from embulk_output_s3_parquet_spark.plans.policy import ConfigException
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    plan = load_output_config(
+        {"cluster_by": ["a", "b"], "zorder": True}, schema
+    )
+    assert plan.cluster_by == ["a", "b"] and plan.zorder is True
+    assert load_output_config({}, schema).cluster_by == []
+
+    with pytest.raises(ConfigException, match="unknown column"):
+        load_output_config({"cluster_by": ["nope"]}, schema)
+    with pytest.raises(ConfigException, match="requires cluster_by"):
+        load_output_config({"zorder": True}, schema)
