@@ -248,6 +248,10 @@ def encode_job(
     on_disk = spark.read.parquet(staging)
     lineage = _lineage_rows(on_disk, df.schema.fields[0].name, time.time() - t0)
     table.commit_staging(staging, lineage)
+    table.log_op(
+        "encode",
+        {"parts": len(lineage), "rows": sum(r["rows"] for r in lineage.values())},
+    )
     return table
 
 
@@ -329,6 +333,10 @@ def encode_parquet_job(
     on_disk = spark.read.parquet(staging)
     lineage = _lineage_rows(on_disk, schema.fields[0].name, time.time() - t0)
     table.commit_staging(staging, lineage)
+    table.log_op(
+        "encode_direct",
+        {"parts": len(lineage), "rows": sum(r["rows"] for r in lineage.values())},
+    )
     return table
 
 
@@ -548,6 +556,9 @@ def compact_job(
             shutil.rmtree(
                 os.path.join(table.data_dir, f"part_id={pid}"), ignore_errors=True
             )
+    table.log_op(
+        "compact", {"parts_before": len(old_parts), "parts_after": len(lineage)}
+    )
     return table
 
 
@@ -865,6 +876,7 @@ def delete_job(
     rows_after = sum(r["rows"] for r in new_lineage.values())
     report["parts_rewritten"] = len(new_lineage)
     report["rows_deleted"] = rows_before - rows_after
+    table.log_op("delete", dict(report))
     return report
 
 
@@ -1019,6 +1031,7 @@ def update_job(
     new_lineage = _swap_in_rewrite(spark, table, affected, updated, policy)
     df.unpersist()
     report["parts_rewritten"] = len(new_lineage)
+    table.log_op("update", dict(report))
     return report
 
 
@@ -1167,6 +1180,7 @@ def merge_job(
         inserts.unpersist()
     source.unpersist()
     report["parts_rewritten"] = len(new_lineage)
+    table.log_op("merge", dict(report))
     return report
 
 

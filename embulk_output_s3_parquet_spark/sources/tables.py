@@ -549,6 +549,32 @@ class EncodedTable:
         hw = int(self.properties().get("max-part-id", -1))
         return max([hw, *ids]) + 1 if ids else hw + 1
 
+    _HISTORY_CAP = 256
+
+    def log_op(self, op: str, detail: dict | None = None) -> None:
+        """Append an operation record to the table's history (the
+        snapshot-summary metadata Iceberg keeps per commit): operation
+        name, the generation it left the table at, a wall-clock stamp, and
+        the job's report numbers. Capped at the most recent
+        ``_HISTORY_CAP`` entries so a streaming sink's per-micro-batch
+        appends cannot grow the manifest without bound."""
+        m = self._core_manifest()
+        hist = m.setdefault("properties", {}).setdefault("history", [])
+        hist.append(
+            {
+                "op": op,
+                "gen": m.get("parts_gen", 0),
+                "ts": round(time.time(), 3),
+                **(detail or {}),
+            }
+        )
+        del hist[: -self._HISTORY_CAP]
+        self._write_manifest(m)
+
+    def history(self) -> list[dict]:
+        """Operation log, oldest first (see :meth:`log_op`)."""
+        return list(self.properties().get("history", []))
+
     def set_property(self, key: str, value) -> None:
         """Set a table property in the core manifest (atomic rewrite) --
         e.g. ``write-order`` records the cluster_by layout like Iceberg's
@@ -595,6 +621,7 @@ class EncodedTable:
         m["schema"] = new.json()
         m.setdefault("properties", {}).setdefault("added-columns", []).append(name)
         self._write_manifest(m)
+        self.log_op("add_column", {"column": name, "type": dtype.simpleString()})
 
     def drop_column(self, name: str) -> None:
         """Schema evolution, Iceberg-style DROP COLUMN: remove the column
@@ -623,6 +650,7 @@ class EncodedTable:
             wo = [c for c in wo if c != name]
             props["write-order"] = wo or None
         self._write_manifest(m)
+        self.log_op("drop_column", {"column": name})
 
     def policy(self) -> CodecPolicy:
         return CodecPolicy(**self.manifest()["properties"]["codec-policy"])

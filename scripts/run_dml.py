@@ -89,6 +89,9 @@ def main() -> int:
     p = sub.add_parser("verify", help="sha256 lineage audit")
     p.add_argument("--table", required=True)
 
+    p = sub.add_parser("history", help="operation log (Iceberg snapshot-summary analogue)")
+    p.add_argument("--table", required=True)
+
     args = ap.parse_args()
 
     t0 = time.time()
@@ -98,6 +101,10 @@ def main() -> int:
         from embulk_output_s3_parquet_spark.jobs import vacuum_job
 
         rep = vacuum_job(args.table, dry_run=args.dry_run)
+    elif args.cmd == "history":
+        from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+        rep = {"history": EncodedTable(args.table).history()}
     elif args.cmd == "snapshots":
         from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
 

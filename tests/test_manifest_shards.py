@@ -65,3 +65,36 @@ def test_legacy_inline_parts_still_read(tmp_path):
     assert t.completed_parts() == {7, 8}
     with open(t.manifest_path) as f:
         assert json.load(f)["parts"] == {"7": _row(7)}  # inline left untouched
+
+
+def test_operation_history_log(spark, tmp_path):
+    """log_op/history (r5): every committing job appends a capped operation
+    record (op, generation, report numbers) -- the snapshot-summary
+    metadata Iceberg keeps per commit."""
+    from pyspark.sql import functions as F, types as T
+
+    from embulk_output_s3_parquet_spark.jobs import (
+        compact_job, delete_job, encode_job, update_job,
+    )
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+    from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "hist")
+    encode_job(spark, docs, path, CodecPolicy(chunk_rows=64), if_exists="error")
+    victim = int(docs.select("doc_id").first()[0])
+    delete_job(spark, path, ("doc_id", "==", victim))
+    update_job(spark, path, ("doc_id", ">", 400), {"lang": "'h'"})
+    compact_job(spark, path)
+    t = EncodedTable(path)
+    t.add_column("extra", T.StringType())
+
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["encode", "delete", "update", "compact", "add_column"]
+    h = t.history()
+    assert h[1]["rows_deleted"] == 1
+    assert all("ts" in e and "gen" in e for e in h)
+    # cap: the log never grows past _HISTORY_CAP entries
+    for _ in range(5):
+        t.log_op("noop")
+    assert len(t.history()) <= EncodedTable._HISTORY_CAP
