@@ -90,22 +90,28 @@ def _filter_pushdown_enabled() -> bool:
     hand Spark a reader *without* the hook (zone pruning simply doesn't fire;
     Spark applies every filter exactly anyway).
 
-    ``reader()`` runs inside the plan_data_source_read worker, which has no
-    SparkSession -- but that worker reads the conf into a local named
-    ``enable_pushdown`` immediately before calling ``reader()``, so walk the
-    stack for it. Fall back to the active session's conf (pytest / driver-side
-    construction); unknown defaults to False (the always-works path).
+    ``reader()`` runs inside a sessionless Python worker, and neither worker
+    hands the DataSource the conf (verified against both 4.1 worker sources:
+    ``create_data_source.py`` passes only user options, the read planners
+    keep ``enable_pushdown`` in a socket-read local) -- so there is no
+    supported value channel. But the *worker identity* IS the conf:
+    ``PlanPythonDataSourceScan`` routes ``reader()`` through
+    ``data_source_pushdown_filters.py`` only when the conf is on, and
+    through ``plan_data_source_read.py`` (whose init gate raises the hard
+    error above on a ``pushFilters`` override) only when it is off. So match
+    the worker entry module's *file name* on the stack via the public
+    ``traceback`` API -- no private locals, no ``sys._getframe``. Fall back
+    to the active session's conf (pytest / driver-side construction);
+    unknown defaults to False (the always-works path).
 
-    The frame walk depends on a pyspark-private local name (verified on the
-    4.x worker; skipped on any other major so a rename can't mislead it):
-    if it finds nothing, reads silently lose pruning (never correctness).
+    If a future pyspark renames the worker modules the match finds nothing
+    and reads silently lose pruning (never correctness).
     ``SPARK_ENCTABLE_PUSHDOWN=1`` in the executor env (or the per-read
     ``.option("pushdown", "true")``) force-enables as the escape hatch --
     but ONLY when the conf is genuinely undetectable: a definitive "off"
-    from the worker frame or the session conf always wins, because handing
-    Spark the pushFilters reader with the conf off is a hard
-    DATA_SOURCE_PUSHDOWN_DISABLED error at init, which is strictly worse
-    than pruning-less reads.
+    always wins, because handing Spark the pushFilters reader with the conf
+    off is a hard DATA_SOURCE_PUSHDOWN_DISABLED error at init, which is
+    strictly worse than pruning-less reads.
     """
     import os
 
@@ -115,24 +121,25 @@ def _filter_pushdown_enabled() -> bool:
     return os.environ.get("SPARK_ENCTABLE_PUSHDOWN", "") in ("1", "true")
 
 
+# Spark's two read-planning worker entry points (stable public file paths in
+# the pyspark wheel); which one is on the stack when reader() runs tells us
+# the filterPushdown conf without any private-API inspection.
+_PUSHDOWN_WORKER = "pyspark/sql/worker/data_source_pushdown_filters.py"
+_PLAIN_WORKER = "pyspark/sql/worker/plan_data_source_read.py"
+
+
 def _detect_filter_pushdown() -> bool | None:
-    """Tri-state conf detection: True/False when the worker frame or the
-    active session answers definitively, None when neither can tell (e.g.
-    a future pyspark that renamed the worker local)."""
-    import sys
+    """Tri-state conf detection: True/False when the planning-worker module
+    or the active session answers definitively, None when neither can tell
+    (e.g. a future pyspark that renamed the worker modules)."""
+    import traceback
 
-    try:
-        import pyspark
-
-        walk_ok = pyspark.__version__.startswith("4.")
-    except Exception:
-        walk_ok = False
-    if walk_ok:
-        f = sys._getframe()
-        while f is not None:
-            if "enable_pushdown" in f.f_locals and "infile" in f.f_locals:
-                return bool(f.f_locals["enable_pushdown"])
-            f = f.f_back
+    for frame in traceback.extract_stack():
+        fn = (frame.filename or "").replace("\\", "/")
+        if fn.endswith(_PUSHDOWN_WORKER):
+            return True
+        if fn.endswith(_PLAIN_WORKER):
+            return False
     try:
         from pyspark.sql import SparkSession
 

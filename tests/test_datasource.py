@@ -388,6 +388,45 @@ def test_count_literal_coercion_boundary_chunks(spark, tmp_path):
     assert count_table(path, where=("dec", ">=", "50.00")) == want_dec
 
 
+def test_detect_pushdown_by_worker_module():
+    """The conf detector identifies Spark's read-planning worker by module
+    FILE NAME on the public traceback stack (no private locals): running the
+    probe from a code object compiled with each worker's path simulates the
+    worker stack bit-for-bit, because traceback reports the code object's
+    filename. Unknown stacks fall through (session conf / None)."""
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        _detect_filter_pushdown,
+    )
+
+    def probe_as(filename):
+        ns = {"_detect_filter_pushdown": _detect_filter_pushdown}
+        code = compile("out = _detect_filter_pushdown()", filename, "exec")
+        exec(code, ns)
+        return ns["out"]
+
+    assert probe_as(
+        "/sp/python/pyspark/sql/worker/data_source_pushdown_filters.py"
+    ) is True
+    assert probe_as("/sp/python/pyspark/sql/worker/plan_data_source_read.py") is False
+    # a renamed worker: detection falls through to the session conf
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    renamed = "/sp/python/pyspark/sql/worker/somewhere_else.py"
+    if s is None:
+        assert probe_as(renamed) is None
+    else:
+        conf_key = "spark.sql.python.filterPushdown.enabled"
+        saved = s.conf.get(conf_key, "false")
+        try:
+            s.conf.set(conf_key, "false")
+            assert probe_as(renamed) is False
+            s.conf.set(conf_key, "true")
+            assert probe_as(renamed) is True
+        finally:
+            s.conf.set(conf_key, saved)
+
+
 def test_reader_degrades_when_pushdown_conf_off(spark, enc_docs):
     """Spark 4.1 hard-errors on a Python reader exposing pushFilters when
     spark.sql.python.filterPushdown.enabled is false
