@@ -109,6 +109,34 @@ def merge(filters: list[dict | None]) -> dict | None:
     return {"m": m, "k": k, "b": base64.b64encode(acc.tobytes()).decode("ascii")}
 
 
+def merge_groups(filters: list[dict | None]) -> list[dict] | None:
+    """OR chunk filters into a MINIMAL LIST of per-geometry part filters.
+
+    ``merge`` needs every chunk to share one (m, k) geometry, but the
+    batch-local effective-chunk-rows computation (encode_local / the direct
+    split scan) legitimately gives different tasks of one part slightly
+    different bloom sizes -- a single-geometry merge returns None there and
+    the part silently loses its bloom. Grouping by (m, k) and OR-ing within
+    each group keeps the probe sound for any mix: a value may be in the
+    part iff SOME group might contain it, so exclusion = every group
+    excludes. Returns None when any chunk lacks a filter (unsound to prune)
+    or any group's union is too saturated to ever exclude (keeping a dense
+    group would spend sidecar bytes without pruning, and dropping just that
+    group would break soundness)."""
+    if not filters or any(f is None for f in filters):
+        return None
+    groups: dict[tuple[int, int], list[dict]] = {}
+    for f in filters:
+        groups.setdefault((f["m"], f["k"]), []).append(f)
+    out = []
+    for _, fs in sorted(groups.items()):
+        u = merge(fs)
+        if u is None:
+            return None
+        out.append(u)
+    return out
+
+
 def build(values: pa.Array, m_bits: int | None = None) -> dict | None:
     """Bloom filter over the (null-free) chunk values -> meta dict
     {"m": bits, "k": K, "b": base64} or None for empty/unsupported chunks.

@@ -21,6 +21,20 @@ from .plans.partitioning import assign_partitions, assign_partitions_generic
 from .plans.policy import CodecPolicy, ConfigException
 from .sources.tables import EncodedTable
 
+# Per-column byte budget for PART-level blooms (the OR of a part's chunk
+# filters, stored in the per-shard .bf.json sidecar). Default chunk
+# geometry (32k rows x 10 bits) yields ~40 KB; anything past the budget is
+# dropped rather than stored -- bounding the sidecar bytes a 10^6-part
+# table can accumulate (~64 GB worst case at the default cap, streamed one
+# shard at a time by surviving_parts, never resident at once). Chunk-level
+# blooms inside the parquet metadata are untouched: dropping the part
+# union only loses driver-side PART pruning, never correctness.
+import os as _os
+
+PART_BF_MAX_BYTES = int(
+    _os.environ.get("SPARK_ENCTABLE_PART_BF_MAX_KB", "64")
+) * 1024
+
 
 def merge_zone(t: str, a, b):
     """Combine two chunk-zone [lo, hi] pairs of the same column type into
@@ -84,9 +98,11 @@ def lineage_row_from_chunks(
     from .codecs import bloom as _bloom
 
     for col, bfs in chunk_bfs.items():
-        merged = _bloom.merge(bfs)
-        if merged is not None:
-            zones[col]["bf"] = merged
+        # per-geometry groups: batch-local chunk sizing (encode_local, the
+        # direct scan) gives one part's chunks slightly different bloom m's
+        merged = _bloom.merge_groups(bfs)
+        if merged is not None and sum(g["m"] // 8 for g in merged) <= PART_BF_MAX_BYTES:
+            zones[col]["bf"] = merged[0] if len(merged) == 1 else merged
     sha = _h.sha256(
         "".join(s for _, _, s in sorted(zip(seqs, cols, shas))).encode()
     ).hexdigest()
@@ -417,10 +433,15 @@ def count_job(
     total = 0
     dirs = []
     fillable = frozenset(table.added_columns())
+    # sidecar part-blooms can exclude whole parts that zones can't (==/in on
+    # unsorted high-cardinality keys); probe them once, streamed per shard
+    admitted = table.surviving_parts(conjuncts) if conjuncts else None
     for pid in sorted(lineage):
         row = lineage[pid]
         if not conjuncts:
             total += int(row["rows"])
+            continue
+        if pid not in admitted:
             continue
         zones = row.get("zones", {})
         n_rows = int(row.get("rows", 0))
@@ -840,7 +861,7 @@ def delete_job(
     import shutil
 
     from .operators.decode import decode_table_scan
-    from .sources.chunkscan import _survives, normalize_where
+    from .sources.chunkscan import normalize_where
 
     table = EncodedTable(table_path)
     names = [f.name for f in table.schema().fields]
@@ -852,13 +873,8 @@ def delete_job(
         )
     lineage = table.lineage()
     all_parts = set(lineage)
-    zones = table.part_zones()
-    fillable = frozenset(table.added_columns())
-    affected = {
-        p
-        for p in all_parts
-        if _survives(zones.get(p, {}), conjuncts, fillable=fillable)
-    }
+    # zones + sidecar part-blooms, streamed shard by shard
+    affected = table.surviving_parts(conjuncts)
     report = {
         "parts_total": len(all_parts),
         "parts_affected": len(affected),
@@ -981,7 +997,7 @@ def update_job(
     from pyspark.sql import Column
 
     from .operators.decode import decode_table_scan
-    from .sources.chunkscan import _survives, normalize_where
+    from .sources.chunkscan import normalize_where
 
     table = EncodedTable(table_path)
     schema = table.schema()
@@ -995,13 +1011,8 @@ def update_job(
     if unknown:
         raise ConfigException(f"SET: unknown column(s) {sorted(unknown)}")
     lineage = table.lineage()
-    zones = table.part_zones()
-    fillable = frozenset(table.added_columns())
-    affected = {
-        p
-        for p in lineage
-        if _survives(zones.get(p, {}), conjuncts, fillable=fillable)
-    }
+    # zones + sidecar part-blooms, streamed shard by shard
+    affected = table.surviving_parts(conjuncts)
     report = {
         "parts_total": len(lineage),
         "parts_affected": len(affected),
@@ -1071,7 +1082,7 @@ def merge_job(
     Returns {"parts_total", "parts_affected", "parts_rewritten",
     "rows_updated", "rows_inserted"}."""
     from .operators.decode import decode_table_scan
-    from .sources.chunkscan import _survives, normalize_where
+    from .sources.chunkscan import normalize_where
 
     table = EncodedTable(table_path)
     schema = table.schema()
@@ -1120,17 +1131,8 @@ def merge_job(
                 conjuncts.append((k, "<=", bounds[f"hi_{k}"]))
         conjuncts = normalize_where(conjuncts, names)
     lineage = table.lineage()
-    zones = table.part_zones()
-    fillable = frozenset(table.added_columns())
-    affected = (
-        set()
-        if conjuncts is None
-        else {
-            p
-            for p in lineage
-            if _survives(zones.get(p, {}), conjuncts, fillable=fillable)
-        }
-    )
+    # zones + sidecar part-blooms, streamed shard by shard
+    affected = set() if conjuncts is None else table.surviving_parts(conjuncts)
     report = {
         "parts_total": len(lineage),
         "parts_affected": len(affected),

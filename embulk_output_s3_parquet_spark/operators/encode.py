@@ -100,8 +100,13 @@ def _encode_slices(
     cols: dict[str, list] = {name: [] for name in _ENC_ARROW.names}
     # one bloom geometry for EVERY chunk of the part (tail included): equal
     # m is what lets lineage_row_from_chunks OR the chunk filters into a
-    # per-part bloom that prunes whole parts driver-side (round-3 VERDICT #5)
-    bloom_m = max(64, chunk_rows * 10)
+    # per-part bloom that prunes whole parts driver-side (round-3 VERDICT
+    # #5). m is QUANTIZED to a power of two: batch-local effective-row
+    # sizing (encode_local / the direct scan) hands different tasks of one
+    # part slightly different chunk_rows, and exact m's would splinter the
+    # part union into one merge_groups entry per chunk (~chunk-count x the
+    # sidecar bytes for identical pruning power).
+    bloom_m = 1 << max(6, (chunk_rows * 10).bit_length())
     n_rows = table.num_rows
     seq = seq0
     sticky = sticky if sticky is not None else {}

@@ -932,7 +932,8 @@ def test_encode_direct_matches_dataframe_path(spark, tmp_path):
 def test_point_lookup_prunes_parts_via_lineage_blooms(spark, tmp_path):
     """End-to-end VERDICT #5 criterion: a point lookup on a many-part table
     with an opted-in bloom column schedules tasks for FEWER than all parts
-    (pruned_part_dirs consults the per-part bloom union in the lineage),
+    (pruned_part_dirs consults the per-part bloom union in the shard
+    sidecar),
     and the lookup result stays exact."""
     from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
 
@@ -944,10 +945,14 @@ def test_point_lookup_prunes_parts_via_lineage_blooms(spark, tmp_path):
     t = EncodedTable(path)
     n_parts = len(t.completed_parts())
     assert n_parts >= 4, n_parts
-    # lineage rows carry the merged bloom for the opted-in column only
+    # blooms live in the per-shard SIDECAR (never in lineage rows: at 10^6
+    # parts inline bytes would bloat every lineage read), merged bloom for
+    # the opted-in column only
     zones = t.part_zones()
-    assert all("bf" in z.get("source", {}) for z in zones.values())
-    assert all("bf" not in z.get("lang", {}) for z in zones.values())
+    assert all("bf" not in z.get("source", {}) for z in zones.values())
+    sidecar_bfs = t.shard_blooms(0)
+    assert set(sidecar_bfs) == set(t.completed_parts())
+    assert all(set(cols) == {"source"} for cols in sidecar_bfs.values())
 
     probe = docs.select("source").first()[0]
     pruned = t.pruned_part_dirs([("source", "==", probe)])

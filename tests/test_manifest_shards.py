@@ -98,3 +98,118 @@ def test_operation_history_log(spark, tmp_path):
     for _ in range(5):
         t.log_op("noop")
     assert len(t.history()) <= EncodedTable._HISTORY_CAP
+
+
+def _bf_row(pid: int, m_bits: int = 512) -> dict:
+    import pyarrow as pa
+
+    from embulk_output_s3_parquet_spark.codecs import bloom
+
+    bf = bloom.build(pa.array([pid], type=pa.int64()), m_bits=m_bits)
+    r = _row(pid)
+    r["zones"] = {"x": {"t": "int64", "n": 1, "z": 0,
+                        "mm": [pid, pid], "bf": bf}}
+    return r
+
+
+def test_part_blooms_split_to_sidecar(tmp_path):
+    """Part-level blooms never land in the lineage shard JSON (VERDICT r4
+    #3: 10^6 parts x 40 KB inline = ~80 GB manifest); they ride the
+    per-shard .bf.json sidecar and lineage_full() re-injects them."""
+    t = EncodedTable.create(str(tmp_path / "t"), SCHEMA, CodecPolicy())
+    t._append_parts({pid: _bf_row(pid) for pid in range(50)})
+    shard0 = os.path.join(t.parts_dir, "shard-0.json")
+    with open(shard0) as f:
+        assert "bf" not in f.read()
+    assert set(t.shard_blooms(0)) == set(range(50))
+    # lineage() stays light; lineage_full() carries the blooms back
+    assert "bf" not in t.lineage()[0]["zones"]["x"]
+    assert t.lineage_full()[0]["zones"]["x"]["bf"]["m"] == 512
+    # append wave into the same shard keeps prior sidecar entries
+    t._append_parts({50: _bf_row(50)})
+    assert set(t.shard_blooms(0)) == set(range(51))
+
+
+def test_part_blooms_survive_partial_rewrite(tmp_path):
+    """_update_parts (delete/update/merge) must carry sidecar blooms for
+    BOTH untouched shards (hard-linked) and unchanged parts inside touched
+    shards (re-injected before rewrite)."""
+    t = EncodedTable.create(str(tmp_path / "t"), SCHEMA, CodecPolicy())
+    t._append_parts({pid: _bf_row(pid) for pid in range(SHARD_SIZE + 10)})
+    assert len(t.shard_blooms(1)) == 10
+    # remove part 3 (shard 0), add part 9000 (shard 2, no bloom)
+    t._update_parts(remove={3}, add={9000: _row(9000)})
+    bfs0 = t.shard_blooms(0)
+    assert 3 not in bfs0 and len(bfs0) == SHARD_SIZE - 1
+    assert len(t.shard_blooms(1)) == 10  # hard-linked sidecar intact
+    assert t.shard_blooms(2) == {}
+    # pruning still uses the carried blooms: a value in no bloom prunes
+    # every bloomed part; 9000 (no zones, no bloom) must stay (may-match)
+    assert t.surviving_parts([("x", "==", -1)]) == {9000}
+    # zone+bloom agreement on a real value: part 5 survives x==5 (its zone
+    # AND bloom admit it); 9000 (unprunable) also stays
+    assert t.surviving_parts([("x", "==", 5)]) == {5, 9000}
+
+
+def test_part_bloom_mixed_geometry_groups(tmp_path):
+    """Batch-local chunk sizing (encode_local / the direct scan) gives one
+    part's chunks DIFFERENT bloom m's; the part bloom must survive as a
+    per-geometry group list (bloom.merge_groups), not silently vanish --
+    and the part-level probe must treat the list as may-match-any."""
+    import pyarrow as pa
+
+    from embulk_output_s3_parquet_spark import jobs as J
+    from embulk_output_s3_parquet_spark.codecs import bloom
+
+    def meta_with_bf(vals, m_bits):
+        bf = bloom.build(pa.array(vals, type=pa.int64()), m_bits=m_bits)
+        return json.dumps({
+            "c": "raw", "t": "int64", "n": len(vals), "z": 0,
+            "mm": [min(vals), max(vals)], "bf": bf,
+        })
+
+    row = J.lineage_row_from_chunks(
+        [0, 1], ["x", "x"],
+        [meta_with_bf([1, 2], 512), meta_with_bf([3, 4], 640)],
+        ["s1", "s2"], [10, 10], [5, 5], [2, 2], "xx")
+    bf = row["zones"]["x"]["bf"]
+    assert isinstance(bf, list) and {g["m"] for g in bf} == {512, 640}
+
+    t = EncodedTable.create(str(tmp_path / "t"), SCHEMA, CodecPolicy())
+    r = _row(0)
+    # zone range deliberately WIDER than the stored values so the bloom,
+    # not the zone, is what decides the probes below
+    r["zones"] = {"x": {"t": "int64", "n": 4, "z": 0, "mm": [0, 10], "bf": bf}}
+    t._append_parts({0: r})
+    assert isinstance(t.shard_blooms(0)[0]["x"], list)
+    # values from EITHER geometry group must survive (may-match-any)
+    assert t.surviving_parts([("x", "==", 1)]) == {0}
+    assert t.surviving_parts([("x", "==", 4)]) == {0}
+    # in-zone value present in NEITHER group: every group excludes -> prune
+    assert t.surviving_parts([("x", "==", 7)]) == set()
+    assert t.surviving_parts([("x", "in", [7, 3])]) == {0}
+    assert t.surviving_parts([("x", "in", [7, 8])]) == set()
+
+
+def test_part_bloom_byte_budget(tmp_path):
+    """lineage_row_from_chunks drops part blooms past PART_BF_MAX_BYTES:
+    sidecar bytes stay bounded no matter the chunk geometry."""
+    import base64
+
+    from embulk_output_s3_parquet_spark import jobs as J
+
+    m_small, m_big = 512, (J.PART_BF_MAX_BYTES + 8) * 8
+
+    def meta(m_bits):
+        return json.dumps({
+            "c": "raw", "t": "int64", "n": 1, "z": 0, "mm": [0, 0],
+            "bf": {"m": m_bits, "k": 4,
+                   "b": base64.b64encode(bytes((m_bits + 7) // 8)).decode()},
+        })
+
+    row = J.lineage_row_from_chunks(
+        [0], ["x"], [meta(m_small)], ["s"], [10], [5], [1], "x")
+    assert "bf" in row["zones"]["x"]
+    row = J.lineage_row_from_chunks(
+        [0], ["x"], [meta(m_big)], ["s"], [10], [5], [1], "x")
+    assert "bf" not in row["zones"]["x"]
