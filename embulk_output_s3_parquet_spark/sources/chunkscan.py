@@ -463,6 +463,23 @@ def _typed_scalar(arr_type: pa.DataType, v, op: str = "==") -> pa.Scalar | None:
     )
 
 
+def _widest_eval_type(t: pa.DataType) -> pa.DataType | None:
+    """The family-widest type a narrow stored chunk can be LOSSLESSLY cast
+    to for predicate evaluation, or None if the family has no wider home.
+    Needed after ``widen_column``: old chunks keep their narrow stored type
+    but predicate literals live in the widened (declared) value space, so a
+    literal that doesn't embed in the stored type (an int64 beyond int32, a
+    decimal beyond the stored precision) must be compared in the wide
+    space, not rejected."""
+    if pa.types.is_integer(t) and t.bit_width < 64:
+        return pa.int64()
+    if pa.types.is_floating(t) and t != pa.float64():
+        return pa.float64()
+    if pa.types.is_decimal128(t) and t.precision < 38:
+        return pa.decimal128(38, t.scale)
+    return None
+
+
 def _match_mask(arr: pa.Array, op: str, v) -> pa.Array:
     """Boolean match mask over one decoded column chunk; nulls are False
     (null rows never satisfy value predicates). The ONE exact-evaluation
@@ -473,6 +490,28 @@ def _match_mask(arr: pa.Array, op: str, v) -> pa.Array:
         return pc.is_valid(arr)
     if op == "isnull":
         return pc.is_null(arr)
+    # float predicates evaluate in float64 (Spark/SQL promote float vs
+    # double-literal comparisons to double; a widened float column's old
+    # float32 chunks must see the same promotion to stay exact)
+    vals = v if isinstance(v, (list, tuple)) else (v,)
+    if (
+        pa.types.is_floating(arr.type)
+        and arr.type != pa.float64()
+        and any(isinstance(x, float) for x in vals)
+    ):
+        arr = arr.cast(pa.float64())
+    try:
+        return _match_mask_typed(arr, op, v)
+    except (ValueError, pa.ArrowInvalid):
+        wide = _widest_eval_type(arr.type)
+        if wide is None:
+            raise
+        return _match_mask_typed(arr.cast(wide), op, v)
+
+
+def _match_mask_typed(arr: pa.Array, op: str, v) -> pa.Array:
+    import pyarrow.compute as pc
+
     if op == "in":
         scalars = [_typed_scalar(arr.type, x, op="==") for x in v]
         vals = [s.as_py() for s in scalars if s is not None]

@@ -258,18 +258,44 @@ def remove_staging_if_dead(d: str, stale_after_s: float = STAGING_STALE_S) -> No
     shutil.rmtree(d, ignore_errors=True)
 
 
+# Iceberg's type-promotion matrix (Iceberg spec "Schema Evolution"):
+# integers widen along the chain, float->double, decimal grows precision
+# at FIXED scale. Everything else is a rewrite, not an evolution.
+_INT_WIDTH = {T.ByteType(): 8, T.ShortType(): 16, T.IntegerType(): 32, T.LongType(): 64}
+
+
+def _is_widening(old: T.DataType, new: T.DataType) -> bool:
+    """True when every value of ``old`` embeds losslessly in ``new`` under
+    the Iceberg promotion matrix (strictly wider: equal types are not a
+    widening)."""
+    if old == new:
+        return False
+    if old in _INT_WIDTH and new in _INT_WIDTH:
+        return _INT_WIDTH[old] < _INT_WIDTH[new]
+    if old == T.FloatType() and new == T.DoubleType():
+        return True
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return new.scale == old.scale and new.precision > old.precision
+    return False
+
+
 def _schema_accepts(table_schema: T.StructType, df_schema: T.StructType) -> bool:
     """True when a resumed wave's input schema is compatible with the
-    table's: same column names/order/types, and the input may be STRICTER
-    on nullability (a non-nullable df column writing into a nullable table
-    column is safe -- e.g. appending a lit()-derived value to a column that
-    add_column declared nullable). The reverse (nullable data into a
-    non-nullable column) is refused."""
+    table's: same column names/order, each input type either equal to or a
+    lossless WIDENING-NARROWER of the table type (a wave planned before
+    ``widen_column`` may resume with its original narrower frame -- chunks
+    store the narrow type and every reader up-casts on read), and the input
+    may be STRICTER on nullability (a non-nullable df column writing into a
+    nullable table column is safe -- e.g. appending a lit()-derived value
+    to a column that add_column declared nullable). The reverse (nullable
+    data into a non-nullable column) is refused."""
     a, b = table_schema.fields, df_schema.fields
     if len(a) != len(b):
         return False
     for fa, fb in zip(a, b):
-        if fa.name != fb.name or fa.dataType != fb.dataType:
+        if fa.name != fb.name:
+            return False
+        if fa.dataType != fb.dataType and not _is_widening(fb.dataType, fa.dataType):
             return False
         if fb.nullable and not fa.nullable:
             return False
@@ -695,6 +721,51 @@ class EncodedTable:
         m.setdefault("properties", {}).setdefault("added-columns", []).append(name)
         self._write_manifest(m)
         self.log_op("add_column", {"column": name, "type": dtype.simpleString()})
+
+    def widen_column(self, name: str, new_dtype: T.DataType) -> None:
+        """Schema evolution, Iceberg-style type promotion: widen a column's
+        declared type along the lossless matrix (int8/16/32->wider int,
+        float->double, decimal(p,s)->decimal(p'>p,s)). Metadata-only -- one
+        atomic manifest rewrite, ZERO part bytes touched: committed chunks
+        keep their stored (narrow) type in the chunk meta ``t`` and every
+        reader up-casts decoded arrays to the declared type at read time
+        (chunkscan.iter_part_tables casts to the projected arrow field
+        type). Zone/bloom pruning stays exact because zone comparisons are
+        value-space and bloom canonical bytes are width-independent
+        (``str(int)``). New waves may write either the widened type or --
+        for plans made before the widening -- the original narrower type
+        (``_schema_accepts``)."""
+        cur = self.schema()
+        by_name = {f.name: f for f in cur.fields}
+        if name not in by_name:
+            raise ConfigException(f"column {name!r} does not exist")
+        old = by_name[name].dataType
+        if not _is_widening(old, new_dtype):
+            raise ConfigException(
+                f"cannot widen {name!r}: {old.simpleString()} -> "
+                f"{new_dtype.simpleString()} is not a lossless promotion "
+                "(allowed: int8/16/32 -> wider int, float -> double, "
+                "decimal(p,s) -> decimal(p'>p,s))"
+            )
+        m = self._core_manifest()
+        new = T.StructType(
+            [
+                T.StructField(name, new_dtype, f.nullable, f.metadata)
+                if f.name == name
+                else f
+                for f in cur.fields
+            ]
+        )
+        m["schema"] = new.json()
+        self._write_manifest(m)
+        self.log_op(
+            "widen_column",
+            {
+                "column": name,
+                "from": old.simpleString(),
+                "to": new_dtype.simpleString(),
+            },
+        )
 
     def drop_column(self, name: str) -> None:
         """Schema evolution, Iceberg-style DROP COLUMN: remove the column

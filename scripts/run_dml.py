@@ -92,6 +92,19 @@ def main() -> int:
     p = sub.add_parser("history", help="operation log (Iceberg snapshot-summary analogue)")
     p.add_argument("--table", required=True)
 
+    p = sub.add_parser(
+        "evolve",
+        help="metadata-only schema evolution: ADD/DROP/WIDEN a column",
+    )
+    p.add_argument("--table", required=True)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--add", metavar="col:type", help="e.g. quality:double")
+    g.add_argument("--drop", metavar="col")
+    g.add_argument(
+        "--widen", metavar="col:type",
+        help="lossless promotion only, e.g. qty:bigint, amt:decimal(20,2)",
+    )
+
     args = ap.parse_args()
 
     t0 = time.time()
@@ -105,6 +118,54 @@ def main() -> int:
         from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
 
         rep = {"history": EncodedTable(args.table).history()}
+    elif args.cmd == "evolve":
+        from pyspark.sql import types as T
+
+        from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+        # local name->type table (T._parse_datatype_string needs a live
+        # SparkSession; evolution is metadata-only and must run Spark-free)
+        scalars = {
+            "boolean": T.BooleanType(), "tinyint": T.ByteType(),
+            "smallint": T.ShortType(), "int": T.IntegerType(),
+            "integer": T.IntegerType(), "bigint": T.LongType(),
+            "long": T.LongType(), "float": T.FloatType(),
+            "double": T.DoubleType(), "string": T.StringType(),
+            "binary": T.BinaryType(), "date": T.DateType(),
+            "timestamp": T.TimestampType(),
+            "timestamp_ntz": T.TimestampNTZType(),
+        }
+        dec_re = re.compile(r"^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+
+        def _coltype(spec: str):
+            col, _, tname = spec.partition(":")
+            tname = tname.strip().lower()
+            if not tname:
+                raise SystemExit(f"expected col:type, got {spec!r}")
+            if tname in scalars:
+                return col, scalars[tname]
+            m = dec_re.match(tname)
+            if m:
+                return col, T.DecimalType(int(m.group(1)), int(m.group(2)))
+            raise SystemExit(
+                f"bad type {tname!r} (supported: {sorted(scalars)}, decimal(p,s))"
+            )
+
+        t = EncodedTable(args.table)
+        if args.add:
+            col, dt = _coltype(args.add)
+            t.add_column(col, dt)
+            rep = {"op": "add_column", "column": col, "type": dt.simpleString()}
+        elif args.drop:
+            t.drop_column(args.drop)
+            rep = {"op": "drop_column", "column": args.drop}
+        else:
+            col, dt = _coltype(args.widen)
+            t.widen_column(col, dt)
+            rep = {"op": "widen_column", "column": col, "type": dt.simpleString()}
+        rep["schema"] = [
+            f"{f.name}:{f.dataType.simpleString()}" for f in t.schema().fields
+        ]
     elif args.cmd == "snapshots":
         from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
 

@@ -658,3 +658,40 @@ def test_date64_exact_predicates(tmp_path):
     assert count_file(path, [("d", "==", datetime.date(2020, 1, 2))]) == 1
     assert count_file(path, [("d", ">=", "2020-01-02")]) == 3
     assert count_file(path, [("d", "==", datetime.datetime(2020, 1, 2, 12))]) == 0
+
+
+def test_match_mask_widened_literal_space():
+    """After widen_column, old chunks keep narrow stored types while
+    predicate literals live in the widened value space: _match_mask must
+    evaluate (not reject) an int64-only literal against an int32 chunk, a
+    double literal against a float32 chunk (in float64, Spark's promotion),
+    and an over-precision decimal against a narrow decimal chunk."""
+    from decimal import Decimal
+
+    from embulk_output_s3_parquet_spark.sources.chunkscan import _match_mask
+
+    i32 = pa.array([1, 2, None, 2**31 - 1], pa.int32())
+    assert _match_mask(i32, "<", 5_000_000_000).to_pylist() == [
+        True, True, False, True,
+    ]
+    assert _match_mask(i32, "==", 5_000_000_000).to_pylist() == [False] * 4
+    assert _match_mask(i32, "in", [2, 5_000_000_000]).to_pylist() == [
+        False, True, False, False,
+    ]
+    assert _match_mask(i32, ">", -(2**40)).to_pylist() == [
+        True, True, False, True,
+    ]
+
+    f32 = pa.array([0.1, 0.5, None], pa.float32())
+    # 0.1f != 0.1 (double): float32 0.1 upcasts to 0.100000001..., so the
+    # double-space comparison must NOT match -- rounding the literal into
+    # float32 space (the old behavior) would produce a false positive
+    assert _match_mask(f32, "==", 0.1).to_pylist() == [False, False, False]
+    assert _match_mask(f32, "==", 0.5).to_pylist() == [False, True, False]
+    assert _match_mask(f32, ">", 0.1).to_pylist() == [True, True, False]
+
+    dec = pa.array([Decimal("1.50"), Decimal("2.25"), None], pa.decimal128(10, 2))
+    big = Decimal("123456789012345.50")
+    assert _match_mask(dec, "==", big).to_pylist() == [False, False, False]
+    assert _match_mask(dec, "<", str(big)).to_pylist() == [True, True, False]
+    assert _match_mask(dec, "==", "2.25").to_pylist() == [False, True, False]

@@ -1232,6 +1232,123 @@ def test_schema_evolution_drop_column(spark, tmp_path):
     assert verify_table(spark, path) == []
 
 
+def test_schema_evolution_widen_column(spark, tmp_path):
+    """Iceberg-style type WIDENING (int32->int64, float->double,
+    decimal(p,s)->decimal(p'>p,s)): metadata-only manifest change; old
+    parts keep narrow stored chunks that every reader up-casts on read,
+    new parts may carry values impossible in the old type, and predicate
+    literals from the widened value space evaluate exactly against narrow
+    chunks (zones, blooms, AND boundary decodes)."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.jobs import count_job, verify_table
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+    from embulk_output_s3_parquet_spark.sources.pyreader import (
+        count_table,
+        read_table,
+    )
+
+    base = spark.range(500).select(
+        F.col("id").cast("long").alias("k"),
+        F.when(F.col("id") % 50 == 0, F.lit(None))
+        .otherwise((F.col("id") * 37 % 1000).cast("int"))
+        .alias("small"),
+        ((F.col("id") % 13) / 7).cast("float").alias("score"),
+        (F.col("id").cast("decimal(8,2)") / 4).cast("decimal(10,2)").alias("amt"),
+    )
+    path = str(tmp_path / "widen")
+    pol = _policy(chunk_rows=64)
+    encode_job(spark, base, path, pol, if_exists="error")
+    t = EncodedTable(path)
+
+    # refusals: narrowing, cross-family, scale change, unknown, same type
+    with pytest.raises(ConfigException, match="not a lossless promotion"):
+        t.widen_column("k", T.IntegerType())
+    with pytest.raises(ConfigException, match="not a lossless promotion"):
+        t.widen_column("small", T.DoubleType())
+    with pytest.raises(ConfigException, match="not a lossless promotion"):
+        t.widen_column("amt", T.DecimalType(20, 4))
+    with pytest.raises(ConfigException, match="not a lossless promotion"):
+        t.widen_column("score", T.FloatType())
+    with pytest.raises(ConfigException, match="does not exist"):
+        t.widen_column("nope", T.LongType())
+
+    t.widen_column("small", T.LongType())
+    t.widen_column("score", T.DoubleType())
+    t.widen_column("amt", T.DecimalType(20, 2))
+    assert [f.dataType.simpleString() for f in t.schema().fields] == [
+        "bigint", "bigint", "double", "decimal(20,2)",
+    ]
+    assert any(h["op"] == "widen_column" for h in t.history())
+
+    # old narrow chunks read back up-cast, values preserved exactly
+    wide_expected = base.select(
+        "k",
+        F.col("small").cast("long").alias("small"),
+        F.col("score").cast("double").alias("score"),
+        F.col("amt").cast("decimal(20,2)").alias("amt"),
+    )
+    got = decode_job(spark, path)
+    assert got.schema == t.schema() or [
+        (f.name, f.dataType) for f in got.schema.fields
+    ] == [(f.name, f.dataType) for f in t.schema().fields]
+    assert got.exceptAll(wide_expected).count() == 0
+    assert wide_expected.exceptAll(got).count() == 0
+
+    # new parts carry values impossible in the old types
+    big = spark.createDataFrame(
+        [(10_000, 5_000_000_000, 1.5e-45 + 2.5, Decimal("123456789012345.50"))],
+        schema=t.schema(),
+    )
+    encode_job(spark, big, path, pol, if_exists="skip", part_base=1000)
+    assert verify_table(spark, path) == []
+    allrows = decode_job(spark, path)
+    assert allrows.count() == 501
+    assert allrows.filter(F.col("small") == 5_000_000_000).count() == 1
+
+    # count_job: widened-space literals against narrow chunks -- the big
+    # equality prunes old parts via zones/blooms; the range predicate makes
+    # old null-bearing chunks BOUNDARY (z>0 blocks the 'all' shortcut), so
+    # the exact decode must widen int32 arrays rather than reject the
+    # literal
+    assert count_job(spark, path, where=("small", "==", 5_000_000_000)) == 1
+    assert (
+        count_job(spark, path, where=("small", "<", 5_000_000_000))
+        == base.filter(F.col("small").isNotNull()).count()
+    )
+    assert count_job(
+        spark, path, where=("amt", ">=", "123456789012345.50")
+    ) == 1
+
+    # Spark-free reader: widened arrow schema + same rows
+    pt = read_table(path)
+    import pyarrow as pa
+
+    assert pt.schema.field("small").type == pa.int64()
+    assert pt.schema.field("score").type == pa.float64()
+    assert pt.schema.field("amt").type == pa.decimal128(20, 2)
+    assert pt.num_rows == 501
+    assert count_table(path, where=("small", "==", 5_000_000_000)) == 1
+
+    # Catalyst surface
+    try:
+        spark.dataSource.register(EncodedTableDataSource)
+    except Exception:
+        pass
+    ds = spark.read.format("enctable").load(path)
+    assert dict(ds.dtypes)["small"] == "bigint"
+    assert ds.filter(F.col("small") == 5_000_000_000).count() == 1
+
+    # a wave planned BEFORE the widening may still resume with its narrow
+    # frame (chunks store narrow; readers up-cast)
+    encode_job(spark, base.limit(10), path, pol, if_exists="skip", part_base=2000)
+    assert decode_job(spark, path).count() == 511
+
+
 def test_delete_survives_replayed_wave(spark, tmp_path):
     """Exactly-once meets DELETE (review r4): a replayed encode wave (same
     input, resume semantics -- the streaming sink's replay path) must NOT
