@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import base64
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -30,6 +31,17 @@ import pyarrow as pa
 _BITS_PER_ROW = 10
 _K = 4
 _MIN_BITS = 64
+
+
+# Per-column byte budget for PART-level blooms (the OR of a part's chunk
+# filters, stored in the per-shard .bf.json sidecar). Unions past the
+# budget are dropped rather than stored, bounding the sidecar bytes a
+# 10^6-part table can accumulate; dropping only loses driver-side PART
+# pruning, never correctness. Also caps the encoder's part-sized bloom
+# geometry: parts with more rows than budget*8/10 bits can hold get a
+# saturating (and eventually density-dropped) union instead of an
+# unbounded one.
+PART_BF_MAX_BYTES = int(os.environ.get("SPARK_ENCTABLE_PART_BF_MAX_KB", "64")) * 1024
 
 
 def _canonical_bytes(v) -> bytes | None:
@@ -109,6 +121,11 @@ def merge(filters: list[dict | None]) -> dict | None:
     return {"m": m, "k": k, "b": base64.b64encode(acc.tobytes()).decode("ascii")}
 
 
+def _density(f: dict) -> float:
+    bits = np.unpackbits(np.frombuffer(base64.b64decode(f["b"]), dtype=np.uint8))
+    return float(bits.sum()) / f["m"]
+
+
 def merge_groups(filters: list[dict | None]) -> list[dict] | None:
     """OR chunk filters into a MINIMAL LIST of per-geometry part filters.
 
@@ -125,15 +142,25 @@ def merge_groups(filters: list[dict | None]) -> list[dict] | None:
     group would break soundness)."""
     if not filters or any(f is None for f in filters):
         return None
+    if any(_density(f) > 0.85 for f in filters):
+        # some input filter can never exclude anything on its own; since
+        # exclusion needs EVERY list entry to exclude, the whole part is
+        # unexcludable -- storing any of it would be bytes for no skips
+        return None
     groups: dict[tuple[int, int], list[dict]] = {}
     for f in filters:
         groups.setdefault((f["m"], f["k"]), []).append(f)
     out = []
     for _, fs in sorted(groups.items()):
         u = merge(fs)
-        if u is None:
-            return None
-        out.append(u)
+        if u is not None:
+            out.append(u)
+        else:
+            # union too dense to prune (many calls covering one part): the
+            # per-call filters stay individually selective -- keep them
+            # separate; may-match-any probing stays sound and each entry
+            # still excludes at its own ~1% FPR
+            out.extend(fs)
     return out
 
 

@@ -21,19 +21,9 @@ from .plans.partitioning import assign_partitions, assign_partitions_generic
 from .plans.policy import CodecPolicy, ConfigException
 from .sources.tables import EncodedTable
 
-# Per-column byte budget for PART-level blooms (the OR of a part's chunk
-# filters, stored in the per-shard .bf.json sidecar). Default chunk
-# geometry (32k rows x 10 bits) yields ~40 KB; anything past the budget is
-# dropped rather than stored -- bounding the sidecar bytes a 10^6-part
-# table can accumulate (~64 GB worst case at the default cap, streamed one
-# shard at a time by surviving_parts, never resident at once). Chunk-level
-# blooms inside the parquet metadata are untouched: dropping the part
-# union only loses driver-side PART pruning, never correctness.
-import os as _os
-
-PART_BF_MAX_BYTES = int(
-    _os.environ.get("SPARK_ENCTABLE_PART_BF_MAX_KB", "64")
-) * 1024
+# re-exported here because lineage_row_from_chunks applies the budget at
+# commit time (tests reference it as jobs.PART_BF_MAX_BYTES)
+from .codecs.bloom import PART_BF_MAX_BYTES
 
 
 def merge_zone(t: str, a, b):
@@ -69,6 +59,7 @@ def lineage_row_from_chunks(
     zones: dict = {}
     codecs: set = set()
     chunk_bfs: dict[str, list] = {}
+    part_bfs: dict[str, list] = {}
     rows = 0
     for col, n, mj in zip(cols, ns, metas_json):
         m = _json.loads(mj)
@@ -82,6 +73,8 @@ def lineage_row_from_chunks(
             "mm": m.get("mm"),
         }
         chunk_bfs.setdefault(col, []).append(m.get("bf"))
+        if "pbf" in m:
+            part_bfs.setdefault(col, []).append(m["pbf"])
         cur = zones.get(col)
         if cur is None:
             zones[col] = e
@@ -89,18 +82,20 @@ def lineage_row_from_chunks(
             cur["n"] += e["n"]
             cur["z"] += e["z"]
             cur["mm"] = merge_zone(cur["t"], cur["mm"], e["mm"])
-    # part-level blooms: OR the chunk filters (equal geometry within a part,
-    # codecs/bloom.merge) so a point lookup prunes whole PARTS driver-side
-    # via pruned_part_dirs/_survives -- zones can't exclude unsorted
+    # part-level blooms so a point lookup prunes whole PARTS driver-side
+    # via pruned_part_dirs/surviving_parts -- zones can't exclude unsorted
     # high-cardinality keys, exactly the columns blooms are opted into.
-    # merge returns None (no entry, no manifest bytes) on any gap or when
-    # the union is too saturated to ever skip.
+    # Preferred source: the encoder's call-level "pbf" filters (one per
+    # encode call per column, sized ~10 bits per COVERED row -- a union of
+    # chunk-sized filters saturates on multi-chunk parts). Fallback for
+    # metas from older producers: OR the chunk filters per geometry.
+    # Either way merge_groups returns None (no entry, no manifest bytes)
+    # on any gap or when a group is too saturated to ever skip.
     from .codecs import bloom as _bloom
 
     for col, bfs in chunk_bfs.items():
-        # per-geometry groups: batch-local chunk sizing (encode_local, the
-        # direct scan) gives one part's chunks slightly different bloom m's
-        merged = _bloom.merge_groups(bfs)
+        src = part_bfs.get(col) or bfs
+        merged = _bloom.merge_groups(src)
         if merged is not None and sum(g["m"] // 8 for g in merged) <= PART_BF_MAX_BYTES:
             zones[col]["bf"] = merged[0] if len(merged) == 1 else merged
     sha = _h.sha256(

@@ -98,16 +98,31 @@ def _encode_slices(
     by lang/repo), so re-running sampled trials per chunk pays pure
     overhead. Pass a fresh dict per task."""
     cols: dict[str, list] = {name: [] for name in _ENC_ARROW.names}
-    # one bloom geometry for EVERY chunk of the part (tail included): equal
-    # m is what lets lineage_row_from_chunks OR the chunk filters into a
-    # per-part bloom that prunes whole parts driver-side (round-3 VERDICT
-    # #5). m is QUANTIZED to a power of two: batch-local effective-row
-    # sizing (encode_local / the direct scan) hands different tasks of one
-    # part slightly different chunk_rows, and exact m's would splinter the
-    # part union into one merge_groups entry per chunk (~chunk-count x the
-    # sidecar bytes for identical pruning power).
-    bloom_m = 1 << max(6, (chunk_rows * 10).bit_length())
     n_rows = table.num_rows
+    # chunk blooms are sized for the CHUNK (~10 bits/row: row-group pruning
+    # inside a part scan); the PART-level filter is a separate, ONE-PER-CALL
+    # bloom over every row this call covers ("pbf", attached to the first
+    # chunk's meta per column). A part union OR-ed from chunk-sized filters
+    # holds C*chunk_rows values in chunk_rows*10 bits -- saturated (and
+    # density-dropped at commit) for any multi-chunk part with
+    # high-cardinality keys, which is exactly the point-lookup case part
+    # blooms exist for. The call-level bloom stays at ~10 bits/row; its m
+    # is QUANTIZED to a power of two so the batch-sized calls of
+    # encode_local / the direct scan land on few distinct geometries
+    # (bloom.merge_groups unions per geometry at commit) and CAPPED by the
+    # part-bloom byte budget.
+    from ..codecs import bloom as _bloom
+
+    bloom_m = max(64, chunk_rows * 10)
+    part_m = min(
+        1 << max(6, (max(n_rows, 1) * 10).bit_length()),
+        _bloom.PART_BF_MAX_BYTES * 8,
+    )
+    pbf_pending = {
+        name: _bloom.build(table.column(name).combine_chunks(), m_bits=part_m)
+        for name in bloom_cols
+        if name in colmap
+    } if n_rows else {}
     seq = seq0
     sticky = sticky if sticky is not None else {}
     for off in range(0, max(n_rows, 1), chunk_rows):
@@ -137,6 +152,12 @@ def _encode_slices(
                 payload, meta = encode_array(
                     arr, codec, bloom=name in bloom_cols, bloom_m=bloom_m
                 )
+            pbf = pbf_pending.pop(name, None)
+            if pbf is not None:
+                # the call-level part bloom rides the FIRST chunk's meta
+                # once per column (not every chunk: a part-sized filter on
+                # each chunk would multiply metadata bytes by chunk count)
+                meta["pbf"] = pbf
             cols["part_id"].append(part_id)
             cols["chunk_seq"].append(seq)
             cols["col"].append(name)
