@@ -327,16 +327,39 @@ def from_int_view(vals: np.ndarray, t: pa.DataType) -> pa.Array:
     return pa.array(vals.astype(np_t), type=t)
 
 
-def string_buffers(arr: pa.Array) -> tuple[np.ndarray, bytes]:
-    """Null-free string/binary array -> (lengths int64, concatenated data)."""
-    big = pa.large_binary() if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type) else pa.large_string()
-    a = arr.cast(big).combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr.cast(big)
+def string_buffers(arr: pa.Array, copy: bool = True) -> tuple[np.ndarray, bytes]:
+    """Null-free string/binary array -> (lengths int64, concatenated data).
+
+    ``copy=False`` returns the body as a zero-copy ``pa.Buffer`` slice of the
+    arrow data buffer instead of materialized ``bytes`` -- for callers that
+    only hand it to ``block_compress`` (buffer-protocol in, so the full-body
+    memcpy is pure waste on the encode hot path). Callers that slice/search
+    the body (FSST's ``find``/``replace``) need real bytes and keep the
+    default. 32-bit-offset arrays (plain string/binary) are read natively --
+    no cast to the large type, so neither offsets nor data are copied."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    t = a.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        odt, ow = np.int32, 4
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        odt, ow = np.int64, 8
+    else:  # string_view / dictionary etc: normalize via one cast
+        big = pa.large_binary() if pa.types.is_binary(t) or pa.types.is_large_binary(t) else pa.large_string()
+        a = a.cast(big)
+        odt, ow = np.int64, 8
     n = len(a)
     if n == 0:
         return np.zeros(0, np.int64), b""
-    offs = np.frombuffer(a.buffers()[1], dtype=np.int64, count=n + 1, offset=a.offset * 8)
+    offs = np.frombuffer(
+        a.buffers()[1], dtype=odt, count=n + 1, offset=a.offset * ow
+    ).astype(np.int64, copy=False)
     data = a.buffers()[2]
-    body = data[offs[0] : offs[-1]].to_pybytes() if data is not None else b""
+    if data is None:
+        body = b""
+    else:
+        body = data.slice(int(offs[0]), int(offs[-1] - offs[0]))
+        if copy:
+            body = body.to_pybytes()
     return np.diff(offs), body
 
 

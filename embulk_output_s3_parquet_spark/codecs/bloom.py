@@ -205,6 +205,18 @@ def build(values: pa.Array, m_bits: int | None = None) -> dict | None:
     }
 
 
+def probe_bytes(literal, m_bits: int) -> list[tuple[int, int]] | None:
+    """The (byte_index, bit_mask) pairs a membership probe must test for
+    ``literal`` in an m_bits filter, or None when the canonical
+    serialization doesn't cover the literal (caller must never exclude).
+    Lets a sidecar reader test membership by pread-ing K single bytes
+    instead of decoding the whole filter."""
+    data = _canonical_bytes(literal)
+    if data is None:
+        return None
+    return [(p >> 3, 1 << (p & 7)) for p in _positions(data, m_bits)]
+
+
 def might_contain(bf: dict, literal) -> bool:
     """May-match probe; True (never skip) for any literal the canonical
     serialization doesn't cover."""

@@ -53,7 +53,9 @@ def encode(values: pa.Array) -> tuple[bytes, dict]:
         body = values.to_numpy(zero_copy_only=False).tobytes()
         return pack_sections([block_compress(body)]), meta
     if is_stringlike(t):
-        lens, data = string_buffers(values)
+        # copy=False: the body goes straight into block_compress (buffer
+        # protocol), skipping a full memcpy of every payload byte
+        lens, data = string_buffers(values, copy=False)
         return (
             pack_sections(
                 [block_compress(lens.astype(np.int64).tobytes()), block_compress(data)]

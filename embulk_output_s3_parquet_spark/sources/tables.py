@@ -27,9 +27,11 @@ the local format is the default (SURVEY.md section 7).
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import shutil
+import struct
 import tempfile
 import time
 import uuid
@@ -99,6 +101,123 @@ def _is_lineage_shard(name: str) -> bool:
         and name.endswith(".json")
         and not name.endswith(BF_SIDECAR_SUFFIX)
     )
+
+
+# Binary sidecar (v2, the current write format): a 64 KB part bloom is
+# base64-in-JSON ~87 KB that a point probe must fully parse and decode to
+# test FOUR bit positions -- measured 0.4 ms/part warm (scripts/
+# metadata_scale_bench.py), i.e. ~400 s for one point lookup on a 10^6-part
+# table, all driver-side. v2 stores a small JSON index (geometry + blob
+# offsets, ~60 B per filter) followed by the raw filter bytes; probes parse
+# only the index and pread() exactly the probed bytes, so per-part probe
+# cost is O(k) bytes independent of filter size. Legacy .bf.json sidecars
+# stay readable everywhere and are upgraded on the next shard write.
+BF_BIN_SUFFIX = ".bf.bin"
+_BF_BIN_MAGIC = b"EBF2"
+
+
+def _encode_bf_bin(bfs: dict[str, dict]) -> bytes:
+    """{pid: {col: bf | [bf, ...]}} (base64-dict form) -> v2 sidecar bytes."""
+    blob = bytearray()
+    index: dict[str, dict] = {}
+    for pid, cols in bfs.items():
+        centry: dict = {}
+        for c, bf in cols.items():
+            groups = bf if isinstance(bf, list) else [bf]
+            ents = []
+            for g in groups:
+                raw = base64.b64decode(g["b"])
+                ents.append({"m": g["m"], "k": g["k"], "o": len(blob), "l": len(raw)})
+                blob += raw
+            centry[c] = ents if isinstance(bf, list) else ents[0]
+        index[str(pid)] = centry
+    idx = json.dumps(index, separators=(",", ":"), sort_keys=True).encode()
+    return _BF_BIN_MAGIC + struct.pack("<Q", len(idx)) + idx + bytes(blob)
+
+
+def _decode_bf_bin(data: bytes) -> dict[str, dict]:
+    """Full v2 sidecar load back to the base64-dict form (rewrite paths and
+    lineage_full need whole filters; probes use _SidecarProbe instead)."""
+    if data[:4] != _BF_BIN_MAGIC:
+        raise ValueError("not a v2 bloom sidecar")
+    (ilen,) = struct.unpack_from("<Q", data, 4)
+    index = json.loads(data[12 : 12 + ilen])
+    blob0 = 12 + ilen
+
+    def bf_of(e: dict) -> dict:
+        raw = data[blob0 + e["o"] : blob0 + e["o"] + e["l"]]
+        return {"m": e["m"], "k": e["k"], "b": base64.b64encode(raw).decode("ascii")}
+
+    out: dict[str, dict] = {}
+    for pid, cols in index.items():
+        out[pid] = {
+            c: ([bf_of(g) for g in e] if isinstance(e, list) else bf_of(e))
+            for c, e in cols.items()
+        }
+    return out
+
+
+class _SidecarProbe:
+    """Lazy point-probe over a v2 bloom sidecar: parse the small index once,
+    then read ONE byte per probed bit position (pread on the blob region) --
+    a ``==``/``in`` probe touches O(k) bytes per part instead of decoding
+    the part's whole filter. May-match semantics match bloom.might_contain
+    exactly (uncoverable literals never exclude)."""
+
+    def __init__(self, path: str):
+        self._fh = open(path, "rb")
+        head = self._fh.read(12)
+        if head[:4] != _BF_BIN_MAGIC:
+            self._fh.close()
+            raise ValueError(f"not a v2 bloom sidecar: {path}")
+        (ilen,) = struct.unpack("<Q", head[4:])
+        self.index: dict[str, dict] = json.loads(self._fh.read(ilen))
+        self._blob0 = 12 + ilen
+
+    def close(self) -> None:
+        self._fh.close()
+
+    def cols(self, pid: int) -> dict | None:
+        return self.index.get(str(pid))
+
+    def _group_excludes(self, ent: dict, v) -> bool:
+        from ..codecs import bloom as _bloom
+
+        probes = _bloom.probe_bytes(v, ent["m"])
+        if probes is None:
+            return False
+        fd = self._fh.fileno()
+        for byte_idx, mask in probes:
+            b = os.pread(fd, 1, self._blob0 + ent["o"] + byte_idx)
+            if not b or not (b[0] & mask):
+                return True
+        return False
+
+    def excludes(self, entry, op: str, v) -> bool:
+        """True when the part provably lacks the literal(s): every geometry
+        group must exclude (multi-group parts may hold the value iff SOME
+        group might), and for ``in`` every element must be excluded."""
+        groups = entry if isinstance(entry, list) else [entry]
+        vals = v if op == "in" else [v]
+        if op not in ("==", "in"):
+            return False
+        return all(
+            all(self._group_excludes(g, x) for g in groups) for x in vals
+        )
+
+
+def _read_sidecar(parts_dir: str, shard: int) -> dict[str, dict]:
+    """One shard's part blooms in base64-dict form, v2 preferred, legacy
+    .bf.json accepted; {} when neither exists."""
+    bin_path = os.path.join(parts_dir, f"shard-{shard}{BF_BIN_SUFFIX}")
+    if os.path.exists(bin_path):
+        with open(bin_path, "rb") as f:
+            return _decode_bf_bin(f.read())
+    legacy = os.path.join(parts_dir, f"shard-{shard}{BF_SIDECAR_SUFFIX}")
+    if os.path.exists(legacy):
+        with open(legacy) as f:
+            return json.load(f)
+    return {}
 
 
 def _split_part_blooms(rows: dict[str, dict]) -> tuple[dict[str, dict], dict[str, dict]]:
@@ -396,11 +515,11 @@ class EncodedTable:
         that left the shard, and overwritten by fresh blooms."""
         os.makedirs(parts_dir, exist_ok=True)
         clean, bfs = _split_part_blooms(rows)
-        sidecar = os.path.join(parts_dir, f"shard-{shard}{BF_SIDECAR_SUFFIX}")
-        if os.path.exists(sidecar):
-            with open(sidecar) as f:
-                prior = json.load(f)
+        prior = _read_sidecar(parts_dir, shard)  # v2 or legacy
+        if prior:
             bfs = {**{p: b for p, b in prior.items() if p in clean}, **bfs}
+        sidecar = os.path.join(parts_dir, f"shard-{shard}{BF_BIN_SUFFIX}")
+        legacy = os.path.join(parts_dir, f"shard-{shard}{BF_SIDECAR_SUFFIX}")
         path = os.path.join(parts_dir, f"shard-{shard}.json")
         fd, tmp = tempfile.mkstemp(dir=parts_dir, prefix=".shard-")
         with os.fdopen(fd, "w") as f:
@@ -411,11 +530,15 @@ class EncodedTable:
         # the next write prunes, which the merge above cleans up.
         if bfs:
             fd2, tmp2 = tempfile.mkstemp(dir=parts_dir, prefix=".shardbf-")
-            with os.fdopen(fd2, "w") as f:
-                json.dump(bfs, f, sort_keys=True)
+            with os.fdopen(fd2, "wb") as f:
+                f.write(_encode_bf_bin(bfs))
             os.replace(tmp2, sidecar)
         elif os.path.exists(sidecar):
             os.remove(sidecar)
+        if os.path.exists(legacy):
+            # the v2 write above merged the legacy contents (a crash between
+            # the two ops leaves both; readers prefer v2, which is a superset)
+            os.remove(legacy)
         os.replace(tmp, path)
 
     @staticmethod
@@ -501,8 +624,11 @@ class EncodedTable:
         }
         if os.path.isdir(old_dir):
             for name in os.listdir(old_dir):
-                # lineage shards AND their bloom sidecars carry over
-                if name.endswith(BF_SIDECAR_SUFFIX):
+                # lineage shards AND their bloom sidecars (either format)
+                # carry over
+                if name.endswith(BF_BIN_SUFFIX):
+                    sid = int(name[len("shard-"):-len(BF_BIN_SUFFIX)])
+                elif name.endswith(BF_SIDECAR_SUFFIX):
                     sid = int(name[len("shard-"):-len(BF_SIDECAR_SUFFIX)])
                 elif _is_lineage_shard(name):
                     sid = int(name[len("shard-"):-len(".json")])
@@ -886,12 +1012,11 @@ class EncodedTable:
 
     def shard_blooms(self, shard: int) -> dict[int, dict]:
         """One shard's part-level blooms ({pid: {col: bf}}) from its sidecar
-        in the LIVE generation; empty when the sidecar doesn't exist."""
-        path = os.path.join(self.parts_dir, f"shard-{shard}{BF_SIDECAR_SUFFIX}")
-        if not os.path.exists(path):
-            return {}
-        with open(path) as f:
-            return {int(k): v for k, v in json.load(f).items()}
+        in the LIVE generation (v2 binary preferred, legacy .bf.json
+        accepted); empty when neither exists."""
+        return {
+            int(k): v for k, v in _read_sidecar(self.parts_dir, shard).items()
+        }
 
     def lineage_full(self, shards: set[int] | None = None) -> dict[int, dict]:
         """Lineage with part blooms re-injected from the sidecars (``shards``
@@ -934,7 +1059,25 @@ class EncodedTable:
         if not probeable or not survivors:
             return survivors
         for sid in sorted({p // SHARD_SIZE for p in survivors}):
-            bfs = self.shard_blooms(sid)
+            bin_path = os.path.join(self.parts_dir, f"shard-{sid}{BF_BIN_SUFFIX}")
+            if os.path.exists(bin_path):
+                # v2 sidecar: parse only the index, pread exactly the probed
+                # bytes -- O(k) bytes per (part, conjunct), never a full
+                # filter decode (metadata_scale_bench: 0.4 ms -> ~3 us/part)
+                probe = _SidecarProbe(bin_path)
+                try:
+                    for p in [p for p in survivors if p // SHARD_SIZE == sid]:
+                        cols = probe.cols(p)
+                        if not cols:
+                            continue
+                        for c, op, v in probeable:
+                            if c in cols and probe.excludes(cols[c], op, v):
+                                survivors.remove(p)
+                                break
+                finally:
+                    probe.close()
+                continue
+            bfs = self.shard_blooms(sid)  # legacy .bf.json: full load
             if not bfs:
                 continue
             for p in [p for p in survivors if p // SHARD_SIZE == sid]:

@@ -1,0 +1,217 @@
+"""Driver-side metadata scalability bench: does the manifest survive 10^5+ parts?
+
+Every 100 TB claim the engine makes about part-granular metadata --
+O(wave) commits, shard-streamed bloom probes, zone pruning before task
+scheduling -- is driver-side work that no sf0.1 bench exercises: at sf0.1
+the table has tens of parts, so a 10^6-part table could be O(n^2) in the
+driver and still look instant. This bench builds REAL manifests through the
+production commit path (EncodedTable._append_parts -> shard files + bloom
+sidecars, the exact bytes a 100 TB encode leaves behind) at part counts
+where driver cost is measurable, and times the four driver operations a
+query/DML pays:
+
+  wave_first/last_s   -- commit wall for the first vs the LAST append wave
+                         (equal => commit is O(wave), not O(table))
+  lineage_load_s      -- full lineage read (what describe()/verify pay)
+  zone_prune_s        -- surviving_parts() for a selective range predicate
+                         over per-part zones (what every pruned scan pays)
+  bloom_probe_s       -- surviving_parts() for a point predicate with
+                         per-shard bloom sidecars streamed one at a time
+                         (what a point lookup pays)
+
+No SparkSession and no payload bytes: this isolates the driver, which is
+the component that does NOT scale out on a 1000-executor cluster.
+
+Usage: python scripts/metadata_scale_bench.py [--parts 100000] [--wave 2048]
+       [--bloom-parts 8192] [--part-rows 100000]
+Prints one JSON line; numbers are recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+from pyspark.sql import types as T
+
+from embulk_output_s3_parquet_spark.codecs import bloom as bloomlib
+from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+from embulk_output_s3_parquet_spark.sources.tables import SHARD_SIZE, EncodedTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("id", T.LongType()),
+    ]
+)
+
+_LANGS = ["python", "java", "go", "rust", "c", "scala"]
+
+
+def _zone(t: str, n: int, mm) -> dict:
+    return {"t": t, "n": n, "z": 0, "mm": mm}
+
+
+def lineage_row(pid: int, part_rows: int, bloom: dict | None) -> dict:
+    """One part's lineage row with the same shape lineage_row_from_chunks
+    emits (jobs.py): per-column zone summaries over realistic domains --
+    id zones are disjoint ranges (prunable), repo/lang/commit zones span
+    wide string ranges (mostly unprunable, the honest case for text keys)."""
+    base = pid * part_rows
+    zones = {
+        "repo": _zone("string", part_rows, [f"org{pid % 97}/repo0", f"org{pid % 97}/repo99999"]),
+        "path": _zone("string", part_rows, ["cmd/api/a.go", "util/zz/file.py"]),
+        "commit": _zone("string", part_rows, ["0000000000", "ffffffffff"]),
+        "lang": _zone("string", part_rows, [_LANGS[pid % 3], _LANGS[3 + pid % 3]]),
+        "content": _zone("string", part_rows, None),
+        "id": _zone("int64", part_rows, [base, base + part_rows - 1]),
+    }
+    if bloom is not None:
+        zones["commit"]["bf"] = bloom
+    return {
+        "rows": part_rows,
+        "chunks": 32,
+        "raw_bytes": part_rows * 3200,
+        "enc_bytes": part_rows * 640,
+        "sha256_manifest": f"{pid:064x}",
+        "codecs": ["dict", "fsst", "raw"],
+        "zones": zones,
+    }
+
+
+def build_table(root: str, parts: int, wave: int, part_rows: int, with_blooms: bool):
+    t = EncodedTable.create(
+        os.path.join(root, f"meta_{parts}_{int(with_blooms)}"),
+        SCHEMA,
+        CodecPolicy(bloom_columns=("commit",) if with_blooms else ()),
+    )
+    bloom_m = None
+    if with_blooms:
+        # the production part-bloom geometry for part_rows rows: ~10
+        # bits/row rounded to a power of two, capped by the byte budget
+        bloom_m = min(
+            1 << max(6, (part_rows * 10).bit_length()),
+            bloomlib.PART_BF_MAX_BYTES * 8,
+        )
+    wave_times: list[float] = []
+    for lo in range(0, parts, wave):
+        rows = {}
+        for pid in range(lo, min(lo + wave, parts)):
+            bf = None
+            if with_blooms:
+                # a sample of the part's keys is enough to exercise probe
+                # cost (probe wall depends on m and shard IO, not fill)
+                vals = pa.array([f"{pid:08d}{i:032d}" for i in range(128)])
+                bf = bloomlib.build(vals, m_bits=bloom_m)
+            rows[pid] = lineage_row(pid, part_rows, bf)
+        t0 = time.time()
+        t._append_parts(rows)
+        wave_times.append(time.time() - t0)
+    return t, wave_times
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parts", type=int, default=100_000)
+    ap.add_argument("--wave", type=int, default=2048)
+    ap.add_argument("--bloom-parts", type=int, default=8192)
+    ap.add_argument("--part-rows", type=int, default=100_000)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    root = tempfile.mkdtemp(prefix="meta_scale_")
+    out: dict = {
+        "metric": "metadata_scale",
+        "parts": args.parts,
+        "wave": args.wave,
+        "shard_size": SHARD_SIZE,
+        "part_rows": args.part_rows,
+        "simulated_rows": args.parts * args.part_rows,
+        "simulated_raw_tb": round(args.parts * args.part_rows * 3200 / 1e12, 2),
+    }
+    try:
+        # -- zone table at full part count (no blooms) --------------------
+        t, waves = build_table(root, args.parts, args.wave, args.part_rows, False)
+        out["wave_first_s"] = round(waves[0], 4)
+        out["wave_last_s"] = round(waves[-1], 4)
+        out["wave_max_s"] = round(max(waves), 4)
+
+        t0 = time.time()
+        lin = t.lineage()
+        out["lineage_load_s"] = round(time.time() - t0, 3)
+        assert len(lin) == args.parts
+
+        manifest_bytes = sum(
+            os.path.getsize(os.path.join(t.parts_dir, f))
+            for f in os.listdir(t.parts_dir)
+        )
+        out["lineage_bytes_per_part"] = manifest_bytes // args.parts
+
+        # selective id range: hits ~10 parts' disjoint zones
+        lo = (args.parts // 2) * args.part_rows
+        hi = lo + 10 * args.part_rows - 1
+        t0 = time.time()
+        surv = t.surviving_parts([("id", ">=", lo), ("id", "<=", hi)])
+        out["zone_prune_s"] = round(time.time() - t0, 3)
+        out["zone_survivors"] = len(surv)
+        assert 1 <= len(surv) <= 16, len(surv)
+
+        # unprunable predicate (commit range spans every zone): worst case,
+        # the full O(parts) zone sweep with zero exclusions
+        t0 = time.time()
+        surv_all = t.surviving_parts([("commit", ">=", "aa")])
+        out["zone_sweep_worstcase_s"] = round(time.time() - t0, 3)
+        assert len(surv_all) == args.parts
+
+        # -- bloom table (realistic sidecar bytes, shard-streamed probes) --
+        tb, _ = build_table(root, args.bloom_parts, args.wave, args.part_rows, True)
+        sidecars = [
+            os.path.join(tb.parts_dir, f)
+            for f in os.listdir(tb.parts_dir)
+            if f.endswith((".bf.json", ".bf.bin"))
+        ]
+        out["bloom_parts"] = args.bloom_parts
+        out["bloom_sidecar_mb"] = round(sum(map(os.path.getsize, sidecars)) / 1e6, 1)
+        probe_pid = args.bloom_parts // 3
+        t0 = time.time()
+        survb = tb.surviving_parts([("commit", "==", f"{probe_pid:08d}{7:032d}")])
+        out["bloom_probe_s"] = round(time.time() - t0, 3)
+        out["bloom_survivors"] = len(survb)
+        assert probe_pid in survb, "bloom pruning dropped the true part"
+
+        # absent key: every part should be excluded by its bloom
+        t0 = time.time()
+        surv0 = tb.surviving_parts([("commit", "==", "not-a-commit-anywhere")])
+        out["bloom_probe_absent_s"] = round(time.time() - t0, 3)
+        out["bloom_absent_survivors"] = len(surv0)
+
+        # per-part driver costs -> what 10^6 parts would cost, linearly
+        out["extrapolated_1e6_zone_sweep_s"] = round(
+            out["zone_sweep_worstcase_s"] * 1e6 / args.parts, 1
+        )
+        out["extrapolated_1e6_bloom_probe_s"] = round(
+            out["bloom_probe_s"] * 1e6 / args.bloom_parts, 1
+        )
+    finally:
+        if args.keep:
+            out["root"] = root
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

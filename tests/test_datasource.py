@@ -7,6 +7,8 @@ pruning (the Python DS API has no column-pruning hook in 4.1)."""
 
 from __future__ import annotations
 
+import time
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
@@ -105,7 +107,12 @@ def _drain(spark, table, out_dir, chk):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination returns False on timeout WITHOUT raising; on a
+    # contended box a 120s drain can still be mid-batch, and the caller's
+    # count assertion would then fail looking like a correctness bug
+    if not q.awaitTermination(600):
+        q.stop()
+        raise AssertionError("enctable stream drain did not finish in 600s")
 
 
 def test_stream_source_tails_appended_parts(spark, tmp_path):
@@ -166,10 +173,22 @@ def test_stream_source_detects_compaction(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
+    # on a contended box the poisoned batch can take >120s to even start;
+    # poll for the stream's failure instead of racing a fixed await
     with pytest.raises(Exception, match="compacted|parts_gen"):
-        q.awaitTermination(120)
-        if q.exception():
-            raise q.exception()
+        deadline = time.time() + 600
+        while True:
+            try:
+                done = q.awaitTermination(10)
+            except Exception:
+                raise
+            if q.exception() is not None:
+                raise q.exception()
+            if done:
+                raise AssertionError("stream finished cleanly; expected generation-guard failure")
+            if time.time() > deadline:
+                q.stop()
+                raise AssertionError("stream neither failed nor finished in 600s")
 
 
 def test_in_and_null_filters_end_to_end(spark, enc_docs):

@@ -213,3 +213,59 @@ def test_part_bloom_byte_budget(tmp_path):
     row = J.lineage_row_from_chunks(
         [0], ["x"], [meta(m_big)], ["s"], [10], [5], [1], "x")
     assert "bf" not in row["zones"]["x"]
+
+
+def test_bloom_sidecar_v2_binary_format(tmp_path):
+    """Part blooms are stored in the v2 binary sidecar (index + raw blob):
+    a point probe preads O(k) bytes per part instead of JSON-parsing and
+    base64-decoding whole filters (metadata_scale_bench measured 0.4 ms/part
+    for the JSON path -> ~400 s per point lookup at 10^6 parts)."""
+    from embulk_output_s3_parquet_spark.sources.tables import (
+        _SidecarProbe,
+        _decode_bf_bin,
+        _encode_bf_bin,
+    )
+
+    t = EncodedTable.create(str(tmp_path / "t"), SCHEMA, CodecPolicy())
+    t._append_parts({pid: _bf_row(pid) for pid in range(20)})
+    assert os.path.exists(os.path.join(t.parts_dir, "shard-0.bf.bin"))
+    assert not os.path.exists(os.path.join(t.parts_dir, "shard-0.bf.json"))
+    # full load returns the same base64-dict form as before
+    bfs = t.shard_blooms(0)
+    assert set(bfs) == set(range(20)) and bfs[3]["x"]["m"] == 512
+    # encode/decode round-trip is exact
+    assert _decode_bf_bin(_encode_bf_bin({"7": bfs[7]}))["7"] == bfs[7]
+    # lazy probe agrees with the full-filter probe on hits and misses
+    probe = _SidecarProbe(os.path.join(t.parts_dir, "shard-0.bf.bin"))
+    try:
+        assert not probe.excludes(probe.cols(5)["x"], "==", 5)
+        assert probe.excludes(probe.cols(5)["x"], "==", 6)
+        assert probe.excludes(probe.cols(5)["x"], "in", [6, 7])
+        assert not probe.excludes(probe.cols(5)["x"], "in", [6, 5])
+        assert not probe.excludes(probe.cols(5)["x"], ">=", 99)  # non-point op
+        assert not probe.excludes(probe.cols(5)["x"], "==", 1.5)  # uncoverable
+    finally:
+        probe.close()
+    assert t.surviving_parts([("x", "==", 5)]) == {5}
+    assert t.surviving_parts([("x", "==", -1)]) == set()
+
+
+def test_bloom_sidecar_legacy_json_still_readable(tmp_path):
+    """A pre-v2 table's .bf.json sidecar keeps pruning, and the next shard
+    write upgrades it to v2 without losing prior entries."""
+    t = EncodedTable.create(str(tmp_path / "t"), SCHEMA, CodecPolicy())
+    t._append_parts({pid: _bf_row(pid) for pid in range(10)})
+    # rewrite the sidecar in the legacy JSON form
+    bfs = {str(p): c for p, c in t.shard_blooms(0).items()}
+    os.remove(os.path.join(t.parts_dir, "shard-0.bf.bin"))
+    with open(os.path.join(t.parts_dir, "shard-0.bf.json"), "w") as f:
+        json.dump(bfs, f)
+    assert set(t.shard_blooms(0)) == set(range(10))
+    assert t.surviving_parts([("x", "==", 4)]) == {4}
+    assert t.surviving_parts([("x", "==", -1)]) == set()
+    # next wave into the shard migrates to v2, keeping every prior bloom
+    t._append_parts({10: _bf_row(10)})
+    assert os.path.exists(os.path.join(t.parts_dir, "shard-0.bf.bin"))
+    assert not os.path.exists(os.path.join(t.parts_dir, "shard-0.bf.json"))
+    assert set(t.shard_blooms(0)) == set(range(11))
+    assert t.surviving_parts([("x", "==", 4)]) == {4}
