@@ -313,9 +313,10 @@ def test_resize_media_stub_plumbing(spark, docs):
 
     with _pytest.raises(ValueError, match="bad target size"):
         M.resize_media(media, 0, 4)
-    if not M.HAVE_PIL:
-        with _pytest.raises(NotImplementedError):
-            M.resize_media(media, 8, 4, deterministic_fake=False)
+    # real mode on non-image bytes (these payloads are utf8 text) must fail
+    # loudly naming the row, not silently produce fake pixels
+    with _pytest.raises(Exception, match="not a decodable image"):
+        M.resize_media(media, 8, 4, deterministic_fake=False).collect()
 
 
 def test_simhash_banding_finds_close_pairs(spark, docs):
@@ -402,6 +403,95 @@ def test_minhash_shingle_universe_sampling(spark, docs):
     assert hi and hi <= sampled, (hi - sampled)
     # sampling perturbs, not destroys, the candidate set
     assert len(sampled & full) >= len(full) * 0.5
+
+
+def _bmp_bytes(arr, bottom_up=True, bpp=24):
+    """Hand-rolled uncompressed BMP writer (tests only): (h, w, 3) uint8
+    RGB -> BMP bytes with BITMAPINFOHEADER, 4-byte row padding, BGR order."""
+    import struct
+
+    h, w, _ = arr.shape
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = arr[::-1] if bottom_up else arr
+    raster = bytearray()
+    for r in rows:
+        line = bytearray()
+        for px in r:
+            line += bytes([px[2], px[1], px[0]] + ([0xAA] if nch == 4 else []))
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    data_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, bpp, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    return bytes(header) + bytes(raster)
+
+
+def test_numpy_image_decode_ppm_bmp():
+    """decode_image decodes P6 PPM and uncompressed BMP natively -- exact
+    pixel recovery with no imaging library (round-4 VERDICT #7)."""
+    import numpy as np
+
+    arr = (np.arange(5 * 7 * 3, dtype=np.uint8) * 3 + 1).reshape(5, 7, 3)
+    # PPM round-trip, plus a comment-bearing header
+    assert (M.decode_image(M.encode_ppm(arr)) == arr).all()
+    ppm = b"P6\n# a comment\n 7 5 # trailing\n255\n" + arr.tobytes()
+    assert (M.decode_image(ppm) == arr).all()
+    # BMP: bottom-up and top-down, 24- and 32-bpp, with row padding (w=7)
+    for bottom_up in (True, False):
+        for bpp in (24, 32):
+            assert (M.decode_image(_bmp_bytes(arr, bottom_up, bpp)) == arr).all()
+    with pytest.raises(ValueError, match="maxval"):
+        M.decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="compression"):
+        bad = bytearray(_bmp_bytes(arr))
+        bad[30] = 1  # BI_RLE8
+        M.decode_image(bytes(bad))
+    if not M.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_resize_media_numpy_kernel_in_container(spark):
+    """The real (non-fake) resize path runs IN this container on PPM and BMP
+    payloads: numpy decode + pixel-center nearest-neighbor resize, shas
+    checked against the kernel run directly (round-4 VERDICT #7 -- the
+    formerly Pillow-skipped seam now has an unconditional twin)."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    rows, want = [], {}
+    for i in range(4):
+        arr = ((np.arange(12 * 9 * 3, dtype=np.int64) * 7 + i * 13) % 256).astype(
+            np.uint8
+        ).reshape(12, 9, 3)
+        payload = M.encode_ppm(arr) if i % 2 == 0 else _bmp_bytes(arr)
+        rows.append((i * 3, "image", bytearray(payload), 9, 12, 0))
+        want[i * 3] = _hashlib.sha256(
+            M.resize_nearest(arr, 6, 5).tobytes()
+        ).hexdigest()
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, meta_width int, "
+        "meta_height int, meta_ms int",
+    )
+    out = {
+        r["media_id"]: (r["resized_sha"], r["n_bytes_out"])
+        for r in M.resize_media(media, 6, 5, deterministic_fake=False).collect()
+    }
+    assert set(out) == set(want)
+    for mid, (sha, nbytes) in out.items():
+        assert sha == want[mid] and nbytes == 6 * 5 * 3
+    # resize_nearest sanity: identity at same size, constant image invariant
+    arr0 = ((np.arange(12 * 9 * 3) * 7) % 256).astype(np.uint8).reshape(12, 9, 3)
+    assert (M.resize_nearest(arr0, 9, 12) == arr0).all()
+    const = np.full((8, 8, 3), 42, np.uint8)
+    assert (M.resize_nearest(const, 3, 17) == 42).all()
 
 
 @pytest.mark.skipif(not M.HAVE_PIL, reason="Pillow not installed in this container")
