@@ -24,6 +24,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import os
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
@@ -210,7 +211,20 @@ def probe_bytes(literal, m_bits: int) -> list[tuple[int, int]] | None:
     ``literal`` in an m_bits filter, or None when the canonical
     serialization doesn't cover the literal (caller must never exclude).
     Lets a sidecar reader test membership by pread-ing K single bytes
-    instead of decoding the whole filter."""
+    instead of decoding the whole filter. Cached: a point lookup probes the
+    SAME literal against every part, and within one geometry the positions
+    are identical -- hash once, pread everywhere."""
+    try:
+        return _probe_bytes_cached(literal, m_bits)
+    except TypeError:  # unhashable literal shape: compute uncached
+        data = _canonical_bytes(literal)
+        if data is None:
+            return None
+        return [(p >> 3, 1 << (p & 7)) for p in _positions(data, m_bits)]
+
+
+@lru_cache(maxsize=512)
+def _probe_bytes_cached(literal, m_bits: int) -> list[tuple[int, int]] | None:
     data = _canonical_bytes(literal)
     if data is None:
         return None

@@ -1450,6 +1450,12 @@ def vacuum_job(
         if not dry_run:
             shutil.rmtree(stale, ignore_errors=True)
     report["orphan_parts"].sort()
+    if not dry_run and (
+        report["orphan_parts"] or report["staging_dirs"] or report["stale_shard_dirs"]
+    ):
+        # space was reclaimed: record it like every other state change
+        # (dry runs and no-op sweeps stay out of the history)
+        table.log_op("vacuum", dict(report))
     return report
 
 
