@@ -141,7 +141,7 @@ def decode_table_scan(
             _os.path.join(table.data_dir, f"part_id={p}") for p in sorted(parts)
         ]
     else:
-        dirs = table.pruned_part_dirs(conjuncts)
+        dirs = table.pruned_part_dirs(conjuncts, spark=spark)
     if not dirs and table.completed_parts():
         # every part provably excluded: empty frame, no job at all
         return spark.createDataFrame([], out_schema)

@@ -44,6 +44,7 @@ from pyspark.sql import types as T
 
 from embulk_output_s3_parquet_spark.codecs import bloom as bloomlib
 from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+from embulk_output_s3_parquet_spark.sources import tables as tables_mod
 from embulk_output_s3_parquet_spark.sources.tables import SHARD_SIZE, EncodedTable
 
 SCHEMA = T.StructType(
@@ -129,6 +130,7 @@ def main() -> int:
     ap.add_argument("--bloom-parts", type=int, default=8192)
     ap.add_argument("--part-rows", type=int, default=100_000)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--spark", type=int, default=0, help="cores for the distributed-prune measurement (0 = skip)")
     args = ap.parse_args()
 
     root = tempfile.mkdtemp(prefix="meta_scale_")
@@ -169,11 +171,43 @@ def main() -> int:
         assert 1 <= len(surv) <= 16, len(surv)
 
         # unprunable predicate (commit range spans every zone): worst case,
-        # the full O(parts) zone sweep with zero exclusions
+        # the full O(parts) zone sweep with zero exclusions. First with the
+        # parsed-shard cache warm from lineage() above, then cold (a fresh
+        # driver process planning its first query).
         t0 = time.time()
         surv_all = t.surviving_parts([("commit", ">=", "aa")])
-        out["zone_sweep_worstcase_s"] = round(time.time() - t0, 3)
+        out["zone_sweep_warm_s"] = round(time.time() - t0, 3)
+        out["zone_sweep_worstcase_s"] = out["zone_sweep_warm_s"]
         assert len(surv_all) == args.parts
+        tables_mod._SHARD_CACHE.clear()
+        t0 = time.time()
+        surv_all = t.surviving_parts([("commit", ">=", "aa")])
+        out["zone_sweep_cold_s"] = round(time.time() - t0, 3)
+        assert len(surv_all) == args.parts
+
+        if args.spark:
+            # executor-side pruning (surviving_parts_distributed): driver
+            # holds only the shard list + survivor ids, shard JSON parses
+            # on the cluster. This is the path a 10^6-part table takes.
+            from pyspark.sql import SparkSession
+
+            spark = (
+                SparkSession.builder.master(f"local[{args.spark}]")
+                .config("spark.sql.shuffle.partitions", str(args.spark))
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            got = t.surviving_parts_distributed(spark, [("commit", ">=", "aa")])
+            t0 = time.time()
+            got = t.surviving_parts_distributed(spark, [("commit", ">=", "aa")])
+            out["zone_sweep_distributed_s"] = round(time.time() - t0, 3)
+            assert len(got) == args.parts
+            t0 = time.time()
+            sel = t.surviving_parts_distributed(
+                spark, [("id", ">=", lo), ("id", "<=", hi)]
+            )
+            out["zone_prune_distributed_s"] = round(time.time() - t0, 3)
+            assert sel == surv
 
         # -- bloom table (realistic sidecar bytes, shard-streamed probes) --
         tb, _ = build_table(root, args.bloom_parts, args.wave, args.part_rows, True)

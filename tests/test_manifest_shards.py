@@ -269,3 +269,85 @@ def test_bloom_sidecar_legacy_json_still_readable(tmp_path):
     assert not os.path.exists(os.path.join(t.parts_dir, "shard-0.bf.json"))
     assert set(t.shard_blooms(0)) == set(range(11))
     assert t.surviving_parts([("x", "==", 4)]) == {4}
+
+
+def test_distributed_pruning_matches_driver(spark, tmp_path):
+    """surviving_parts_distributed must be set-equal to the driver-side
+    prune on a table mixing zoned+bloomed parts, bloomless parts, legacy
+    inline parts, and a schema-evolution added column -- the executor-side
+    task is a one-shard mirror of surviving_parts, and any divergence is a
+    silent wrong-answer (pruning must stay may-match)."""
+    from pyspark.sql import types as T
+
+    t = EncodedTable.create(str(tmp_path / "t"), SCHEMA, CodecPolicy())
+    # sparse pids spanning 4 shards: bloomed, zoned-only, and bare rows
+    rows: dict[int, dict] = {}
+    for pid in [0, 5, SHARD_SIZE + 1, 2 * SHARD_SIZE + 7, 3 * SHARD_SIZE]:
+        rows[pid] = _bf_row(pid)
+    rows[2] = _row(2)  # no zones at all: never prunable
+    zoned = _row(SHARD_SIZE + 2)  # zone but no bloom
+    zoned["zones"] = {"x": {"t": "int64", "n": 1, "z": 0,
+                            "mm": [SHARD_SIZE + 2, SHARD_SIZE + 2]}}
+    rows[SHARD_SIZE + 2] = zoned
+    t._append_parts(rows)
+    # legacy inline part in the core manifest
+    m = t._core_manifest()
+    m["parts"] = {"900000": _row(900000)}
+    t._write_manifest(m)
+    t.add_column("extra", T.StringType())
+
+    cases = [
+        [],
+        [("x", "==", 5)],
+        [("x", "==", -1)],
+        [("x", "in", [5, SHARD_SIZE + 1])],
+        [("x", "in", [-1, -2])],
+        [("x", ">=", SHARD_SIZE)],
+        [("x", "<=", 10)],
+        [("extra", "isnull", None)],
+        [("extra", "notnull", None)],
+        [("x", ">=", 0), ("x", "==", 2 * SHARD_SIZE + 7)],
+    ]
+    for conjuncts in cases:
+        want = t.surviving_parts(conjuncts)
+        got = t.surviving_parts_distributed(spark, conjuncts)
+        assert got == want, conjuncts
+    # the no-predicate case keeps every part, inline included
+    assert 900000 in t.surviving_parts_distributed(spark, [])
+
+
+def test_distributed_pruning_auto_dispatch(spark, tmp_path, monkeypatch):
+    """surviving_parts(spark=...) fans out iff the shard count clears
+    DIST_PRUNE_MIN_SHARDS; below it the driver path runs (no Spark job
+    for small tables)."""
+    t = EncodedTable.create(str(tmp_path / "t"), SCHEMA, CodecPolicy())
+    t._append_parts({pid: _bf_row(pid) for pid in
+                     [0, SHARD_SIZE, 2 * SHARD_SIZE]})
+    called = {"n": 0}
+    orig = EncodedTable.surviving_parts_distributed
+
+    def spy(self, spark_, conjuncts):
+        called["n"] += 1
+        return orig(self, spark_, conjuncts)
+
+    monkeypatch.setattr(EncodedTable, "surviving_parts_distributed", spy)
+    assert t.surviving_parts([("x", "==", 0)], spark=spark) == {0}
+    assert called["n"] == 0  # 3 shards < threshold: driver path
+    monkeypatch.setattr(EncodedTable, "DIST_PRUNE_MIN_SHARDS", 1)
+    assert t.surviving_parts([("x", "==", 0)], spark=spark) == {0}
+    assert called["n"] == 1
+    assert t.surviving_parts([("x", "==", 0)]) == {0}  # no spark: driver
+    assert called["n"] == 1
+
+
+def test_shard_cache_invalidates_on_write(tmp_path):
+    """_load_shard_cached keys on (mtime_ns, size): every commit goes
+    through os.replace of a fresh temp file, so appends/rewrites are seen
+    immediately while repeated plans reuse the parsed rows."""
+    t = EncodedTable.create(str(tmp_path / "t"), SCHEMA, CodecPolicy())
+    t._append_parts({pid: _row(pid) for pid in range(10)})
+    assert len(t.lineage()) == 10
+    t._append_parts({10: _row(10)})
+    assert len(t.lineage()) == 11  # cache did not serve the stale shard
+    t._update_parts(remove={3}, add={})
+    assert 3 not in t.lineage()
