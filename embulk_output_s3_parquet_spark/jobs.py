@@ -14,6 +14,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators.decode import decode_chunks
 from .operators.encode import encode_grouped, encode_local
@@ -176,6 +177,7 @@ def encode_job(
     shuffle_mode: str = "chunks",
     cluster_by: list[str] | None = None,
     zorder: bool = False,
+    bucket_by: tuple | None = None,
 ) -> EncodedTable:
     """Encode ``df`` into an EncodedTable; resumes from the manifest.
 
@@ -201,6 +203,12 @@ def encode_job(
     EVERY clustered dimension, so range predicates on any of them prune,
     not just the leading one (Delta OPTIMIZE ZORDER / Iceberg sort-order
     analogue).
+
+    ``bucket_by=(col, N)``: bucket-major layout (Iceberg bucket transform):
+    every part holds rows of one ``pmod(xxhash64(col), N)`` bucket, recorded
+    per part in lineage, enabling the shuffle-free bucketed equi-join
+    (``operators.bucketjoin``). Appends to a bucketed table inherit the
+    recorded spec; a conflicting respec is refused.
     """
     policy = policy or CodecPolicy()
     policy.validate(df.schema)
@@ -209,12 +217,14 @@ def encode_job(
     for c in cluster:
         if c not in names:
             raise ConfigException(f"cluster_by: unknown column {c!r}")
+    _validate_bucket_request(bucket_by, df.schema)
     t0 = time.time()
 
-    dfp, plan = _plan(df, policy)
+    table = EncodedTable.create(table_path, df.schema, policy, if_exists=if_exists)
+    bucket = _resolve_bucket_by(table, bucket_by, df.schema)
+    dfp, plan = _plan(df, policy, bucket=bucket)
     if part_base:
         dfp = dfp.withColumn("part_id", (F.col("part_id") + F.lit(part_base)).cast("long"))
-    table = EncodedTable.create(table_path, df.schema, policy, if_exists=if_exists)
     _record_write_order(table, cluster, zorder)
     table.clean_staging()
     # reserve this plan's id range BEFORE any part lands: a delete/compact
@@ -258,6 +268,7 @@ def encode_job(
         return table
     on_disk = spark.read.parquet(staging)
     lineage = _lineage_rows(on_disk, df.schema.fields[0].name, time.time() - t0)
+    _annotate_buckets(lineage, plan.bucket_ranges, shift=part_base)
     table.commit_staging(staging, lineage)
     table.log_op(
         "encode",
@@ -298,6 +309,14 @@ def encode_parquet_job(
             raise ConfigException(f"cluster_by: unknown column {c!r}")
     t0 = time.time()
     table = EncodedTable.create(table_path, schema, policy, if_exists=if_exists)
+    if table.properties().get("bucket-by"):
+        # split-index part ids are file geometry, not key hashes: a direct
+        # append cannot honor bucket purity. Re-bucket via compact_job.
+        raise ConfigException(
+            "encode_parquet_job cannot append to a bucketed table "
+            f"({table_path} records bucket-by); use encode_job, or drop the "
+            "layout with if_exists='delete'"
+        )
     _record_write_order(table, cluster, zorder)
     table.clean_staging()
     done = table.completed_parts() | table.retired_parts()
@@ -523,7 +542,8 @@ def compact_job(
             raise ConfigException(f"cluster_by: unknown column {c!r}")
     df = decode_chunks(table.read_encoded(spark), table.schema())
 
-    dfp, plan = _plan(df, policy)
+    bucket = _resolve_bucket_by(table, None, table.schema())
+    dfp, plan = _plan(df, policy, bucket=bucket)
     # swap: move new dirs in under offset part_ids, then atomically replace
     # the part set (next shard generation + one manifest pointer flip) so a
     # crash mid-swap never exposes old+new parts together. Offset comes
@@ -556,6 +576,7 @@ def compact_job(
         if os.path.exists(dst):
             shutil.rmtree(dst)
         os.rename(os.path.join(staging, name), dst)
+    _annotate_buckets(lineage, plan.bucket_ranges)
     table._replace_parts({remap[pid]: row for pid, row in lineage.items()})
     if cluster:
         _record_write_order(table, cluster, bool(zorder))
@@ -611,11 +632,73 @@ def _write_chunk_files(encoded: DataFrame, staging: str) -> None:
         )
 
 
-def _plan(df: DataFrame, policy: CodecPolicy):
+def _plan(df: DataFrame, policy: CodecPolicy, bucket: tuple | None = None):
+    if bucket:
+        from .plans.partitioning import assign_partitions_bucketed
+
+        return assign_partitions_bucketed(
+            df, bucket[0], int(bucket[1]),
+            target_bytes=policy.target_partition_bytes,
+        )
     corpus_cols = {"lang", "repo", "path", "commit", "content"}
     if corpus_cols <= set(df.columns):
         return assign_partitions(df, target_bytes=policy.target_partition_bytes)
     return assign_partitions_generic(df, target_bytes=policy.target_partition_bytes)
+
+
+def _validate_bucket_request(requested, schema: T.StructType) -> tuple | None:
+    """Eager ``bucket_by`` validation -- callable BEFORE the table dir is
+    created, preserving the no-artifacts-on-config-error contract."""
+    if requested is None:
+        return None
+    col, n = requested
+    if col not in {f.name for f in schema.fields}:
+        raise ConfigException(f"bucket_by: unknown column {col!r}")
+    if int(n) < 1:
+        raise ConfigException("bucket_by: bucket count must be >= 1")
+    return (col, int(n))
+
+
+def _resolve_bucket_by(
+    table: EncodedTable, requested, schema: T.StructType
+) -> tuple | None:
+    """Reconcile a job's ``bucket_by`` request with the table's recorded
+    ``bucket-by`` property (the Iceberg bucket-transform partition spec).
+    None inherits the recorded layout -- append waves, streaming batches,
+    and maintenance rewrites keep bucket purity without restating it; an
+    explicit request must MATCH the recorded spec (changing N or the key
+    silently would corrupt every part's bucket tag)."""
+    recorded = table.properties().get("bucket-by")
+    rec = (recorded[0], int(recorded[1])) if recorded else None
+    req = _validate_bucket_request(requested, schema)
+    if req is not None and rec is not None and req != rec:
+        raise ConfigException(
+            f"bucket_by {req} conflicts with this table's recorded "
+            f"bucket-by {rec}; rewrite with if_exists='delete' to re-bucket"
+        )
+    eff = req or rec
+    if eff is not None and rec is None:
+        table.set_property("bucket-by", [eff[0], eff[1]])
+    return eff
+
+
+def _annotate_buckets(
+    lineage: dict[int, dict], bucket_ranges: dict | None, shift: int = 0
+) -> None:
+    """Tag each new lineage row with its part's bucket id (from the plan's
+    contiguous per-bucket ranges). The tag is what read paths trust --
+    bucketed_join refuses tables with untagged parts rather than guessing."""
+    if not bucket_ranges:
+        return
+    import bisect
+
+    spans = sorted((lo, hi, b) for b, (lo, hi) in bucket_ranges.items())
+    los = [s[0] for s in spans]
+    for pid, row in lineage.items():
+        p = pid - shift
+        i = bisect.bisect_right(los, p) - 1
+        if i >= 0 and p < spans[i][1]:
+            row["bucket"] = spans[i][2]
 
 
 def lineage_df(spark: SparkSession, table: EncodedTable) -> DataFrame:
@@ -922,7 +1005,8 @@ def _swap_in_rewrite(
     zorder = bool(props.get("write-order-zorder", False))
 
     t0 = time.time()
-    dfp, plan_out = _plan(new_rows, policy)
+    bucket = _resolve_bucket_by(table, None, schema)
+    dfp, plan_out = _plan(new_rows, policy, bucket=bucket)
     # mint replacement ids from the persisted high-water mark, NOT
     # max(lineage): an incomplete encode plan has reserved ids above the
     # committed set (note_part_extent), and retired tombstones must never
@@ -952,6 +1036,7 @@ def _swap_in_rewrite(
             if os.path.exists(dst):
                 shutil.rmtree(dst)  # uncommitted leftover of a killed run
             os.rename(os.path.join(staging, name), dst)
+        _annotate_buckets(raw, plan_out.bucket_ranges)
         new_lineage = {pid + offset: row for pid, row in raw.items()}
     table._update_parts(remove=affected, add=new_lineage)
     # old affected dirs only AFTER the atomic flip (kill-safe); with

@@ -1,0 +1,241 @@
+"""Shuffle-free bucketed equi-join over two EncodedTables.
+
+Spark's storage-partitioned join (SPIP: SPARK-37375), expressed over the
+engine's own bucket metadata instead of a DSv2 reportPartitioning hook
+(which pyspark's Python DataSource does not expose). Two tables written
+with ``encode_job(..., bucket_by=(key, N))`` with the SAME N satisfy, by
+construction, the join invariant: rows whose keys are equal sit in the
+same bucket id on both sides. So the join plan is:
+
+    for each bucket b: join(left parts of b, right parts of b)
+
+-- one Spark task per (bucket, left-part-slice), each task decoding ONLY
+its bucket's parts via the Spark-free pyreader and joining them with
+pyarrow's hash join. NO shuffle of table data happens anywhere: the only
+thing that moves through Spark is the task-spec strings (bytes per task,
+not bytes per row). At 100 TB with N=4096 buckets, each task streams ~2
+x 25 GB/4096 from the object store and joins in memory; a skewed key
+cannot produce a monster task on the LEFT side (slices cap left parts
+per task), and the right side of one bucket is bounded by right_bytes/N.
+
+Compare the alternative the optimizer would pick: decode both tables into
+DataFrames and SortMergeJoin them -- two full shuffles of decoded rows
+plus sorts. The reference has no join at all (it is an output plugin);
+this operator is part of the engine's beyond-reference analytics surface.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.policy import ConfigException
+from ..sources.tables import EncodedTable
+
+# pyarrow join_type names for the Spark how= spellings
+_HOW = {
+    "inner": "inner",
+    "left": "left outer",
+    "left_outer": "left outer",
+    "right": "right outer",
+    "right_outer": "right outer",
+    "full": "full outer",
+    "full_outer": "full outer",
+    "outer": "full outer",
+    "left_semi": "left semi",
+    "semi": "left semi",
+    "left_anti": "left anti",
+    "anti": "left anti",
+}
+# slicing the left side duplicates the right-unmatched rows per slice, so
+# right/full joins get exactly one task per bucket
+_NO_LEFT_SLICE = {"right outer", "full outer"}
+_LEFT_ONLY_OUT = {"left semi", "left anti"}
+
+
+def _bucket_parts(table: EncodedTable, path: str) -> tuple[str, int, dict]:
+    spec = table.properties().get("bucket-by")
+    if not spec:
+        raise ConfigException(
+            f"{path} is not bucketed (no bucket-by property); write it with "
+            "encode_job(..., bucket_by=(key, N)) or re-bucket via "
+            "compact_job after setting the property"
+        )
+    by_bucket: dict[int, list[int]] = {}
+    for pid, row in table.lineage().items():
+        b = row.get("bucket")
+        if b is None:
+            raise ConfigException(
+                f"{path}: part {pid} has no bucket tag -- the table was "
+                "appended by a non-bucketed writer; run compact_job to "
+                "restore bucket purity"
+            )
+        by_bucket.setdefault(int(b), []).append(int(pid))
+    return spec[0], int(spec[1]), by_bucket
+
+
+def _arrow_to_spark_schema(pa_schema):
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(pa_schema)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    how: str = "inner",
+    left_where=None,
+    right_where=None,
+    left_parts_per_task: int = 4,
+) -> DataFrame:
+    """Join two bucketed EncodedTables on their bucket key, shuffle-free.
+
+    The join keys are the tables' recorded bucket columns (they may have
+    different names; the right key column is dropped from the output, like
+    Spark's ``join(on=...)`` with equal names). Non-key column name
+    collisions get a ``_r`` suffix on the right. ``left_where`` /
+    ``right_where`` push (col, op, literal) conjuncts into each side's
+    pyreader scan, so zone/bloom/row-group pruning fires INSIDE the join
+    tasks -- a selective join reads only surviving chunk bytes.
+
+    SQL semantics match Spark's: NULL keys never match (both planners hash
+    NULL keys into one deterministic bucket, where the hash join drops
+    them; outer variants keep them as unmatched rows)."""
+    pa_how = _HOW.get(how)
+    if pa_how is None:
+        raise ConfigException(
+            f"how={how!r} not supported (use one of {sorted(_HOW)})"
+        )
+    lt, rt = EncodedTable(left_path), EncodedTable(right_path)
+    lkey, ln, lparts = _bucket_parts(lt, left_path)
+    rkey, rn, rparts = _bucket_parts(rt, right_path)
+    if ln != rn:
+        raise ConfigException(
+            f"bucket counts differ: {left_path} has N={ln}, {right_path} "
+            f"has N={rn}; bucketed joins need identical N (re-bucket one "
+            "side with compact_job under a matching bucket-by)"
+        )
+
+    import pyarrow as pa
+
+    from ..sources.pyreader import _arrow_type
+
+    lfields = [
+        (f.name, _arrow_type(f.dataType.jsonValue())) for f in lt.schema().fields
+    ]
+    rfields = [
+        (f.name, _arrow_type(f.dataType.jsonValue())) for f in rt.schema().fields
+    ]
+    lnames = [n for n, _ in lfields]
+    if pa_how in _LEFT_ONLY_OUT:
+        out_fields = list(lfields)
+        right_out: list[tuple[str, str]] = []  # (source name, output name)
+    else:
+        taken = set(lnames)
+        right_out = []
+        out_fields = list(lfields)
+        for name, typ in rfields:
+            if name == rkey:
+                continue  # the key survives once, from the left side
+            out = name if name not in taken else f"{name}_r"
+            if out in taken:
+                raise ConfigException(
+                    f"column {out!r} exists on both sides even after the "
+                    "_r suffix; project one side first"
+                )
+            taken.add(out)
+            right_out.append((name, out))
+            out_fields.append((out, typ))
+    out_schema = pa.schema(out_fields)
+
+    # task specs: (bucket, left part slice, right parts). Buckets missing a
+    # side participate only when the join kind keeps that side's unmatched
+    # rows. The specs are the ONLY thing Spark moves.
+    specs: list[str] = []
+    for b in sorted(set(lparts) | set(rparts)):
+        lp = sorted(lparts.get(b, ()))
+        rp = sorted(rparts.get(b, ()))
+        if not lp and pa_how not in ("right outer", "full outer"):
+            continue
+        if not rp and pa_how in ("inner", "left semi"):
+            continue
+        step = len(lp) if pa_how in _NO_LEFT_SLICE else left_parts_per_task
+        step = max(step, 1)
+        slices = [lp[i : i + step] for i in range(0, len(lp), step)] or [[]]
+        for sl in slices:
+            specs.append(json.dumps({"l": sl, "r": rp}))
+    spark_schema = _arrow_to_spark_schema(out_schema)
+    if not specs:
+        return spark.createDataFrame([], spark_schema)
+
+    from ..sources.chunkscan import normalize_where
+
+    lcols = list(lnames)
+    rcols = [n for n, _ in rfields]
+    # validate driver-side, fail fast; shipped as plain conjunct lists
+    lw = normalize_where(left_where, lcols)
+    rw = normalize_where(right_where, rcols)
+
+    def _exact(tab, conjuncts):
+        # the scan's `where` is MAY-MATCH pruning (zone/bloom/row-group
+        # skipping); the join applies the exact row mask here, same
+        # evaluation kernel as count_job's boundary chunks
+        if not conjuncts or tab.num_rows == 0:
+            return tab
+        import pyarrow.compute as pc
+
+        from ..sources.chunkscan import _match_mask
+
+        mask = None
+        for c, op, v in conjuncts:
+            m = _match_mask(tab.column(c).combine_chunks(), op, v)
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        return tab.filter(pc.fill_null(mask, False))
+
+    def join_tasks(batches):
+        from ..sources.pyreader import read_table
+
+        for batch in batches:
+            for spec_json in batch.column(0).to_pylist():
+                spec = json.loads(spec_json)
+                ltab = _exact(read_table(
+                    left_path, columns=lcols, where=lw or None, parts=spec["l"]
+                ), lw) if spec["l"] else pa.table(
+                    {n: pa.array([], type=t) for n, t in lfields}
+                )
+                rtab = _exact(read_table(
+                    right_path, columns=rcols, where=rw or None, parts=spec["r"]
+                ), rw) if spec["r"] else pa.table(
+                    {n: pa.array([], type=t) for n, t in rfields}
+                )
+                joined = ltab.join(
+                    rtab,
+                    keys=[lkey],
+                    right_keys=[rkey],
+                    join_type=pa_how,
+                    right_suffix="_r",
+                )
+                # align to the declared output: order, presence, types.
+                # pyarrow names the key column after the RIGHT key in a
+                # right-outer join when the names differ; it holds the same
+                # (matched-or-right) key values, so it backs the left name.
+                have = set(joined.column_names)
+                src_names = [
+                    n if n != lkey or n in have else rkey
+                    for n in lnames
+                ] + [
+                    (src if src not in set(lnames) else f"{src}_r")
+                    for src, _out in right_out
+                ]
+                cols = [joined.column(n).combine_chunks() for n in src_names]
+                out = pa.table(
+                    dict(zip([f.name for f in out_schema], cols))
+                ).cast(out_schema)
+                yield from out.to_batches(max_chunksize=16384)
+
+    spec_df = spark.createDataFrame(
+        [(s,) for s in specs], "spec string"
+    ).repartition(len(specs))  # round-robin: one spec per task
+    return spec_df.mapInArrow(join_tasks, spark_schema)

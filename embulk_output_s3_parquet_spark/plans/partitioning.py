@@ -34,6 +34,9 @@ from pyspark.sql import functions as F
 class PartitionPlan:
     n_parts: int
     groups: DataFrame  # lang, repo, gbytes, start_part, splits (driver-reusable)
+    # bucketed plans only: {bucket: (first_part_id, one_past_last)} -- part
+    # ids within one bucket are contiguous, ranges across buckets disjoint
+    bucket_ranges: dict[int, tuple[int, int]] | None = None
 
 
 def _contains_map(dt) -> bool:
@@ -162,6 +165,70 @@ def assign_partitions(
         .drop("__g1", "__g2", "gbytes", "start_part", "splits")
     )
     return out, PartitionPlan(n_parts=n_parts, groups=groups)
+
+
+def assign_partitions_bucketed(
+    df: DataFrame,
+    bucket_col: str,
+    n_buckets: int,
+    target_bytes: int = 64 * 1024 * 1024,
+) -> tuple[DataFrame, PartitionPlan]:
+    """Bucket-major partition plan (Iceberg ``bucket(N, col)`` transform):
+    every row lands in bucket ``pmod(xxhash64(col), N)``, every part holds
+    rows of exactly ONE bucket, and each bucket's part ids are a contiguous
+    disjoint range (recorded in ``plan.bucket_ranges``). Within a bucket,
+    parts stay byte-balanced and hot surrogate groups salt-split exactly
+    like the generic planner, so a skewed key column cannot produce a
+    monster part -- it produces more parts in its bucket.
+
+    The point of the layout is the shuffle-free bucketed equi-join
+    (``operators.bucketjoin``): two tables bucketed ``(key, N)`` with the
+    same N can be joined bucket-by-bucket reading only local parts --
+    Spark's storage-partitioned join, expressed over the engine's own
+    metadata."""
+    cols = [_hash_safe(df, c) for c in df.columns]
+    weight = sum(
+        (
+            F.coalesce(
+                F.octet_length(
+                    c
+                    if _contains_map(df.schema[n].dataType)
+                    else F.col(n).cast("string")
+                ),
+                F.lit(0),
+            )
+            for n, c in zip(df.columns, cols)
+        ),
+        F.lit(16),
+    )
+    # string bucket key because assign_partitions coalesces k1 to string;
+    # xxhash64 of a NULL key is the seed hash -> all null-key rows share one
+    # deterministic bucket (equi-joins never match them anyway)
+    bkt = F.pmod(
+        F.xxhash64(_hash_safe(df, bucket_col)), F.lit(n_buckets)
+    ).cast("string")
+    aug = df.withColumn("__bkt", bkt).withColumn(
+        "__sgk2", F.pmod(F.xxhash64(*cols), F.lit(512)).cast("string")
+    )
+    out, plan = assign_partitions(
+        aug,
+        target_bytes=target_bytes,
+        group_keys=("__bkt", "__sgk2"),
+        salt_keys=tuple(df.columns),
+        weight_expr=weight.cast("long"),
+    )
+    ranges = (
+        plan.groups.groupBy("__bkt")
+        .agg(
+            F.min("start_part").alias("lo"),
+            F.max(F.col("start_part") + F.col("splits")).alias("hi"),
+        )
+        .collect()  # <= n_buckets rows, never data
+    )
+    plan.bucket_ranges = {
+        int(r["__bkt"]): (int(r["lo"]), int(r["hi"])) for r in ranges
+    }
+    return out.drop("__bkt", "__sgk2"), plan
 
 
 def assign_partitions_generic(

@@ -24,6 +24,7 @@ def read_table(
     columns: list[str] | None = None,
     where=None,
     scan_stats: dict | None = None,
+    parts: list[int] | None = None,
 ) -> pa.Table:
     """Decode a committed EncodedTable directory into an arrow Table.
 
@@ -32,7 +33,10 @@ def read_table(
     as ``operators.decode.decode_table_scan``, because both delegate to
     ``sources.chunkscan`` (the filter column must be in the projection).
     ``scan_stats`` (optional dict) accumulates rg_total/rg_read/
-    chunks_total/chunks_skipped counters for pruning assertions."""
+    chunks_total/chunks_skipped counters for pruning assertions.
+    ``parts`` restricts the read to those committed part ids (how a
+    bucketed-join task reads exactly its bucket's parts); an id that is not
+    committed is a loud error, never silently empty."""
     from .chunkscan import iter_part_tables, normalize_where
 
     with open(os.path.join(path, "manifest.json")) as f:
@@ -46,16 +50,25 @@ def read_table(
     by_name = {f["name"]: _arrow_type(f["type"]) for f in schema_fields}
     fields = [(n, by_name[n]) for n in want]
     conjuncts = normalize_where(where, want)
-    parts = _committed_parts(path, manifest)
+    committed = _committed_parts(path, manifest)
     fillable = frozenset(
         manifest.get("properties", {}).get("added-columns", [])
     ) & set(want)
 
     from .chunkscan import _survives
 
+    pids = sorted(int(k) for k in committed)
+    if parts is not None:
+        wanted = {int(p) for p in parts}
+        missing_pids = wanted - set(pids)
+        if missing_pids:
+            raise ValueError(
+                f"parts not committed in {path}: {sorted(missing_pids)}"
+            )
+        pids = sorted(wanted)
     batches: list[pa.Table] = []
-    for pid in sorted(int(k) for k in parts):
-        row = parts.get(str(pid)) or parts.get(pid) or {}
+    for pid in pids:
+        row = committed.get(str(pid)) or committed.get(pid) or {}
         if scan_stats is not None:
             scan_stats["parts_total"] = scan_stats.get("parts_total", 0) + 1
         if conjuncts and not _survives(

