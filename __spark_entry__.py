@@ -483,34 +483,10 @@ ORDER BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 
-def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from embulk_output_s3_parquet_spark.functions import text as X
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        X.token_count(F.col("text")).alias("n_tokens"),
-        X.token_count_bpe(F.col("text")).alias("n_bpe"),
-    )
-
-
-def _doc_tokens_sql() -> str:
-    from embulk_output_s3_parquet_spark.functions.text import BPE_SPLIT_PATTERN
-
-    pat = BPE_SPLIT_PATTERN.replace("'", "''")
-    return rf"""
-SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-       CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_bpe
-FROM documents
-"""
-
-
-_DOC_TOKENS_SQL = _doc_tokens_sql()
-
-
 def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc_token_counts folded in (r5, freeing a 50-cap slot for
+    # bucketed_join_orders): one projection carries char classes, quality,
+    # AND the whitespace/BPE-ish token counts
     from embulk_output_s3_parquet_spark.functions import text as X
 
     d = _t(spark, sf_dir, "documents")
@@ -523,10 +499,16 @@ def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc["space_ratio"].alias("space_ratio"),
         X.stopword_ratio(F.col("text")).alias("stop_ratio"),
         X.quality_score(F.col("text")).alias("quality"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.token_count_bpe(F.col("text")).alias("n_bpe"),
     )
 
 
-_DOC_STATS_SQL = r"""
+def _doc_stats_sql() -> str:
+    from embulk_output_s3_parquet_spark.functions.text import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return rf"""
 WITH b AS (
   SELECT doc_id, text, length(text) AS n,
     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
@@ -544,8 +526,56 @@ SELECT doc_id, n AS n_chars_c,
   round(stops / greatest(CAST(toks AS DOUBLE), 1.0), 6) AS stop_ratio,
   round(0.4 * (CASE WHEN n BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.3 END)
       + 0.4 * round(alpha / greatest(CAST(n AS DOUBLE), 1.0), 6)
-      + 0.2 * least(round(stops / greatest(CAST(toks AS DOUBLE), 1.0), 6) * 5, 1.0), 6) AS quality
+      + 0.2 * least(round(stops / greatest(CAST(toks AS DOUBLE), 1.0), 6) * 5, 1.0), 6) AS quality,
+  toks AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_bpe
 FROM b
+"""
+
+
+_DOC_STATS_SQL = _doc_stats_sql()
+
+
+def _bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free storage-partitioned join (operators/bucketjoin.py):
+    lineitem and orders encoded with bucket_by=(orderkey, 16) -- every part
+    holds one xxhash64 bucket of keys -- then joined bucket-by-bucket, one
+    mapInArrow task per (bucket, left-part slice) hash-joining its parts in
+    pyarrow. NO table data shuffles; the oracle is the plain SQL join.
+    Measured 1.4-2.2x faster than the Catalyst SMJ over the same decoded
+    frames at sf0.1 (bench.py bucketed_join_sec vs catalyst_join_sec)."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from embulk_output_s3_parquet_spark.jobs import encode_job
+    from embulk_output_s3_parquet_spark.operators.bucketjoin import (
+        bucketed_join,
+    )
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    h = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    lp = os.path.join(tempfile.gettempdir(), f"bjl_{h}")
+    op = os.path.join(tempfile.gettempdir(), f"bjo_{h}")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    pol = CodecPolicy(chunk_rows=8192)
+    encode_job(spark, li, lp, pol, if_exists="delete", bucket_by=("l_orderkey", 16))
+    encode_job(spark, od, op, pol, if_exists="delete", bucket_by=("o_orderkey", 16))
+    return bucketed_join(spark, lp, op, how="inner").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       o_custkey, o_orderstatus, o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+ORDER BY l_orderkey, l_linenumber
 """
 
 
@@ -1624,8 +1654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_topk_orders": _window_topk,
             "set_union_nations": _set_union,
             "rollup_lineitem": _rollup_counts,
-            "doc_token_counts": _doc_tokens,
             "doc_char_stats": _doc_stats,
+            "bucketed_join_orders": _bucketed_join_orders,
             "doc_lang_id": _doc_lang,
             "doc_fingerprint": _doc_fingerprint,
             "dedup_exact_sha": _dedup_exact,
@@ -1678,8 +1708,8 @@ def oracle_sql() -> dict[str, str]:
             "window_topk_orders": _WINDOW_TOPK_SQL,
             "set_union_nations": _SET_UNION_SQL,
             "rollup_lineitem": _ROLLUP_SQL,
-            "doc_token_counts": _DOC_TOKENS_SQL,
             "doc_char_stats": _DOC_STATS_SQL,
+            "bucketed_join_orders": _BUCKETED_JOIN_SQL,
             "doc_lang_id": _DOC_LANG_SQL,
             "doc_fingerprint": _DOC_FINGERPRINT_SQL,
             "dedup_exact_sha": _DEDUP_EXACT_SQL,

@@ -208,6 +208,48 @@ def main() -> int:
         # scale-relevant number and run-to-run variance was 2-3x otherwise
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), repeats=2)
 
+    # --- bucketed storage-partitioned join vs the Catalyst join -------------
+    # recorded in extra (not timings) so headline_total_sec stays comparable
+    # across rounds; the win being measured is "no shuffle of table data"
+    from embulk_output_s3_parquet_spark.jobs import decode_job, encode_job
+    from embulk_output_s3_parquet_spark.operators.bucketjoin import bucketed_join
+
+    bj_root = f"/tmp/bench_bucketed_{sf}"
+    li_path, od_path = f"{bj_root}/lineitem", f"{bj_root}/orders"
+    if not os.path.exists(li_path):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+        )
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+        t0 = time.time()
+        encode_job(spark, li, li_path, policy, bucket_by=("l_orderkey", 16))
+        encode_job(spark, od, od_path, policy, bucket_by=("o_orderkey", 16))
+        extra["bucketed_encode_setup_sec"] = round(time.time() - t0, 3)
+
+    def run_bucketed():
+        return bucketed_join(spark, li_path, od_path, how="inner").count()
+
+    def run_catalyst():
+        l, r = decode_job(spark, li_path), decode_job(spark, od_path)
+        return l.join(r, l["l_orderkey"] == r["o_orderkey"], "inner").count()
+
+    best_b = best_c = None
+    for _ in range(2):
+        t0 = time.time()
+        nb = run_bucketed()
+        dt = time.time() - t0
+        best_b = dt if best_b is None else min(best_b, dt)
+        t0 = time.time()
+        nc = run_catalyst()
+        dt = time.time() - t0
+        best_c = dt if best_c is None else min(best_c, dt)
+    assert nb == nc, (nb, nc)
+    extra["bucketed_join_sec"] = round(best_b, 3)
+    extra["catalyst_join_sec"] = round(best_c, 3)
+    extra["bucketed_join_rows"] = int(nb)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
