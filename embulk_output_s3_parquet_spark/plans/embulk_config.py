@@ -226,6 +226,7 @@ class OutputPlan:
     properties: dict = field(default_factory=dict)
     cluster_by: list = field(default_factory=list)
     zorder: bool = False
+    bucket_by: tuple | None = None  # (col, N) -- Iceberg bucket transform
 
     def apply(self, df: DataFrame) -> DataFrame:
         return df.select(*self.exprs)
@@ -291,10 +292,31 @@ def load_output_config(cfg: dict, schema: T.StructType) -> OutputPlan:
     zorder = bool(cfg.get("zorder", False))
     if zorder and not cluster_by:
         raise ConfigException("zorder: true requires cluster_by")
+    # bucket_by: {column: k, count: N} -- the bucket-major layout behind
+    # operators.bucketjoin's shuffle-free equi-join
+    bucket_by = None
+    bspec = cfg.get("bucket_by")
+    if bspec is not None:
+        if not isinstance(bspec, dict) or set(bspec) != {"column", "count"}:
+            raise ConfigException(
+                "bucket_by must be a map {column: <name>, count: <N>}"
+            )
+        if bspec["column"] not in names:
+            raise ConfigException(
+                f"bucket_by: unknown column {bspec['column']!r}"
+            )
+        try:
+            n = int(bspec["count"])
+        except (TypeError, ValueError):
+            raise ConfigException("bucket_by.count must be an integer")
+        if n < 1:
+            raise ConfigException("bucket_by.count must be >= 1")
+        bucket_by = (bspec["column"], n)
     return OutputPlan(
         exprs=exprs,
         policy=policy,
         properties={"compression_codec": codec, "default_timezone": default_tz},
         cluster_by=cluster_by,
         zorder=zorder,
+        bucket_by=bucket_by,
     )

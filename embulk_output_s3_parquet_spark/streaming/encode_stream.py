@@ -28,11 +28,17 @@ def encode_stream(
     checkpoint_dir: str,
     policy: CodecPolicy | None = None,
     trigger: dict | None = None,
+    bucket_by: tuple | None = None,
 ):
     """Start the streaming encode sink; returns the StreamingQuery.
 
     ``trigger`` defaults to availableNow (drain-and-stop, the batch-parity
     mode); pass e.g. {"processingTime": "10 seconds"} for continuous runs.
+
+    ``bucket_by=(col, N)`` keeps the sink's table bucket-major (see
+    encode_job): the first micro-batch records the spec, later batches --
+    and any batch append against a pre-bucketed table -- inherit it, so a
+    streamed table stays joinable via operators.bucketjoin.
     """
     policy = policy or CodecPolicy()
     spark = stream_df.sparkSession
@@ -47,6 +53,7 @@ def encode_stream(
             policy,
             if_exists="skip",
             part_base=int(batch_id) * PART_STRIDE,
+            bucket_by=bucket_by,
         )
 
     writer = (

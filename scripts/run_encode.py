@@ -47,6 +47,12 @@ def main() -> int:
         "column prune chunks (Delta OPTIMIZE ZORDER analogue)",
     )
     ap.add_argument(
+        "--bucket-by", default=None, metavar="COL:N",
+        help="bucket-major layout (Iceberg bucket transform): every part "
+        "holds one pmod(xxhash64(COL), N) bucket -- enables the "
+        "shuffle-free bucketed equi-join (operators.bucketjoin)",
+    )
+    ap.add_argument(
         "--bloom-columns", default=None, metavar="COL[,COL...]",
         help="record per-chunk Bloom filters on these columns (equality/IN "
         "data skipping for point lookups; string/binary/int only)",
@@ -128,6 +134,8 @@ def main() -> int:
             args.cluster_by = ",".join(plan.cluster_by)
         if plan.zorder and not args.zorder:
             args.zorder = True
+        if plan.bucket_by and not args.bucket_by:
+            args.bucket_by = f"{plan.bucket_by[0]}:{plan.bucket_by[1]}"
 
     # warm Python UDF workers on all cores so measured wall is steady-state
     import pyarrow as pa
@@ -139,10 +147,22 @@ def main() -> int:
     n_cores = spark.sparkContext.defaultParallelism
     spark.range(0, n_cores * 2, 1, n_cores * 2).mapInArrow(_noop, "n int").count()
 
+    bucket_by = None
+    if args.bucket_by:
+        col, _, n = args.bucket_by.rpartition(":")
+        if not col or not n.isdigit():
+            raise SystemExit("--bucket-by must be COL:N (e.g. repo:64)")
+        bucket_by = (col, int(n))
+
     t0 = time.time()
     if args.direct:
         if not args.input_parquet:
             raise SystemExit("--direct requires --input-parquet")
+        if bucket_by:
+            raise SystemExit(
+                "--direct encodes split-index parts (file geometry); "
+                "--bucket-by needs the DataFrame path"
+            )
         table = encode_parquet_job(
             spark, args.input_parquet, args.out, policy,
             if_exists=args.if_exists, max_parts=args.max_parts,
@@ -155,6 +175,7 @@ def main() -> int:
             max_parts=args.max_parts,
             cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
             zorder=args.zorder,
+            bucket_by=bucket_by,
         )
     wall = time.time() - t0
     m = table_metrics(table)

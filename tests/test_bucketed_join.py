@@ -180,6 +180,73 @@ def test_mismatched_or_unbucketed_refused(spark, tables, tmp_path):
         bucketed_join(spark, lpath, other, how="cross")
 
 
+def test_streamed_sink_keeps_buckets(spark, tables, tmp_path):
+    """Two micro-batches through the streaming encode sink with
+    bucket_by: every committed part stays tagged + pure, and the streamed
+    table joins shuffle-free against the module dims table."""
+    from embulk_output_s3_parquet_spark.streaming.encode_stream import (
+        encode_stream,
+    )
+
+    _, rpath = tables
+    src = tmp_path / "src"
+    src.mkdir()
+    _facts(spark, 200).write.parquet(str(src / "w1"))
+    _facts(spark, 350).where("v % 3 = 0").write.parquet(str(src / "w2"))
+    path = str(tmp_path / "enc")
+    stream = (
+        spark.readStream.schema(_facts(spark, 1).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src) + "/*")
+    )
+    q = encode_stream(
+        stream, path, str(tmp_path / "ckpt"), POLICY,
+        bucket_by=("k", N_BUCKETS),
+    )
+    q.awaitTermination(300)
+    t = EncodedTable(path)
+    assert t.properties().get("bucket-by") == ["k", N_BUCKETS]
+    assert all("bucket" in row for row in t.lineage().values())
+    got = bucketed_join(spark, path, rpath, how="inner")
+    l, r = decode_job(spark, path), decode_job(spark, rpath)
+    want = l.join(r, l["k"] == r["dk"]).select(
+        l["k"], l["v"], l["tag"], r["name"], r["v"].alias("v_r")
+    )
+    cols = ["k", "v", "tag", "name", "v_r"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_embulk_config_bucket_by(spark):
+    """Table-level bucket_by rides the embulk config surface with the same
+    eager validation as every other config error."""
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.plans.embulk_config import (
+        load_output_config,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    plan = load_output_config(
+        {"bucket_by": {"column": "k", "count": 32}}, schema
+    )
+    assert plan.bucket_by == ("k", 32)
+    assert load_output_config({}, schema).bucket_by is None
+    for bad, msg in [
+        ({"bucket_by": {"column": "nope", "count": 4}}, "unknown column"),
+        ({"bucket_by": {"column": "k", "count": 0}}, ">= 1"),
+        ({"bucket_by": {"column": "k", "count": "x"}}, "integer"),
+        ({"bucket_by": {"column": "k"}}, "map"),
+        ({"bucket_by": "k:4"}, "map"),
+    ]:
+        with pytest.raises(ConfigException, match=msg):
+            load_output_config(bad, schema)
+
+
 def test_bucket_pruning_reads_only_matching_bucket(spark, tables):
     """A join whose left side is filtered to one key touches only that
     key's bucket on the right -- the task specs themselves prove the IO
