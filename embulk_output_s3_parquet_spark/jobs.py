@@ -1465,6 +1465,108 @@ def export_job(
     }
 
 
+def rollback_job(table_path: str, to_gen: int) -> dict:
+    """Roll the table back to a RETAINED snapshot generation (Iceberg's
+    ``rollback_to_snapshot``): the target generation's lineage shards (and
+    bloom sidecars) are hard-linked into a NEW generation and the manifest
+    pointer flipped in one atomic write -- history moves forward, data
+    files never move, and a crash before the flip leaves the current
+    generation fully intact (the same contract as every other rewrite).
+
+    Tombstone accounting follows the pointer: part ids live now but absent
+    from the target become retired (a replayed encode wave must not
+    resurrect the rolled-back rewrite's parts), and target-generation ids
+    a DML had retired are un-tombstoned (they are committed live parts
+    again, which is what makes the rollback actually undo a DELETE).
+    ``max-part-id`` stays monotone, so no id is ever reused.
+
+    Metadata-only: no SparkSession, O(shard count) IO. Requires
+    ``snapshot-retention`` >= 1 and ``to_gen`` within the retained window
+    (vacuum may have reclaimed anything older)."""
+    import os
+    import shutil
+
+    t0 = time.time()
+    table = EncodedTable(table_path)
+    m = table._core_manifest()
+    cur = int(m.get("parts_gen", 0))
+    to_gen = int(to_gen)
+    if to_gen == cur:
+        return {"rolled_back": False, "parts_gen": cur, "reason": "already current"}
+    if to_gen > cur:
+        raise ConfigException(
+            f"generation {to_gen} of {table_path} was never committed "
+            f"(current is {cur})"
+        )
+    retained = table.retained_generations()
+    if to_gen not in retained:
+        raise ConfigException(
+            f"generation {to_gen} of {table_path} is not retained "
+            f"(retained: {retained}); set snapshot-retention BEFORE the "
+            "rewrite you may want to undo"
+        )
+    target = table.lineage_at(to_gen)  # raises if the shard dir is gone
+    # every target part's data must still be on disk before we flip the
+    # pointer at it -- retention guarantees this, but a hand-deleted dir
+    # must fail HERE, not at first read
+    missing = [
+        pid
+        for pid in target
+        if not os.path.isdir(os.path.join(table.data_dir, f"part_id={pid}"))
+    ]
+    if missing:
+        raise ConfigException(
+            f"cannot roll back {table_path} to generation {to_gen}: part "
+            f"dirs missing on disk: {sorted(missing)[:8]}"
+        )
+    new_gen = cur + 1
+    src_dir = os.path.join(table.path, f"parts-{to_gen}")
+    new_dir = os.path.join(table.path, f"parts-{new_gen}")
+    shutil.rmtree(new_dir, ignore_errors=True)
+    os.makedirs(new_dir, exist_ok=True)
+    # hard-link the whole shard dir (lineage .json + .bf sidecars): the new
+    # generation is byte-identical to the target, so part blooms and zone
+    # pruning survive the rollback with zero re-derivation
+    for name in os.listdir(src_dir):
+        src = os.path.join(src_dir, name)
+        if not os.path.isfile(src):
+            continue
+        try:
+            os.link(src, os.path.join(new_dir, name))
+        except OSError:
+            shutil.copy2(src, os.path.join(new_dir, name))
+    live_now = set(table.completed_parts())
+    live_target = set(target)
+    props = m.setdefault("properties", {})
+    retired = {int(p) for p in props.get("retired-parts", [])}
+    props["retired-parts"] = sorted((retired | (live_now - live_target)) - live_target)
+    m["parts"] = {}
+    m["parts_gen"] = new_gen
+    table._write_manifest(m)
+    # the superseded generation (cur) enters the retention window like any
+    # other rewrite's predecessor; vacuum expires it past the window
+    table.log_op(
+        "rollback",
+        {
+            "from_gen": cur,
+            "to_gen": to_gen,
+            "new_gen": new_gen,
+            "parts": len(live_target),
+            "retired_delta": sorted(live_now - live_target),
+            "revived": sorted(live_target - live_now),
+        },
+    )
+    return {
+        "rolled_back": True,
+        "from_gen": cur,
+        "to_gen": to_gen,
+        "parts_gen": new_gen,
+        "parts": len(live_target),
+        "rows": sum(int(r.get("rows", 0)) for r in target.values()),
+        "wall_s": round(time.time() - t0, 2),
+    }
+
+
 def vacuum_job(
     table_path: str, dry_run: bool = False, stale_after_s: float | None = None
 ) -> dict:

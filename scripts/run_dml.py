@@ -10,6 +10,7 @@ Usage:
     ... compact --table T [--cluster-by col1,col2]
     ... vacuum  --table T [--dry-run]
     ... snapshots --table T [--retain N]          # list / set retention
+    ... rollback --table T --to-gen G             # undo rewrites atomically
     ... verify  --table T
 
 Every subcommand prints ONE JSON report line (the job API's return value),
@@ -85,6 +86,12 @@ def main() -> int:
     p = sub.add_parser("snapshots", help="list generations / set retention")
     p.add_argument("--table", required=True)
     p.add_argument("--retain", type=int, help="set snapshot-retention to N")
+
+    p = sub.add_parser(
+        "rollback", help="roll back to a retained snapshot generation"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--to-gen", type=int, required=True, dest="to_gen")
 
     p = sub.add_parser("verify", help="sha256 lineage audit")
     p.add_argument("--table", required=True)
@@ -166,6 +173,10 @@ def main() -> int:
         rep["schema"] = [
             f"{f.name}:{f.dataType.simpleString()}" for f in t.schema().fields
         ]
+    elif args.cmd == "rollback":
+        from embulk_output_s3_parquet_spark.jobs import rollback_job
+
+        rep = rollback_job(args.table, args.to_gen)
     elif args.cmd == "snapshots":
         from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
 

@@ -2142,3 +2142,95 @@ def test_maintenance_lifecycle_cross_shard(spark, tmp_path):
     # history records every lifecycle op in order
     ops = [h["op"] for h in EncodedTable(path).history()]
     assert ops.count("delete") == 2 and "compact" in ops and "vacuum" in ops
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    """rollback_job (r5, Iceberg rollback_to_snapshot): the pointer moves
+    FORWARD to a new generation that is byte-identical to the target, a
+    rolled-back DELETE's rows come back, tombstone accounting follows the
+    pointer in both directions, and vacuum after a rollback never touches
+    the revived parts."""
+    from embulk_output_s3_parquet_spark.jobs import (
+        count_job, delete_job, rollback_job, vacuum_job, verify_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "rb")
+    pol = _policy(chunk_rows=64, bloom_columns=("doc_id",))
+    encode_job(spark, docs, path, pol, if_exists="error")
+    t = EncodedTable(path)
+    t.set_snapshot_retention(2)
+    g0 = t.generations()[-1]
+    crc = lambda df: df.select(  # noqa: E731
+        F.sum(F.crc32(F.concat_ws("|", "doc_id", "text", "lang")))
+    ).first()[0]
+    orig_crc = crc(docs)
+
+    victims = [
+        int(r[0])
+        for r in docs.select("doc_id").orderBy("doc_id").limit(3).collect()
+    ]
+    rep_d = delete_job(spark, path, ("doc_id", "in", victims))
+    assert rep_d["rows_deleted"] == 3
+    t = EncodedTable(path)
+    g1 = t.generations()[-1]
+    retired_after_delete = t.retired_parts()
+    assert retired_after_delete, "delete must tombstone"
+    new_ids_from_delete = set(t.lineage()) - set(t.lineage_at(g0))
+
+    # -- roll the delete back: the rows return, bit-stable ----------------
+    rep = rollback_job(path, g0)
+    assert rep["rolled_back"] and rep["from_gen"] == g1
+    t = EncodedTable(path)
+    g2 = t.generations()[-1]
+    assert g2 == g1 + 1, "rollback moves history FORWARD"
+    back = decode_job(spark, path)
+    assert back.count() == docs.count()
+    assert crc(back) == orig_crc
+    assert count_job(spark, path, ("doc_id", "in", victims)) == 3
+    # tombstones follow the pointer: revived ids un-retired, the delete's
+    # replacement parts retired (a replayed wave must not re-encode them)
+    assert t.retired_parts() & set(t.lineage()) == set()
+    assert new_ids_from_delete <= t.retired_parts()
+    assert set(t.lineage()) == set(t.lineage_at(g0))
+    # part blooms survived the hard-link (point lookup still prunes)
+    assert t.surviving_parts([("doc_id", "==", victims[0])]) is not None
+    assert verify_table(spark, path) == []
+
+    # -- vacuum after rollback: g1's exclusive parts stay (g1 is retained),
+    # nothing live is swept
+    rep_v = vacuum_job(path)
+    assert rep_v["orphan_parts"] == []
+    assert decode_job(spark, path).count() == docs.count()
+    assert decode_job(spark, path, at_gen=g1).count() == docs.count() - 3
+
+    # -- history + report shape -------------------------------------------
+    ops = [h["op"] for h in t.history()]
+    assert "rollback" in ops
+    noop = rollback_job(path, g2)
+    assert noop["rolled_back"] is False
+
+    # -- refusals -----------------------------------------------------------
+    with pytest.raises(ConfigException, match="never committed"):
+        rollback_job(path, g2 + 7)
+    # expire g0 out of the window: rollback must refuse, not half-flip
+    t.set_snapshot_retention(1)
+    vacuum_job(path)
+    with pytest.raises(ConfigException, match="not retained|not on disk"):
+        rollback_job(path, g0)
+    assert decode_job(spark, path).count() == docs.count()  # intact
+
+
+def test_rollback_requires_retention(spark, tmp_path):
+    """With snapshot-retention 0 (the default), a rewrite leaves nothing to
+    roll back to -- rollback_job must refuse loudly rather than flip at a
+    missing generation."""
+    from embulk_output_s3_parquet_spark.jobs import delete_job, rollback_job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "rb0")
+    encode_job(spark, docs, path, _policy(chunk_rows=128), if_exists="error")
+    g0 = EncodedTable(path).generations()[-1]
+    delete_job(spark, path, ("doc_id", "==", 1))
+    with pytest.raises(ConfigException, match="not retained"):
+        rollback_job(path, g0)
