@@ -1284,12 +1284,28 @@ def _count_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs, path, CodecPolicy(chunk_rows=64), if_exists="delete",
         cluster_by=["n_chars"],
     )
+    from embulk_output_s3_parquet_spark.jobs import minmax_job
+
+    mm_all = minmax_job(spark, path, ["n_chars", "doc_id"])  # pure manifest pass
+    mm_band = minmax_job(
+        spark, path, ["doc_id"],
+        where=[("n_chars", ">=", 200), ("n_chars", "<", 400)],
+    )
     rows = [
         ("all", count_job(spark, path)),
         ("range", count_job(spark, path, where=("n_chars", ">=", 450))),
         ("band", count_job(spark, path, where=[("n_chars", ">=", 200), ("n_chars", "<", 400)])),
         ("inlist", count_job(spark, path, where=("lang", "in", ["en", "zh"]))),
         ("notnull", count_job(spark, path, where=("lang", "notnull", None))),
+        # metadata-first MIN/MAX (jobs.minmax_job): the no-predicate bounds
+        # come straight from lineage zones, the banded ones from boundary
+        # chunks only -- both must equal the plain SQL aggregates
+        ("min_chars", int(mm_all["n_chars"][0])),
+        ("max_chars", int(mm_all["n_chars"][1])),
+        ("min_doc", int(mm_all["doc_id"][0])),
+        ("max_doc", int(mm_all["doc_id"][1])),
+        ("min_doc_band", int(mm_band["doc_id"][0])),
+        ("max_doc_band", int(mm_band["doc_id"][1])),
     ]
     return spark.createDataFrame(rows, "pred string, cnt long").orderBy("pred")
 
@@ -1301,6 +1317,12 @@ SELECT pred, cnt FROM (
   UNION ALL SELECT 'band', count(*) FROM documents WHERE n_chars >= 200 AND n_chars < 400
   UNION ALL SELECT 'inlist', count(*) FROM documents WHERE lang IN ('en','zh')
   UNION ALL SELECT 'notnull', count(*) FROM documents WHERE lang IS NOT NULL
+  UNION ALL SELECT 'min_chars', min(n_chars) FROM documents
+  UNION ALL SELECT 'max_chars', max(n_chars) FROM documents
+  UNION ALL SELECT 'min_doc', min(doc_id) FROM documents
+  UNION ALL SELECT 'max_doc', max(doc_id) FROM documents
+  UNION ALL SELECT 'min_doc_band', min(doc_id) FROM documents WHERE n_chars >= 200 AND n_chars < 400
+  UNION ALL SELECT 'max_doc_band', max(doc_id) FROM documents WHERE n_chars >= 200 AND n_chars < 400
 ) ORDER BY pred
 """
 

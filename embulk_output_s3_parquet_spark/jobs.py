@@ -27,23 +27,10 @@ from .sources.tables import EncodedTable
 from .codecs.bloom import PART_BF_MAX_BYTES
 
 
-def merge_zone(t: str, a, b):
-    """Combine two chunk-zone [lo, hi] pairs of the same column type into
-    their union. Decimal zones are exact strings (see codecs._zone_of) and
-    must compare as Decimals, not lexically; None (either side zoneless)
-    poisons the union -- a part zone must bound EVERY chunk or not exist."""
-    if a is None or b is None:
-        return None
-    if t.startswith("decimal128("):
-        from decimal import Decimal
-
-        lo = min(Decimal(a[0]), Decimal(b[0]))
-        hi = max(Decimal(a[1]), Decimal(b[1]))
-        return [str(lo), str(hi)]
-    try:
-        return [min(a[0], b[0]), max(a[1], b[1])]
-    except TypeError:
-        return None
+# merge_zone moved to sources.chunkscan (minmax_file shares it executor-side
+# without importing this pyspark-heavy module in tasks); re-exported here
+# because lineage_row_from_chunks and tests reference it as jobs.merge_zone
+from .sources.chunkscan import merge_zone  # noqa: E402,F401
 
 
 def lineage_row_from_chunks(
@@ -494,6 +481,155 @@ def count_job(
 
     out = path_df.mapInPandas(cnt, schema="n long")
     return total + int(out.agg(F.sum("n")).first()[0] or 0)
+
+
+def minmax_job(
+    spark: SparkSession,
+    table_path: str,
+    columns: list[str],
+    where=None,
+    at_gen: int | None = None,
+) -> dict[str, tuple]:
+    """Exact MIN/MAX per column with metadata-only pruning -- the MIN/MAX
+    twin of :func:`count_job`. Returns ``{col: (min, max)}`` in logical
+    python values ((None, None) when no row survives).
+
+    Three metadata tiers before any payload IO: (1) with no predicate, a
+    part whose lineage zone bounds the column contributes driver-side --
+    MIN/MAX over a 100 TB table is one manifest pass, no Spark job at all;
+    (2) per-part tri-state (zones + bloom sidecars) drops fully-excluded
+    parts with no task; (3) inside surviving parts, minmax_file decodes
+    only boundary chunks (masked by the undecided conjuncts) and zoneless
+    columns. Like count_job, the only thing shuffled is one JSON line per
+    surviving part."""
+    import json as _json
+    import os
+
+    from .sources.chunkscan import (
+        conjunct_state_of,
+        normalize_where,
+        storage_to_logical,
+    )
+
+    table = EncodedTable(table_path)
+    names = [f.name for f in table.schema().fields]
+    missing = [c for c in columns if c not in names]
+    if missing:
+        raise ConfigException(f"minmax columns not in table schema: {missing}")
+    conjuncts = normalize_where(where, names)
+    lineage = (
+        table.lineage_at(at_gen) if at_gen is not None else table.lineage()
+    )
+    if not lineage:
+        raise ConfigException(f"table {table_path} has no committed partitions")
+    fillable = frozenset(table.added_columns())
+
+    acc: dict[str, dict] = {c: {"t": "", "mm": None} for c in columns}
+
+    def fold(col: str, tname: str, mm) -> None:
+        cur = acc[col]
+        if not cur["t"] and tname:
+            cur["t"] = tname
+        if mm is None:
+            return
+        cur["mm"] = (
+            list(mm)
+            if cur["mm"] is None
+            else merge_zone(cur["t"] or tname, cur["mm"], list(mm))
+        )
+
+    admitted = table.surviving_parts(conjuncts) if conjuncts else None
+    dirs = []
+    for pid in sorted(lineage):
+        row = lineage[pid]
+        zones = row.get("zones", {})
+        n_rows = int(row.get("rows", 0))
+        if conjuncts:
+            if pid not in admitted:
+                continue
+            states = [
+                conjunct_state_of(zones, n_rows, c, op, v, fillable)
+                for c, op, v in conjuncts
+            ]
+            if any(s == "none" for s in states):
+                continue
+            boundary = any(s != "all" for s in states)
+        else:
+            boundary = False
+        unresolved = False
+        if not boundary:
+            # fully-included part: lineage zones answer columns they bound
+            for c in columns:
+                e = zones.get(c)
+                if e is None:
+                    if c not in fillable:
+                        unresolved = True
+                    continue  # added column: all-null in this part
+                if int(e.get("z", 0)) >= int(e.get("n", 0)):
+                    fold(c, e.get("t", ""), None)
+                elif e.get("mm") is not None:
+                    fold(c, e.get("t", ""), e["mm"])
+                else:
+                    unresolved = True
+        if boundary or unresolved:
+            dirs.append(
+                (os.path.join(table.data_dir, f"part_id={pid}"), bool(boundary))
+            )
+    if dirs:
+        par = min(len(dirs), spark.sparkContext.defaultParallelism * 2)
+        path_df = spark.createDataFrame(
+            dirs, "dir string, boundary boolean"
+        ).repartition(par)
+        agg_cols = list(columns)
+        cjs = conjuncts
+
+        def mm_task(it):
+            import glob as _glob
+            import json as _j
+            import os as _os
+
+            import pandas as pd
+
+            from embulk_output_s3_parquet_spark.sources.chunkscan import (
+                merge_zone as _mz,
+                minmax_file,
+            )
+
+            for pdf in it:
+                out: dict[str, dict] = {}
+                for d, bd in zip(pdf["dir"], pdf["boundary"]):
+                    files = sorted(_glob.glob(_os.path.join(d, "*.parquet")))
+                    if not files:
+                        raise FileNotFoundError(f"committed part missing: {d}")
+                    for f in files:
+                        got = minmax_file(
+                            f, cjs if bd else [], agg_cols, fillable=fillable
+                        )
+                        for c, e in got.items():
+                            cur = out.get(c)
+                            if cur is None:
+                                out[c] = dict(e)
+                            elif e.get("mm") is not None:
+                                cur["mm"] = (
+                                    list(e["mm"])
+                                    if cur["mm"] is None
+                                    else _mz(cur["t"] or e["t"], cur["mm"], e["mm"])
+                                )
+                                cur["t"] = cur["t"] or e["t"]
+                yield pd.DataFrame({"j": [_j.dumps(out)]})
+
+        for (blob,) in path_df.mapInPandas(mm_task, schema="j string").collect():
+            for c, e in _json.loads(blob).items():
+                fold(c, e.get("t", ""), e.get("mm"))
+
+    out: dict[str, tuple] = {}
+    for c in columns:
+        t, mm = acc[c]["t"], acc[c]["mm"]
+        if mm is None:
+            out[c] = (None, None)
+        else:
+            out[c] = (storage_to_logical(t, mm[0]), storage_to_logical(t, mm[1]))
+    return out
 
 
 def decode_job_chunks(

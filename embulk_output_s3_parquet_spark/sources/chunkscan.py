@@ -328,6 +328,25 @@ def scan_file(
     return surviving, meta_by, decoded
 
 
+def merge_zone(t: str, a, b):
+    """Combine two chunk-zone [lo, hi] pairs of the same column type into
+    their union. Decimal zones are exact strings (see codecs._zone_of) and
+    must compare as Decimals, not lexically; None (either side zoneless)
+    poisons the union -- a part zone must bound EVERY chunk or not exist."""
+    if a is None or b is None:
+        return None
+    if t.startswith("decimal128("):
+        from decimal import Decimal
+
+        lo = min(Decimal(a[0]), Decimal(b[0]))
+        hi = max(Decimal(a[1]), Decimal(b[1]))
+        return [str(lo), str(hi)]
+    try:
+        return [min(a[0], b[0]), max(a[1], b[1])]
+    except TypeError:
+        return None
+
+
 def conjunct_state_of(
     cols_meta: dict, n: int, c: str, op: str, v,
     fillable: frozenset[str] = frozenset(),
@@ -620,6 +639,178 @@ def count_file(
             mask = m if mask is None else pc.and_kleene(mask, m)
         total += int(pc.sum(mask).as_py() or 0)
     return total
+
+
+def _storage_minmax(arr: pa.Array):
+    """[lo, hi] of a decoded array in the ZONE's storage domain (the same
+    representation codecs._zone_of records: temporal as raw int storage,
+    decimals as exact strings), so exact boundary-chunk results merge with
+    metadata-derived zones through one merge_zone. None when all-null."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if pa.types.is_timestamp(t) or pa.types.is_date64(t):
+        arr = arr.cast(pa.int64())
+    elif pa.types.is_date32(t):
+        arr = arr.cast(pa.int32())
+    mm = pc.min_max(arr)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None or hi is None:
+        return None
+    if pa.types.is_decimal128(t):
+        return [str(lo), str(hi)]
+    return [lo, hi]
+
+
+def storage_to_logical(tname: str, v):
+    """Inverse of coerce_literal for MIN/MAX results: a zone-domain bound
+    back to the column's logical python value (timestamps from raw ints in
+    the column's unit, date32 from epoch days, decimals from their exact
+    strings). Identity for everything else."""
+    if v is None:
+        return None
+    if tname.startswith("decimal128("):
+        from decimal import Decimal
+
+        return Decimal(v)
+    if tname.startswith("timestamp[") or tname == "date64[ms]":
+        from ..codecs.base import type_from_name
+
+        return pa.array([int(v)], pa.int64()).cast(type_from_name(tname))[0].as_py()
+    if tname == "date32[day]":
+        return pa.array([int(v)], pa.int32()).cast(pa.date32())[0].as_py()
+    return v
+
+
+def minmax_file(
+    path: str,
+    conjuncts: list[tuple],
+    agg_cols: list[str],
+    fillable: frozenset[str] = frozenset(),
+    stats_out: dict | None = None,
+) -> dict[str, dict]:
+    """Exact per-column [min, max] over one chunk file under ANDed
+    ``conjuncts``, in the zone storage domain: ``{col: {"t": tname,
+    "mm": [lo, hi] | None}}``.
+
+    Payload bytes are read ONLY where metadata can't answer: a chunk all
+    conjuncts fully include contributes its zone bounds directly (zones are
+    exact min/max attained by real rows), an all-null or fully-excluded
+    chunk contributes nothing, and decode happens just for boundary chunks
+    (masked by the undecided conjuncts) and for fully-included chunks of
+    columns with no recorded zone (document-sized strings, non-finite
+    floats). On a clustered table a range MIN/MAX is a pure metadata pass."""
+    pf = pq.ParquetFile(path)
+    mt = pf.read(columns=["chunk_seq", "col", "meta"])
+    meta_by: dict[int, dict] = {}
+    for seq, col, meta in zip(
+        mt.column("chunk_seq").to_pylist(),
+        mt.column("col").to_pylist(),
+        mt.column("meta").to_pylist(),
+    ):
+        meta_by.setdefault(seq, {})[col] = meta_from_json(meta)
+
+    acc: dict[str, dict] = {}
+
+    def fold(col: str, tname: str, mm) -> None:
+        cur = acc.get(col)
+        if cur is None:
+            acc[col] = {"t": tname, "mm": mm}
+        elif mm is not None:
+            acc[col]["mm"] = (
+                mm if cur["mm"] is None else merge_zone(cur["t"] or tname, cur["mm"], mm)
+            )
+            if not acc[col]["t"]:
+                acc[col]["t"] = tname
+
+    # chunk_seq -> (undecided conjuncts, agg cols whose payload must decode)
+    need: dict[int, tuple[list[tuple], list[str]]] = {}
+    for seq, cols in meta_by.items():
+        n = next(iter(cols.values()))["n"] if cols else 0
+        states = [
+            (conjunct_state_of(cols, n, c, op, v, fillable), (c, op, v))
+            for c, op, v in conjuncts
+        ]
+        if any(s == "none" for s, _ in states):
+            continue
+        undecided = [cj for s, cj in states if s != "all"]
+        decode_cols: list[str] = []
+        for c in agg_cols:
+            meta = cols.get(c)
+            if meta is None:
+                if c in fillable:
+                    fold(c, "", None)  # added column: all-null here
+                    continue
+                raise ValueError(
+                    f"chunk {seq} of {path} is missing aggregate column "
+                    f"{c!r} (file written by a different layout?)"
+                )
+            if int(meta.get("z", 0)) >= int(meta.get("n", 0)):
+                fold(c, meta.get("t", ""), None)  # all-null chunk
+                continue
+            if not undecided and meta.get("mm") is not None:
+                fold(c, meta.get("t", ""), list(meta["mm"]))
+                continue
+            decode_cols.append(c)
+        if decode_cols:  # a chunk with nothing left to aggregate needs no IO
+            need[seq] = (undecided, decode_cols)
+    if stats_out is not None:
+        stats_out["chunks_total"] = stats_out.get("chunks_total", 0) + len(meta_by)
+        stats_out["chunks_decoded"] = stats_out.get("chunks_decoded", 0) + len(need)
+    if not need:
+        return acc
+
+    read_cols: dict[int, set[str]] = {
+        seq: ({c for c, _, _ in cjs} | set(dcols))
+        for seq, (cjs, dcols) in need.items()
+    }
+    names_sorted = sorted({c for cols in read_cols.values() for c in cols})
+    surviving_sorted = sorted(need)
+    col_idx = {
+        pf.metadata.row_group(0).column(i).path_in_schema: i
+        for i in range(pf.metadata.num_columns)
+    }
+    decoded: dict[int, dict[str, pa.Array]] = {}
+    for rg in range(pf.metadata.num_row_groups):
+        if _rg_prunable(pf.metadata.row_group(rg), col_idx, names_sorted, surviving_sorted):
+            continue
+        t = pf.read_row_group(rg, columns=["chunk_seq", "col", "payload"])
+        payloads = t.column("payload")
+        for i, (seq, col) in enumerate(
+            zip(t.column("chunk_seq").to_pylist(), t.column("col").to_pylist())
+        ):
+            if seq in read_cols and col in read_cols[seq]:
+                decoded.setdefault(seq, {})[col] = decode_array(
+                    payloads[i].as_py(), meta_by[seq][col]
+                )
+    import pyarrow.compute as pc
+
+    for seq, (cjs, dcols) in need.items():
+        arrs = decoded.get(seq, {})
+        mask = None
+        for c, op, v in cjs:
+            if c not in arrs:
+                raise ValueError(
+                    f"chunk {seq} of {path} is missing predicate column "
+                    f"{c!r} (file written by a different layout?)"
+                )
+            m = _match_mask(arrs[c], op, v)
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        # a boundary chunk decodes EVERY non-all-null agg col (its zone
+        # bounds may come from rows the mask drops); a zoneless
+        # fully-included chunk only the zoneless ones -- both are exactly
+        # what landed in dcols above
+        for c in dcols:
+            if c not in arrs:
+                raise ValueError(
+                    f"chunk {seq} of {path} is missing aggregate column "
+                    f"{c!r} (file written by a different layout?)"
+                )
+            arr = arrs[c]
+            if mask is not None:
+                arr = pc.filter(arr, pc.fill_null(mask, False))
+            fold(c, meta_by[seq][c].get("t", ""), _storage_minmax(arr))
+    return acc
 
 
 def iter_part_tables(

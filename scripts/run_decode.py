@@ -5,6 +5,7 @@ Usage:
         scripts/run_decode.py --table /tmp/enc --out /tmp/decoded.parquet \
         [--columns repo,lang] [--where 'lang==go' --where 'n>=100']
     ... --count [--where ...]   # metadata-first COUNT(*), no --out needed
+    ... --minmax col1,col2 [--where ...]   # metadata-first MIN/MAX
 """
 
 from __future__ import annotations
@@ -50,6 +51,11 @@ def main() -> int:
     )
     ap.add_argument("--columns", help="comma-separated projection (pruned scan)")
     ap.add_argument(
+        "--minmax", metavar="COL,COL",
+        help="exact MIN/MAX per column under --where via jobs.minmax_job: "
+        "with no predicate this is a pure manifest pass (no --out required)",
+    )
+    ap.add_argument(
         "--at-gen", type=int,
         help="time travel: read a retained part-set generation (requires "
         "snapshot-retention > 0 on the table; see run_dml.py snapshots)",
@@ -93,6 +99,19 @@ def main() -> int:
 
         n = count_job(spark, args.table, where=where, at_gen=args.at_gen)
         print(json.dumps({"count": n, "wall_s": round(time.time() - t0, 2)}))
+        return 0
+    if args.minmax:
+        from embulk_output_s3_parquet_spark.jobs import minmax_job
+
+        mm = minmax_job(
+            spark, args.table, args.minmax.split(","), where=where,
+            at_gen=args.at_gen,
+        )
+        print(json.dumps(
+            {"minmax": {c: [str(lo), str(hi)] if lo is not None else [None, None]
+                        for c, (lo, hi) in mm.items()},
+             "wall_s": round(time.time() - t0, 2)}
+        ))
         return 0
     if not args.out:
         raise SystemExit("--out is required unless --count is given")

@@ -2234,3 +2234,86 @@ def test_rollback_requires_retention(spark, tmp_path):
     delete_job(spark, path, ("doc_id", "==", 1))
     with pytest.raises(ConfigException, match="not retained"):
         rollback_job(path, g0)
+
+
+def test_minmax_job_metadata_first(spark, tmp_path):
+    """minmax_job (r5): exact MIN/MAX matching Spark's aggregates across
+    numeric, string, decimal, and timestamp columns -- with the
+    no-predicate case answered ENTIRELY from lineage zones (no Spark job)
+    and predicated cases decoding only boundary chunks. Zoneless
+    document-sized text falls back to payload decode and stays exact;
+    an added column aggregates to (None, None) until rows carry values."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.jobs import minmax_job
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+    )
+    path = str(tmp_path / "mm")
+    encode_job(
+        spark, li, path, _policy(chunk_rows=512), if_exists="error",
+        cluster_by=["l_orderkey"],
+    )
+
+    # -- no predicate: one manifest pass, values match Spark exactly ------
+    got = minmax_job(
+        spark, path,
+        ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "price_dec"],
+    )
+    exp = li.agg(
+        *[f(c) for c in li.columns for f in (F.min, F.max)]
+    ).collect()[0]
+    for i, c in enumerate(li.columns):
+        assert got[c] == (exp[2 * i], exp[2 * i + 1]), c
+    assert isinstance(got["price_dec"][0], Decimal)
+
+    # -- range predicate on the clustered key: boundary chunks only -------
+    w = [("l_orderkey", ">=", 3000), ("l_orderkey", "<", 9000)]
+    got_w = minmax_job(spark, path, ["l_quantity", "l_shipdate"], where=w)
+    sub = li.filter((F.col("l_orderkey") >= 3000) & (F.col("l_orderkey") < 9000))
+    exp_w = sub.agg(
+        F.min("l_quantity"), F.max("l_quantity"),
+        F.min("l_shipdate"), F.max("l_shipdate"),
+    ).collect()[0]
+    assert got_w["l_quantity"] == (exp_w[0], exp_w[1])
+    assert got_w["l_shipdate"] == (exp_w[2], exp_w[3])
+
+    # -- empty survivor set / unknown column ------------------------------
+    assert minmax_job(
+        spark, path, ["l_quantity"], where=("l_orderkey", ">=", 10**12)
+    ) == {"l_quantity": (None, None)}
+    with pytest.raises(ConfigException, match="not in table schema"):
+        minmax_job(spark, path, ["nope"])
+
+    # -- zoneless long-text column decodes exactly -------------------------
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dpath = str(tmp_path / "mmdocs")
+    encode_job(spark, docs, dpath, _policy(chunk_rows=64), if_exists="error")
+    got_t = minmax_job(spark, dpath, ["text", "lang"])
+    exp_t = docs.agg(F.min("text"), F.max("text"), F.min("lang"), F.max("lang")).collect()[0]
+    assert got_t["text"] == (exp_t[0], exp_t[1])
+    assert got_t["lang"] == (exp_t[2], exp_t[3])
+
+    # -- added column: all-null in old parts -> (None, None), then real
+    # values after an append
+    t = EncodedTable(dpath)
+    t.add_column("quality", T.DoubleType())
+    assert minmax_job(spark, dpath, ["quality"]) == {"quality": (None, None)}
+    extra = docs.limit(5).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text", "lang", "source",
+        "n_chars", F.lit(0.75).cast("double").alias("quality"),
+    )
+    encode_job(spark, extra, dpath, _policy(chunk_rows=64), if_exists="skip", part_base=1000)
+    assert minmax_job(spark, dpath, ["quality"]) == {"quality": (0.75, 0.75)}
+    # predicate on the added column still answers from metadata for the
+    # old (provably all-null) parts
+    assert minmax_job(
+        spark, dpath, ["doc_id"], where=("quality", "notnull", None)
+    )["doc_id"] == (10_000, 10_004)
