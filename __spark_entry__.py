@@ -1284,10 +1284,15 @@ def _count_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs, path, CodecPolicy(chunk_rows=64), if_exists="delete",
         cluster_by=["n_chars"],
     )
-    from embulk_output_s3_parquet_spark.jobs import minmax_job
+    from embulk_output_s3_parquet_spark.jobs import minmax_job, sum_job
 
     mm_all = minmax_job(spark, path, ["n_chars", "doc_id"])  # pure manifest pass
     mm_band = minmax_job(
+        spark, path, ["doc_id"],
+        where=[("n_chars", ">=", 200), ("n_chars", "<", 400)],
+    )
+    sm_all = sum_job(spark, path, ["n_chars"])  # pure manifest pass (part sums)
+    sm_band = sum_job(
         spark, path, ["doc_id"],
         where=[("n_chars", ">=", 200), ("n_chars", "<", 400)],
     )
@@ -1306,6 +1311,11 @@ def _count_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("max_doc", int(mm_all["doc_id"][1])),
         ("min_doc_band", int(mm_band["doc_id"][0])),
         ("max_doc_band", int(mm_band["doc_id"][1])),
+        # metadata-first exact integer SUM (jobs.sum_job): per-chunk sums
+        # recorded at encode roll up into part lineage, so the unpredicated
+        # one is a driver-side manifest pass
+        ("sum_chars", int(sm_all["n_chars"]["sum"])),
+        ("sum_doc_band", int(sm_band["doc_id"]["sum"])),
     ]
     return spark.createDataFrame(rows, "pred string, cnt long").orderBy("pred")
 
@@ -1323,6 +1333,8 @@ SELECT pred, cnt FROM (
   UNION ALL SELECT 'max_doc', max(doc_id) FROM documents
   UNION ALL SELECT 'min_doc_band', min(doc_id) FROM documents WHERE n_chars >= 200 AND n_chars < 400
   UNION ALL SELECT 'max_doc_band', max(doc_id) FROM documents WHERE n_chars >= 200 AND n_chars < 400
+  UNION ALL SELECT 'sum_chars', sum(n_chars) FROM documents
+  UNION ALL SELECT 'sum_doc_band', sum(doc_id) FROM documents WHERE n_chars >= 200 AND n_chars < 400
 ) ORDER BY pred
 """
 

@@ -94,6 +94,9 @@ def encode_array(
     zone = _zone_of(values)
     if zone is not None:
         meta["mm"] = zone
+    sm = _sum_of(values, zone)
+    if sm is not None:
+        meta["sm"] = sm
     if bloom:
         from . import bloom as _bloom
 
@@ -153,6 +156,44 @@ def _zone_of(values: pa.Array):
     if isinstance(lo, str) and (len(lo) > _ZONE_MAX_STR or len(hi) > _ZONE_MAX_STR):
         return None
     return [lo, hi]
+
+
+def _sum_of(values: pa.Array, zone=None):
+    """Per-chunk SUM of the non-null values, for metadata-first SUM/AVG
+    (jobs.sum_job). Decimals sum exactly as strings; floats use one pc.sum
+    (a single fixed summation order per chunk); integers only when the
+    zone bound PROVES the int64 accumulator cannot overflow (|bound| * n <
+    2^62) -- otherwise nothing is recorded and readers take the exact
+    decode path. Types SUM doesn't apply to (strings, temporals, bools,
+    nested) record nothing."""
+    import math
+
+    t = values.type
+    if len(values) == 0:
+        return None
+    if pa.types.is_decimal128(t):
+        import pyarrow.compute as pc
+
+        s = pc.sum(values).as_py()
+        return None if s is None else str(s)
+    if pa.types.is_integer(t):
+        if zone is None:
+            return None
+        bound = max(abs(int(zone[0])), abs(int(zone[1])))
+        if bound * len(values) >= 2**62:
+            return None
+        import pyarrow.compute as pc
+
+        s = pc.sum(values).as_py()
+        return None if s is None else int(s)
+    if pa.types.is_floating(t):
+        import pyarrow.compute as pc
+
+        s = pc.sum(values).as_py()
+        if s is None or not math.isfinite(s):
+            return None  # inf/nan sums are order-fragile: force exact decode
+        return s
+    return None
 
 
 def zone_excludes(zone, op: str, value) -> bool:

@@ -27,10 +27,10 @@ from .sources.tables import EncodedTable
 from .codecs.bloom import PART_BF_MAX_BYTES
 
 
-# merge_zone moved to sources.chunkscan (minmax_file shares it executor-side
-# without importing this pyspark-heavy module in tasks); re-exported here
-# because lineage_row_from_chunks and tests reference it as jobs.merge_zone
-from .sources.chunkscan import merge_zone  # noqa: E402,F401
+# merge_zone/merge_sum moved to sources.chunkscan (minmax_file/sum_file share
+# them executor-side without importing this pyspark-heavy module in tasks);
+# re-exported because lineage_row_from_chunks and tests use jobs.merge_zone
+from .sources.chunkscan import merge_sum, merge_zone, summable as _summable  # noqa: E402,F401
 
 
 def lineage_row_from_chunks(
@@ -59,7 +59,12 @@ def lineage_row_from_chunks(
             "n": int(m.get("n", 0)),
             "z": int(m.get("z", 0)),
             "mm": m.get("mm"),
+            "sm": m.get("sm"),
         }
+        if e["sm"] is None and e["z"] >= e["n"] and _summable(e["t"]):
+            # an all-null chunk records no sum but CONTRIBUTES zero -- only
+            # a value-carrying chunk without one poisons the part sum
+            e["sm"] = "0" if e["t"].startswith("decimal128(") else 0
         chunk_bfs.setdefault(col, []).append(m.get("bf"))
         if "pbf" in m:
             part_bfs.setdefault(col, []).append(m["pbf"])
@@ -70,6 +75,10 @@ def lineage_row_from_chunks(
             cur["n"] += e["n"]
             cur["z"] += e["z"]
             cur["mm"] = merge_zone(cur["t"], cur["mm"], e["mm"])
+            cur["sm"] = merge_sum(cur["t"], cur["sm"], e["sm"])
+    for e in zones.values():  # poisoned/non-summable: no manifest bytes
+        if e.get("sm") is None:
+            e.pop("sm", None)
     # part-level blooms so a point lookup prunes whole PARTS driver-side
     # via pruned_part_dirs/surviving_parts -- zones can't exclude unsorted
     # high-cardinality keys, exactly the columns blooms are opted into.
@@ -483,39 +492,39 @@ def count_job(
     return total + int(out.agg(F.sum("n")).first()[0] or 0)
 
 
-def minmax_job(
+def _stats_scan(
     spark: SparkSession,
     table_path: str,
     columns: list[str],
-    where=None,
-    at_gen: int | None = None,
-) -> dict[str, tuple]:
-    """Exact MIN/MAX per column with metadata-only pruning -- the MIN/MAX
-    twin of :func:`count_job`. Returns ``{col: (min, max)}`` in logical
-    python values ((None, None) when no row survives).
+    where,
+    at_gen: int | None,
+    sums: bool,
+) -> dict[str, dict]:
+    """Shared metadata-first column-stats scan behind :func:`minmax_job`
+    and :func:`sum_job`: returns ``{col: {"t", "mm", "sm", "nn"}}`` in the
+    zone storage domain.
 
     Three metadata tiers before any payload IO: (1) with no predicate, a
-    part whose lineage zone bounds the column contributes driver-side --
-    MIN/MAX over a 100 TB table is one manifest pass, no Spark job at all;
-    (2) per-part tri-state (zones + bloom sidecars) drops fully-excluded
-    parts with no task; (3) inside surviving parts, minmax_file decodes
-    only boundary chunks (masked by the undecided conjuncts) and zoneless
-    columns. Like count_job, the only thing shuffled is one JSON line per
-    surviving part."""
+    part whose lineage zones answer the column (bounds, and the part sum
+    when ``sums``) contributes driver-side -- no Spark job at all; (2)
+    per-part tri-state (zones + bloom sidecars) drops fully-excluded parts
+    with no task; (3) inside surviving parts, minmax_file decodes only
+    boundary chunks (masked by the undecided conjuncts) and chunks whose
+    metadata lacks the needed stat. Like count_job, the only thing
+    shuffled is one JSON line per surviving part."""
     import json as _json
     import os
 
     from .sources.chunkscan import (
         conjunct_state_of,
         normalize_where,
-        storage_to_logical,
     )
 
     table = EncodedTable(table_path)
     names = [f.name for f in table.schema().fields]
     missing = [c for c in columns if c not in names]
     if missing:
-        raise ConfigException(f"minmax columns not in table schema: {missing}")
+        raise ConfigException(f"aggregate columns not in table schema: {missing}")
     conjuncts = normalize_where(where, names)
     lineage = (
         table.lineage_at(at_gen) if at_gen is not None else table.lineage()
@@ -524,19 +533,27 @@ def minmax_job(
         raise ConfigException(f"table {table_path} has no committed partitions")
     fillable = frozenset(table.added_columns())
 
-    acc: dict[str, dict] = {c: {"t": "", "mm": None} for c in columns}
+    acc: dict[str, dict] = {
+        c: {"t": "", "mm": None, "sm": None, "nn": 0} for c in columns
+    }
 
-    def fold(col: str, tname: str, mm) -> None:
+    def fold(col: str, tname: str, mm, sm=None, nn: int = 0) -> None:
         cur = acc[col]
         if not cur["t"] and tname:
             cur["t"] = tname
-        if mm is None:
-            return
-        cur["mm"] = (
-            list(mm)
-            if cur["mm"] is None
-            else merge_zone(cur["t"] or tname, cur["mm"], list(mm))
-        )
+        if mm is not None:
+            cur["mm"] = (
+                list(mm)
+                if cur["mm"] is None
+                else merge_zone(cur["t"] or tname, cur["mm"], list(mm))
+            )
+        if sm is not None:
+            cur["sm"] = (
+                sm
+                if cur["sm"] is None
+                else merge_sum(cur["t"] or tname, cur["sm"], sm)
+            )
+        cur["nn"] += int(nn)
 
     admitted = table.surviving_parts(conjuncts) if conjuncts else None
     dirs = []
@@ -558,7 +575,7 @@ def minmax_job(
             boundary = False
         unresolved = False
         if not boundary:
-            # fully-included part: lineage zones answer columns they bound
+            # fully-included part: lineage zones answer columns they cover
             for c in columns:
                 e = zones.get(c)
                 if e is None:
@@ -567,8 +584,16 @@ def minmax_job(
                     continue  # added column: all-null in this part
                 if int(e.get("z", 0)) >= int(e.get("n", 0)):
                     fold(c, e.get("t", ""), None)
-                elif e.get("mm") is not None:
-                    fold(c, e.get("t", ""), e["mm"])
+                elif e.get("mm") is not None and (
+                    not sums or e.get("sm") is not None
+                ):
+                    fold(
+                        c,
+                        e.get("t", ""),
+                        e["mm"],
+                        sm=e.get("sm") if sums else None,
+                        nn=int(e.get("n", 0)) - int(e.get("z", 0)),
+                    )
                 else:
                     unresolved = True
         if boundary or unresolved:
@@ -582,6 +607,7 @@ def minmax_job(
         ).repartition(par)
         agg_cols = list(columns)
         cjs = conjuncts
+        want_sums = sums
 
         def mm_task(it):
             import glob as _glob
@@ -591,6 +617,7 @@ def minmax_job(
             import pandas as pd
 
             from embulk_output_s3_parquet_spark.sources.chunkscan import (
+                merge_sum as _ms,
                 merge_zone as _mz,
                 minmax_file,
             )
@@ -603,25 +630,51 @@ def minmax_job(
                         raise FileNotFoundError(f"committed part missing: {d}")
                     for f in files:
                         got = minmax_file(
-                            f, cjs if bd else [], agg_cols, fillable=fillable
+                            f, cjs if bd else [], agg_cols,
+                            fillable=fillable, sums=want_sums,
                         )
                         for c, e in got.items():
                             cur = out.get(c)
                             if cur is None:
                                 out[c] = dict(e)
-                            elif e.get("mm") is not None:
+                                continue
+                            t = cur["t"] or e["t"]
+                            if e.get("mm") is not None:
                                 cur["mm"] = (
                                     list(e["mm"])
                                     if cur["mm"] is None
-                                    else _mz(cur["t"] or e["t"], cur["mm"], e["mm"])
+                                    else _mz(t, cur["mm"], e["mm"])
                                 )
-                                cur["t"] = cur["t"] or e["t"]
+                            if e.get("sm") is not None:
+                                cur["sm"] = (
+                                    e["sm"]
+                                    if cur["sm"] is None
+                                    else _ms(t, cur["sm"], e["sm"])
+                                )
+                            cur["nn"] = cur.get("nn", 0) + e.get("nn", 0)
+                            cur["t"] = t
                 yield pd.DataFrame({"j": [_j.dumps(out)]})
 
         for (blob,) in path_df.mapInPandas(mm_task, schema="j string").collect():
             for c, e in _json.loads(blob).items():
-                fold(c, e.get("t", ""), e.get("mm"))
+                fold(c, e.get("t", ""), e.get("mm"), sm=e.get("sm"), nn=e.get("nn", 0))
+    return acc
 
+
+def minmax_job(
+    spark: SparkSession,
+    table_path: str,
+    columns: list[str],
+    where=None,
+    at_gen: int | None = None,
+) -> dict[str, tuple]:
+    """Exact MIN/MAX per column with metadata-only pruning -- the MIN/MAX
+    twin of :func:`count_job`. Returns ``{col: (min, max)}`` in logical
+    python values ((None, None) when no row survives). See
+    :func:`_stats_scan` for the three metadata tiers."""
+    from .sources.chunkscan import storage_to_logical
+
+    acc = _stats_scan(spark, table_path, columns, where, at_gen, sums=False)
     out: dict[str, tuple] = {}
     for c in columns:
         t, mm = acc[c]["t"], acc[c]["mm"]
@@ -629,6 +682,55 @@ def minmax_job(
             out[c] = (None, None)
         else:
             out[c] = (storage_to_logical(t, mm[0]), storage_to_logical(t, mm[1]))
+    return out
+
+
+def sum_job(
+    spark: SparkSession,
+    table_path: str,
+    columns: list[str],
+    where=None,
+    at_gen: int | None = None,
+) -> dict[str, dict]:
+    """Exact SUM/AVG per numeric column with metadata-only pruning:
+    ``{col: {"sum", "avg", "count_nonnull"}}`` (sum/avg None when no
+    non-null row survives). Integer and decimal sums are EXACT
+    (arbitrary-precision / exact-decimal accumulation); float sums are the
+    usual order-dependent partials (one pc.sum per chunk, summed upward),
+    same caveat as any distributed SUM.
+
+    Per-chunk sums recorded at encode time (codecs._sum_of) roll up into
+    part lineage, so an unpredicated SUM over a 100 TB table is one
+    driver-side manifest pass; predicates decode boundary chunks only.
+    Chunks without a recorded sum (pre-r5 tables, overflow-risk int
+    ranges, inf/nan float chunks) decode transparently -- results stay
+    exact, just with more IO."""
+    from decimal import Decimal
+
+    table = EncodedTable(table_path)
+    types = {f.name: f.dataType.simpleString() for f in table.schema().fields}
+    bad = [
+        c for c in columns
+        if c in types and not (
+            types[c] in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            or types[c].startswith("decimal(")
+        )
+    ]
+    if bad:
+        raise ConfigException(
+            f"SUM is not defined for columns {bad} (types "
+            f"{[types[c] for c in bad]}); numeric and decimal columns only"
+        )
+    acc = _stats_scan(spark, table_path, columns, where, at_gen, sums=True)
+    out: dict[str, dict] = {}
+    for c in columns:
+        t, sm, nn = acc[c]["t"], acc[c]["sm"], acc[c]["nn"]
+        if sm is None or nn == 0:
+            out[c] = {"sum": None, "avg": None, "count_nonnull": nn}
+            continue
+        if t.startswith("decimal128("):
+            sm = Decimal(sm)
+        out[c] = {"sum": sm, "avg": sm / nn, "count_nonnull": nn}
     return out
 
 

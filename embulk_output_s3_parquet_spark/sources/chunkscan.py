@@ -347,6 +347,37 @@ def merge_zone(t: str, a, b):
         return None
 
 
+_SUMMABLE_INTS = frozenset(
+    f"{s}int{w}" for s in ("", "u") for w in (8, 16, 32, 64)
+)
+
+
+def summable(tname: str) -> bool:
+    """Types SUM applies to (codecs._sum_of records chunk sums for these)."""
+    return (
+        tname in _SUMMABLE_INTS
+        or tname in ("float", "double", "halffloat")
+        or tname.startswith("decimal128(")
+    )
+
+
+def merge_sum(t: str, a, b):
+    """Combine two chunk-sum values of the same column type (codecs._sum_of
+    storage forms: decimals as exact strings, ints as exact python ints,
+    floats as one-order-per-chunk partials). None (either side sumless)
+    poisons -- a part sum must cover EVERY chunk or not exist."""
+    if a is None or b is None:
+        return None
+    if t.startswith("decimal128("):
+        from decimal import Decimal
+
+        return str(Decimal(a) + Decimal(b))
+    try:
+        return a + b
+    except TypeError:
+        return None
+
+
 def conjunct_state_of(
     cols_meta: dict, n: int, c: str, op: str, v,
     fillable: frozenset[str] = frozenset(),
@@ -662,6 +693,28 @@ def _storage_minmax(arr: pa.Array):
     return [lo, hi]
 
 
+def _storage_sum(arr: pa.Array):
+    """(sum, nonnull_count) of a decoded array, exact and overflow-safe:
+    integer sums fall back to arbitrary-precision python addition when the
+    value bound can't prove the int64 accumulator safe; decimals return
+    exact strings (the codecs._sum_of storage form)."""
+    import pyarrow.compute as pc
+
+    nn = len(arr) - arr.null_count
+    if nn == 0:
+        return None, 0
+    t = arr.type
+    if pa.types.is_decimal128(t):
+        return str(pc.sum(arr).as_py()), nn
+    if pa.types.is_integer(t):
+        mm = pc.min_max(arr)
+        bound = max(abs(int(mm["min"].as_py())), abs(int(mm["max"].as_py())))
+        if bound * nn < 2**62:
+            return int(pc.sum(arr).as_py()), nn
+        return sum(x for x in arr.to_pylist() if x is not None), nn
+    return pc.sum(arr).as_py(), nn
+
+
 def storage_to_logical(tname: str, v):
     """Inverse of coerce_literal for MIN/MAX results: a zone-domain bound
     back to the column's logical python value (timestamps from raw ints in
@@ -688,10 +741,14 @@ def minmax_file(
     agg_cols: list[str],
     fillable: frozenset[str] = frozenset(),
     stats_out: dict | None = None,
+    sums: bool = False,
 ) -> dict[str, dict]:
     """Exact per-column [min, max] over one chunk file under ANDed
     ``conjuncts``, in the zone storage domain: ``{col: {"t": tname,
-    "mm": [lo, hi] | None}}``.
+    "mm": [lo, hi] | None}}``. With ``sums=True`` each entry also carries
+    ``"sm"`` (exact SUM in codecs._sum_of storage form) and ``"nn"``
+    (non-null count) -- chunks whose meta lacks a recorded sum decode, so
+    file-level sums are ALWAYS exact, never poisoned.
 
     Payload bytes are read ONLY where metadata can't answer: a chunk all
     conjuncts fully include contributes its zone bounds directly (zones are
@@ -712,16 +769,25 @@ def minmax_file(
 
     acc: dict[str, dict] = {}
 
-    def fold(col: str, tname: str, mm) -> None:
+    def fold(col: str, tname: str, mm, sm=None, nn: int = 0) -> None:
         cur = acc.get(col)
         if cur is None:
-            acc[col] = {"t": tname, "mm": mm}
-        elif mm is not None:
-            acc[col]["mm"] = (
-                mm if cur["mm"] is None else merge_zone(cur["t"] or tname, cur["mm"], mm)
+            cur = acc[col] = {"t": tname, "mm": None, "sm": None, "nn": 0}
+        if not cur["t"]:
+            cur["t"] = tname
+        if mm is not None:
+            cur["mm"] = (
+                list(mm)
+                if cur["mm"] is None
+                else merge_zone(cur["t"] or tname, cur["mm"], list(mm))
             )
-            if not acc[col]["t"]:
-                acc[col]["t"] = tname
+        if sm is not None:
+            cur["sm"] = (
+                sm
+                if cur["sm"] is None
+                else merge_sum(cur["t"] or tname, cur["sm"], sm)
+            )
+        cur["nn"] += nn
 
     # chunk_seq -> (undecided conjuncts, agg cols whose payload must decode)
     need: dict[int, tuple[list[tuple], list[str]]] = {}
@@ -748,8 +814,18 @@ def minmax_file(
             if int(meta.get("z", 0)) >= int(meta.get("n", 0)):
                 fold(c, meta.get("t", ""), None)  # all-null chunk
                 continue
-            if not undecided and meta.get("mm") is not None:
-                fold(c, meta.get("t", ""), list(meta["mm"]))
+            if (
+                not undecided
+                and meta.get("mm") is not None
+                and (not sums or meta.get("sm") is not None)
+            ):
+                fold(
+                    c,
+                    meta.get("t", ""),
+                    list(meta["mm"]),
+                    sm=meta.get("sm") if sums else None,
+                    nn=int(meta.get("n", 0)) - int(meta.get("z", 0)),
+                )
                 continue
             decode_cols.append(c)
         if decode_cols:  # a chunk with nothing left to aggregate needs no IO
@@ -809,7 +885,8 @@ def minmax_file(
             arr = arrs[c]
             if mask is not None:
                 arr = pc.filter(arr, pc.fill_null(mask, False))
-            fold(c, meta_by[seq][c].get("t", ""), _storage_minmax(arr))
+            sm, nn = _storage_sum(arr) if sums else (None, 0)
+            fold(c, meta_by[seq][c].get("t", ""), _storage_minmax(arr), sm=sm, nn=nn)
     return acc
 
 

@@ -6,6 +6,7 @@ Usage:
         [--columns repo,lang] [--where 'lang==go' --where 'n>=100']
     ... --count [--where ...]   # metadata-first COUNT(*), no --out needed
     ... --minmax col1,col2 [--where ...]   # metadata-first MIN/MAX
+    ... --sum col1,col2 [--where ...]      # metadata-first SUM/AVG
 """
 
 from __future__ import annotations
@@ -56,6 +57,12 @@ def main() -> int:
         "with no predicate this is a pure manifest pass (no --out required)",
     )
     ap.add_argument(
+        "--sum", metavar="COL,COL", dest="sum_cols",
+        help="exact SUM/AVG per numeric column under --where via "
+        "jobs.sum_job (per-chunk sums recorded at encode time; no --out "
+        "required)",
+    )
+    ap.add_argument(
         "--at-gen", type=int,
         help="time travel: read a retained part-set generation (requires "
         "snapshot-retention > 0 on the table; see run_dml.py snapshots)",
@@ -99,6 +106,19 @@ def main() -> int:
 
         n = count_job(spark, args.table, where=where, at_gen=args.at_gen)
         print(json.dumps({"count": n, "wall_s": round(time.time() - t0, 2)}))
+        return 0
+    if args.sum_cols:
+        from embulk_output_s3_parquet_spark.jobs import sum_job
+
+        agg = sum_job(
+            spark, args.table, args.sum_cols.split(","), where=where,
+            at_gen=args.at_gen,
+        )
+        print(json.dumps(
+            {"sum": {c: {k: (str(v) if v is not None else None) for k, v in e.items()}
+                     for c, e in agg.items()},
+             "wall_s": round(time.time() - t0, 2)}
+        ))
         return 0
     if args.minmax:
         from embulk_output_s3_parquet_spark.jobs import minmax_job

@@ -2317,3 +2317,92 @@ def test_minmax_job_metadata_first(spark, tmp_path):
     assert minmax_job(
         spark, dpath, ["doc_id"], where=("quality", "notnull", None)
     )["doc_id"] == (10_000, 10_004)
+
+
+def test_sum_job_metadata_first(spark, tmp_path):
+    """sum_job (r5): exact SUM/AVG matching Spark across int, float, and
+    decimal columns -- the unpredicated case answered entirely from the
+    per-part sums lineage rolls up at commit (codecs._sum_of), predicated
+    cases decoding only boundary chunks. Chunks that record no sum
+    (overflow-risk int ranges; stripped part-level sums simulating pre-r5
+    tables) fall back to exact decode; non-numeric columns refuse."""
+    import json as _json
+    import os
+
+    from decimal import Decimal
+
+    from embulk_output_s3_parquet_spark.jobs import sum_job
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        "l_returnflag",
+    )
+    path = str(tmp_path / "sm")
+    encode_job(
+        spark, li, path, _policy(chunk_rows=512), if_exists="error",
+        cluster_by=["l_orderkey"],
+    )
+
+    got = sum_job(spark, path, ["l_orderkey", "l_quantity", "price_dec"])
+    exp = li.agg(
+        F.sum("l_orderkey"), F.sum("l_quantity"), F.sum("price_dec"),
+        F.avg("l_quantity"), F.count("l_quantity"),
+    ).collect()[0]
+    assert got["l_orderkey"]["sum"] == exp[0]  # exact int
+    assert got["price_dec"]["sum"] == exp[2]  # exact decimal
+    assert isinstance(got["price_dec"]["sum"], Decimal)
+    assert abs(got["l_quantity"]["sum"] - exp[1]) < 1e-9 * abs(exp[1])
+    assert abs(got["l_quantity"]["avg"] - exp[3]) < 1e-9
+    assert got["l_quantity"]["count_nonnull"] == exp[4]
+
+    # -- predicated band: boundary chunks only, still exact ---------------
+    lo, hi = (
+        int(x) for x in li.approxQuantile("l_orderkey", [0.25, 0.75], 0.0)
+    )
+    w = [("l_orderkey", ">=", lo), ("l_orderkey", "<", hi)]
+    got_w = sum_job(spark, path, ["price_dec"], where=w)
+    exp_w = (
+        li.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi))
+        .agg(F.sum("price_dec"), F.count("price_dec")).collect()[0]
+    )
+    assert got_w["price_dec"]["sum"] == exp_w[0]
+    assert got_w["price_dec"]["count_nonnull"] == exp_w[1]
+
+    # -- empty survivors / non-numeric refusal ----------------------------
+    assert sum_job(spark, path, ["l_quantity"], where=("l_orderkey", ">=", 10**15)) == {
+        "l_quantity": {"sum": None, "avg": None, "count_nonnull": 0}
+    }
+    with pytest.raises(ConfigException, match="SUM is not defined"):
+        sum_job(spark, path, ["l_returnflag"])
+
+    # -- pre-r5 lineage (no part-level sums): strip "sm" from every shard;
+    # sum_job must fall back to chunk metadata / decode and stay exact
+    t = EncodedTable(path)
+    pd_dir = t.parts_dir
+    for name in os.listdir(pd_dir):
+        if name.startswith("shard-") and name.endswith(".json"):
+            p = os.path.join(pd_dir, name)
+            rows = _json.load(open(p))
+            for r in rows.values():
+                for e in r.get("zones", {}).values():
+                    e.pop("sm", None)
+            _json.dump(rows, open(p, "w"))
+    got2 = sum_job(spark, path, ["l_orderkey"])
+    assert got2["l_orderkey"]["sum"] == exp[0]
+
+    # -- overflow-risk ints: chunks record no sum (the zone bound can't
+    # prove the int64 accumulator safe) yet the decode path sums exactly
+    # in arbitrary precision
+    big = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.lit(2**61) + F.col("id")).alias("huge"),
+    )
+    bpath = str(tmp_path / "smbig")
+    encode_job(spark, big, bpath, _policy(chunk_rows=256), if_exists="error")
+    bt = EncodedTable(bpath)
+    zones = next(iter(bt.lineage().values()))["zones"]
+    assert "sm" not in zones["huge"], "overflow-risk sums must not be recorded"
+    got3 = sum_job(spark, bpath, ["huge"])
+    assert got3["huge"]["sum"] == sum(2**61 + i for i in range(2000))  # > int64
