@@ -162,6 +162,115 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
     return total
 
 
+def stats_table(
+    path: str,
+    columns: list[str],
+    where=None,
+    sums: bool = False,
+    scan_stats: dict | None = None,
+) -> dict[str, dict]:
+    """Spark-free twin of the jobs._stats_scan driver: exact per-column
+    stats ``{col: {"t", "mm", "sm", "nn"}}`` in the zone storage domain,
+    reading payload bytes only where metadata can't answer (see
+    chunkscan.minmax_file). jobs.minmax_job/sum_job are the distributed
+    counterparts; this one needs no SparkSession at all -- an unpredicated
+    MIN/MAX/SUM over any table is a pure manifest pass here too."""
+    from .chunkscan import (
+        conjunct_state_of,
+        merge_sum,
+        merge_zone,
+        minmax_file,
+        normalize_where,
+    )
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    names = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+    missing = [c for c in columns if c not in names]
+    if missing:
+        raise ValueError(f"aggregate columns not in table schema: {missing}")
+    conjuncts = normalize_where(where, names)
+    parts = _committed_parts(path, manifest)
+    fillable = frozenset(manifest.get("properties", {}).get("added-columns", []))
+
+    acc: dict[str, dict] = {
+        c: {"t": "", "mm": None, "sm": None, "nn": 0} for c in columns
+    }
+
+    def fold(col: str, e: dict) -> None:
+        cur = acc[col]
+        t = cur["t"] or e.get("t", "")
+        cur["t"] = t
+        if e.get("mm") is not None:
+            cur["mm"] = (
+                list(e["mm"])
+                if cur["mm"] is None
+                else merge_zone(t, cur["mm"], list(e["mm"]))
+            )
+        if e.get("sm") is not None:
+            cur["sm"] = (
+                e["sm"]
+                if cur["sm"] is None
+                else merge_sum(t, cur["sm"], e["sm"])
+            )
+        cur["nn"] += int(e.get("nn", 0))
+
+    for pid in sorted(int(k) for k in parts):
+        row = parts.get(str(pid)) or parts.get(pid) or {}
+        zones = row.get("zones", {})
+        n_rows = int(row.get("rows", 0))
+        if scan_stats is not None:
+            scan_stats["parts_total"] = scan_stats.get("parts_total", 0) + 1
+        boundary = False
+        if conjuncts:
+            states = [
+                conjunct_state_of(zones, n_rows, c, op, v, fillable)
+                for c, op, v in conjuncts
+            ]
+            if any(s == "none" for s in states):
+                if scan_stats is not None:
+                    scan_stats["parts_skipped"] = scan_stats.get("parts_skipped", 0) + 1
+                continue
+            boundary = any(s != "all" for s in states)
+        unresolved = False
+        if not boundary:
+            for c in columns:
+                e = zones.get(c)
+                if e is None:
+                    if c not in fillable:
+                        unresolved = True
+                    continue  # added column: all-null in this part
+                if int(e.get("z", 0)) >= int(e.get("n", 0)):
+                    fold(c, {"t": e.get("t", "")})
+                elif e.get("mm") is not None and (
+                    not sums or e.get("sm") is not None
+                ):
+                    fold(c, {
+                        "t": e.get("t", ""),
+                        "mm": e["mm"],
+                        "sm": e.get("sm") if sums else None,
+                        "nn": int(e.get("n", 0)) - int(e.get("z", 0)),
+                    })
+                else:
+                    unresolved = True
+        if not (boundary or unresolved):
+            if scan_stats is not None and conjuncts:
+                scan_stats["parts_skipped"] = scan_stats.get("parts_skipped", 0) + 1
+            continue
+        part_dir = os.path.join(path, "data", f"part_id={pid}")
+        files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"committed part {pid} missing at {part_dir}")
+        for fpath in files:
+            got = minmax_file(
+                fpath, conjuncts if boundary else [], list(columns),
+                fillable=fillable, stats_out=scan_stats, sums=sums,
+            )
+            for c, e in got.items():
+                fold(c, e)
+    return acc
+
+
 _SPARK_TO_ARROW = {
     "boolean": pa.bool_(),
     "byte": pa.int8(),

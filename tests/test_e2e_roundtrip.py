@@ -2406,3 +2406,51 @@ def test_sum_job_metadata_first(spark, tmp_path):
     assert "sm" not in zones["huge"], "overflow-risk sums must not be recorded"
     got3 = sum_job(spark, bpath, ["huge"])
     assert got3["huge"]["sum"] == sum(2**61 + i for i in range(2000))  # > int64
+
+
+def test_stats_table_spark_free(spark, tmp_path):
+    """pyreader.stats_table (r5): the Spark-free twin of minmax_job/sum_job
+    agrees with both, and the unpredicated case opens ZERO chunk files
+    (pure manifest pass -- scan_stats records no chunks_total)."""
+    from embulk_output_s3_parquet_spark.jobs import minmax_job, sum_job
+    from embulk_output_s3_parquet_spark.sources.chunkscan import storage_to_logical
+    from embulk_output_s3_parquet_spark.sources.pyreader import stats_table
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+    )
+    path = str(tmp_path / "st")
+    encode_job(
+        spark, li, path, _policy(chunk_rows=512), if_exists="error",
+        cluster_by=["l_orderkey"],
+    )
+    cols = ["l_orderkey", "l_quantity", "price_dec"]
+
+    ss: dict = {}
+    acc = stats_table(path, cols, sums=True, scan_stats=ss)
+    assert "chunks_total" not in ss, "unpredicated stats must not open files"
+    mm = minmax_job(spark, path, cols)
+    sm = sum_job(spark, path, cols)
+    for c in cols:
+        t = acc[c]["t"]
+        assert (
+            storage_to_logical(t, acc[c]["mm"][0]),
+            storage_to_logical(t, acc[c]["mm"][1]),
+        ) == mm[c]
+        got_sum = acc[c]["sm"]
+        if t.startswith("decimal128("):
+            from decimal import Decimal
+
+            got_sum = Decimal(got_sum)
+        assert got_sum == sm[c]["sum"] and acc[c]["nn"] == sm[c]["count_nonnull"]
+
+    # predicated parity too (boundary decode path)
+    w = ("l_orderkey", ">=", 380)
+    accw = stats_table(path, ["price_dec"], where=w, sums=True)
+    smw = sum_job(spark, path, ["price_dec"], where=w)
+    from decimal import Decimal
+
+    assert Decimal(accw["price_dec"]["sm"]) == smw["price_dec"]["sum"]
+    with pytest.raises(ValueError, match="not in table schema"):
+        stats_table(path, ["nope"])
