@@ -444,14 +444,20 @@ def count_job(
     dirs = []
     fillable = frozenset(table.added_columns())
     # sidecar part-blooms can exclude whole parts that zones can't (==/in on
-    # unsorted high-cardinality keys); probe them once, streamed per shard
-    admitted = table.surviving_parts(conjuncts) if conjuncts else None
+    # unsorted high-cardinality keys); probe them once, streamed per shard.
+    # CURRENT-generation reads only: surviving_parts evaluates the current
+    # part set, so consulting it for an at_gen snapshot would silently skip
+    # parts a later rewrite replaced (wrong historical counts); snapshot
+    # reads keep the per-part zone tri-state below instead
+    admitted = (
+        table.surviving_parts(conjuncts) if conjuncts and at_gen is None else None
+    )
     for pid in sorted(lineage):
         row = lineage[pid]
         if not conjuncts:
             total += int(row["rows"])
             continue
-        if pid not in admitted:
+        if admitted is not None and pid not in admitted:
             continue
         zones = row.get("zones", {})
         n_rows = int(row.get("rows", 0))
@@ -555,14 +561,18 @@ def _stats_scan(
             )
         cur["nn"] += int(nn)
 
-    admitted = table.surviving_parts(conjuncts) if conjuncts else None
+    # same at_gen caveat as count_job: the bloom-sidecar shortcut knows only
+    # the CURRENT part set, so snapshot reads rely on the zone tri-state
+    admitted = (
+        table.surviving_parts(conjuncts) if conjuncts and at_gen is None else None
+    )
     dirs = []
     for pid in sorted(lineage):
         row = lineage[pid]
         zones = row.get("zones", {})
         n_rows = int(row.get("rows", 0))
         if conjuncts:
-            if pid not in admitted:
+            if admitted is not None and pid not in admitted:
                 continue
             states = [
                 conjunct_state_of(zones, n_rows, c, op, v, fillable)

@@ -2454,3 +2454,46 @@ def test_stats_table_spark_free(spark, tmp_path):
     assert Decimal(accw["price_dec"]["sm"]) == smw["price_dec"]["sum"]
     with pytest.raises(ValueError, match="not in table schema"):
         stats_table(path, ["nope"])
+
+
+def test_predicated_aggregates_at_gen(spark, tmp_path):
+    """Regression (r5): count_job/minmax_job/sum_job with at_gen + a
+    predicate must evaluate the SNAPSHOT's part set, not the current one.
+    surviving_parts knows only current part ids, so consulting it for a
+    snapshot read silently skipped every part a later rewrite replaced --
+    historical counts came back short."""
+    from embulk_output_s3_parquet_spark.jobs import (
+        count_job, delete_job, minmax_job, sum_job,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "ag")
+    encode_job(
+        spark, docs, path, _policy(chunk_rows=64, bloom_columns=("doc_id",)),
+        if_exists="error",
+    )
+    t = EncodedTable(path)
+    t.set_snapshot_retention(2)
+    g0 = t.generations()[-1]
+
+    # pick victims clustered in value so the delete rewrites parts whose
+    # zones a doc_id predicate will target at g0
+    victims = [
+        int(r[0]) for r in docs.select("doc_id").orderBy("doc_id").limit(5).collect()
+    ]
+    delete_job(spark, path, ("doc_id", "in", victims))
+
+    w = ("doc_id", "<=", victims[-1])
+    want = docs.filter(F.col("doc_id") <= victims[-1]).count()
+    assert count_job(spark, path, w, at_gen=g0) == want
+    assert count_job(spark, path, w) == want - 5  # current gen unaffected
+
+    mm0 = minmax_job(spark, path, ["doc_id"], where=w, at_gen=g0)
+    assert mm0["doc_id"] == (
+        int(docs.agg(F.min("doc_id")).first()[0]), victims[-1],
+    )
+    sm0 = sum_job(spark, path, ["doc_id"], where=w, at_gen=g0)
+    exp_sum = docs.filter(F.col("doc_id") <= victims[-1]).agg(
+        F.sum("doc_id")
+    ).first()[0]
+    assert sm0["doc_id"]["sum"] == exp_sum
