@@ -209,6 +209,11 @@ def encode_job(
     policy = policy or CodecPolicy()
     policy.validate(df.schema)
     cluster = tuple(cluster_by or ())
+    if zorder and not cluster:
+        # without cluster columns the z-key is empty: the caller would pay
+        # the full raw-row shuffle for an unclustered table and no pruning
+        # (the embulk-config layer already refuses this combination)
+        raise ConfigException("zorder=True requires cluster_by")
     names = set(df.columns)
     for c in cluster:
         if c not in names:
@@ -299,6 +304,8 @@ def encode_parquet_job(
     _splits, schema, fingerprint = plan_parquet_splits(parquet_path, policy)
     policy.validate(schema)
     cluster = tuple(cluster_by or ())
+    if zorder and not cluster:
+        raise ConfigException("zorder=True requires cluster_by")
     names = {f.name for f in schema.fields}
     for c in cluster:
         if c not in names:
@@ -450,7 +457,7 @@ def count_job(
     # parts a later rewrite replaced (wrong historical counts); snapshot
     # reads keep the per-part zone tri-state below instead
     admitted = (
-        table.surviving_parts(conjuncts) if conjuncts and at_gen is None else None
+        table.surviving_parts(conjuncts, spark=spark) if conjuncts and at_gen is None else None
     )
     for pid in sorted(lineage):
         row = lineage[pid]
@@ -564,7 +571,7 @@ def _stats_scan(
     # same at_gen caveat as count_job: the bloom-sidecar shortcut knows only
     # the CURRENT part set, so snapshot reads rely on the zone tri-state
     admitted = (
-        table.surviving_parts(conjuncts) if conjuncts and at_gen is None else None
+        table.surviving_parts(conjuncts, spark=spark) if conjuncts and at_gen is None else None
     )
     dirs = []
     for pid in sorted(lineage):
@@ -583,14 +590,17 @@ def _stats_scan(
             boundary = any(s != "all" for s in states)
         else:
             boundary = False
-        unresolved = False
+        # columns the lineage row could NOT answer for this part: only
+        # these may be re-derived from the files, or an already-folded
+        # column's sum/count would be added twice
+        unresolved_cols: list[str] = []
         if not boundary:
             # fully-included part: lineage zones answer columns they cover
             for c in columns:
                 e = zones.get(c)
                 if e is None:
                     if c not in fillable:
-                        unresolved = True
+                        unresolved_cols.append(c)
                     continue  # added column: all-null in this part
                 if int(e.get("z", 0)) >= int(e.get("n", 0)):
                     fold(c, e.get("t", ""), None)
@@ -605,17 +615,20 @@ def _stats_scan(
                         nn=int(e.get("n", 0)) - int(e.get("z", 0)),
                     )
                 else:
-                    unresolved = True
-        if boundary or unresolved:
+                    unresolved_cols.append(c)
+        if boundary or unresolved_cols:
             dirs.append(
-                (os.path.join(table.data_dir, f"part_id={pid}"), bool(boundary))
+                (
+                    os.path.join(table.data_dir, f"part_id={pid}"),
+                    bool(boundary),
+                    ",".join(columns if boundary else unresolved_cols),
+                )
             )
     if dirs:
         par = min(len(dirs), spark.sparkContext.defaultParallelism * 2)
         path_df = spark.createDataFrame(
-            dirs, "dir string, boundary boolean"
+            dirs, "dir string, boundary boolean, cols string"
         ).repartition(par)
-        agg_cols = list(columns)
         cjs = conjuncts
         want_sums = sums
 
@@ -634,13 +647,13 @@ def _stats_scan(
 
             for pdf in it:
                 out: dict[str, dict] = {}
-                for d, bd in zip(pdf["dir"], pdf["boundary"]):
+                for d, bd, cs in zip(pdf["dir"], pdf["boundary"], pdf["cols"]):
                     files = sorted(_glob.glob(_os.path.join(d, "*.parquet")))
                     if not files:
                         raise FileNotFoundError(f"committed part missing: {d}")
                     for f in files:
                         got = minmax_file(
-                            f, cjs if bd else [], agg_cols,
+                            f, cjs if bd else [], cs.split(","),
                             fillable=fillable, sums=want_sums,
                         )
                         for c, e in got.items():
@@ -784,6 +797,8 @@ def compact_job(
     if zorder is None:  # inherit the recorded layout kind, like cluster_by
         zorder = bool(table.properties().get("write-order-zorder", False))
     cluster = tuple(cluster_by)
+    if zorder and not cluster:
+        raise ConfigException("zorder=True requires cluster_by")
     names = {f.name for f in table.schema().fields}
     for c in cluster:
         if c not in names:
@@ -1200,7 +1215,7 @@ def delete_job(
     lineage = table.lineage()
     all_parts = set(lineage)
     # zones + sidecar part-blooms, streamed shard by shard
-    affected = table.surviving_parts(conjuncts)
+    affected = table.surviving_parts(conjuncts, spark=spark)
     report = {
         "parts_total": len(all_parts),
         "parts_affected": len(affected),
@@ -1340,7 +1355,7 @@ def update_job(
         raise ConfigException(f"SET: unknown column(s) {sorted(unknown)}")
     lineage = table.lineage()
     # zones + sidecar part-blooms, streamed shard by shard
-    affected = table.surviving_parts(conjuncts)
+    affected = table.surviving_parts(conjuncts, spark=spark)
     report = {
         "parts_total": len(lineage),
         "parts_affected": len(affected),
@@ -1460,7 +1475,7 @@ def merge_job(
         conjuncts = normalize_where(conjuncts, names)
     lineage = table.lineage()
     # zones + sidecar part-blooms, streamed shard by shard
-    affected = set() if conjuncts is None else table.surviving_parts(conjuncts)
+    affected = set() if conjuncts is None else table.surviving_parts(conjuncts, spark=spark)
     report = {
         "parts_total": len(lineage),
         "parts_affected": len(affected),
@@ -1772,13 +1787,18 @@ def rollback_job(table_path: str, to_gen: int) -> dict:
     new_dir = os.path.join(table.path, f"parts-{new_gen}")
     shutil.rmtree(new_dir, ignore_errors=True)
     os.makedirs(new_dir, exist_ok=True)
+    from .sources.tables import STAGING_LOCK, write_staging_lock
+
+    # protect the in-flight build from a concurrent vacuum, like every
+    # other next-generation builder (hard links keep source mtimes)
+    write_staging_lock(new_dir)
     # hard-link the whole shard dir (lineage .json + .bf sidecars): the new
     # generation is byte-identical to the target, so part blooms and zone
     # pruning survive the rollback with zero re-derivation
     for name in os.listdir(src_dir):
         src = os.path.join(src_dir, name)
-        if not os.path.isfile(src):
-            continue
+        if not os.path.isfile(src) or name == STAGING_LOCK:
+            continue  # a crashed rewrite's leftover lock is not lineage
         try:
             os.link(src, os.path.join(new_dir, name))
         except OSError:
@@ -1791,6 +1811,10 @@ def rollback_job(table_path: str, to_gen: int) -> dict:
     m["parts"] = {}
     m["parts_gen"] = new_gen
     table._write_manifest(m)
+    try:
+        os.remove(os.path.join(new_dir, STAGING_LOCK))
+    except OSError:
+        pass  # committed either way; a leftover lock is ignored
     # the superseded generation (cur) enters the retention window like any
     # other rewrite's predecessor; vacuum expires it past the window
     table.log_op(
@@ -1835,16 +1859,41 @@ def vacuum_job(
     import shutil
 
     table = EncodedTable(table_path)
+
     # live = every part id any RETAINED generation still references: with
     # snapshot-retention on, an expired gen's exclusive parts become
-    # sweepable here while parts shared with retained gens stay
-    retained = set(table.retained_generations())
-    live: set[int] = set()
-    for g in sorted(retained):
+    # sweepable here while parts shared with retained gens stay.
+    # FAIL-SAFE, not fail-open: a retained generation whose lineage can't
+    # be read must ABORT the sweep -- treating it as contributing zero
+    # live ids would classify that generation's committed data as orphans
+    # and delete it. One retry absorbs a rewrite flipping mid-computation.
+    def _live_ids() -> tuple[set, set, int]:
+        gens = set(table.retained_generations())
+        ids: set[int] = set()
+        for g in sorted(gens):
+            ids |= set(table.lineage_at(g))  # raises if a shard dir is gone
+        return gens, ids, table._core_manifest().get("parts_gen", 0)
+
+    try:
+        retained, live, cur_gen = _live_ids()
+    except ConfigException:
         try:
-            live |= set(table.lineage_at(g))
-        except ConfigException:
-            pass  # gen listed but shard dir raced away; its ids aren't live
+            retained, live, cur_gen = _live_ids()
+        except ConfigException as e:
+            raise ConfigException(
+                f"vacuum aborted: a retained generation's lineage is "
+                f"unreadable ({e}); nothing was deleted -- retry once the "
+                "concurrent rewrite settles"
+            ) from e
+    if cur_gen > 0 and not live and not os.path.isdir(table.parts_dir):
+        # a table with committed history whose CURRENT shard dir is gone is
+        # damaged, not empty: sweeping "orphans" now would delete whatever
+        # data is left. Refuse loudly.
+        raise ConfigException(
+            f"vacuum aborted: {table_path} records generation {cur_gen} but "
+            "its lineage dir is missing; refusing to treat committed parts "
+            "as orphans"
+        )
     report = {"orphan_parts": [], "staging_dirs": 0, "stale_shard_dirs": 0}
     if os.path.isdir(table.data_dir):
         for name in os.listdir(table.data_dir):
@@ -1872,6 +1921,16 @@ def vacuum_job(
                 continue
             report["staging_dirs"] += 1
         elif stale_gen:
+            # parts-<g> ABOVE the current pointer is an in-flight rewrite's
+            # next-generation build, not an expired snapshot: gutting it
+            # mid-build would commit a generation missing its hard-linked
+            # shards (the builder's makedirs silently recreates the dir).
+            # Builders drop a .writer-lock; honor it like staging liveness.
+            if int(m.group(1)) > cur_gen and staging_is_live(
+                os.path.join(table.path, name), stale_after_s
+            ):
+                report["live_staging_skipped"] += 1
+                continue
             report["stale_shard_dirs"] += 1
         else:
             continue

@@ -232,13 +232,15 @@ def stats_table(
                     scan_stats["parts_skipped"] = scan_stats.get("parts_skipped", 0) + 1
                 continue
             boundary = any(s != "all" for s in states)
-        unresolved = False
+        # columns the lineage row could NOT answer: only these may be
+        # re-derived from files, or a folded column's sum/count doubles
+        unresolved_cols: list[str] = []
         if not boundary:
             for c in columns:
                 e = zones.get(c)
                 if e is None:
                     if c not in fillable:
-                        unresolved = True
+                        unresolved_cols.append(c)
                     continue  # added column: all-null in this part
                 if int(e.get("z", 0)) >= int(e.get("n", 0)):
                     fold(c, {"t": e.get("t", "")})
@@ -252,8 +254,8 @@ def stats_table(
                         "nn": int(e.get("n", 0)) - int(e.get("z", 0)),
                     })
                 else:
-                    unresolved = True
-        if not (boundary or unresolved):
+                    unresolved_cols.append(c)
+        if not (boundary or unresolved_cols):
             if scan_stats is not None and conjuncts:
                 scan_stats["parts_skipped"] = scan_stats.get("parts_skipped", 0) + 1
             continue
@@ -261,9 +263,10 @@ def stats_table(
         files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
         if not files:
             raise FileNotFoundError(f"committed part {pid} missing at {part_dir}")
+        want_cols = list(columns) if boundary else unresolved_cols
         for fpath in files:
             got = minmax_file(
-                fpath, conjuncts if boundary else [], list(columns),
+                fpath, conjuncts if boundary else [], want_cols,
                 fillable=fillable, stats_out=scan_stats, sums=sums,
             )
             for c, e in got.items():

@@ -254,7 +254,10 @@ def _prune_shard_task(
         with open(shard_path) as f:
             rows = json.load(f)
     except FileNotFoundError:
-        return []  # shard swapped by a concurrent commit: caller re-plans
+        # shard swapped by a concurrent commit: signal the driver to
+        # re-plan against the fresh generation -- an empty list here would
+        # silently drop this shard's committed parts from the survivors
+        return None
     survivors = [
         int(pid)
         for pid, row in rows.items()
@@ -316,11 +319,17 @@ _SHARD_CACHE: dict[str, tuple[int, int, dict]] = {}
 _SHARD_CACHE_MAX = int(os.environ.get("SPARK_ENCTABLE_SHARD_CACHE_MB", "512")) * 1_000_000
 
 
-def _load_shard_cached(path: str) -> dict:
+def _load_shard_cached(path: str) -> dict | None:
+    """Parse one lineage shard through the LRU cache. Returns ``None`` --
+    never a silent ``{}`` -- when the file vanished (a concurrent rewrite
+    flipped the generation and reclaimed the dir): dropping a missing
+    shard's rows on the floor would make readers silently lose up to
+    SHARD_SIZE committed parts, so callers must re-resolve the generation
+    pointer and retry (see _read_shards)."""
     try:
         st = os.stat(path)
     except FileNotFoundError:
-        return {}
+        return None
     key = (st.st_mtime_ns, st.st_size)
     hit = _SHARD_CACHE.get(path)
     if hit is not None and (hit[0], hit[1]) == key:
@@ -617,13 +626,32 @@ class EncodedTable:
         )
 
     def _read_shards(self) -> dict[str, dict]:
-        out: dict[str, dict] = {}
-        if not os.path.isdir(self.parts_dir):
-            return out
-        for name in os.listdir(self.parts_dir):
-            if _is_lineage_shard(name):
-                out.update(_load_shard_cached(os.path.join(self.parts_dir, name)))
-        return out
+        """Union of the current generation's lineage shards. A shard file
+        vanishing mid-read means a concurrent rewrite flipped the
+        generation under us -- re-resolve the pointer and retry rather
+        than silently returning a partial part set (reads stay correct
+        under concurrent commits; only a pathological flip-per-read storm
+        raises)."""
+        for _attempt in range(3):
+            parts_dir = self.parts_dir  # re-resolves the generation pointer
+            out: dict[str, dict] = {}
+            if not os.path.isdir(parts_dir):
+                return out
+            ok = True
+            for name in sorted(os.listdir(parts_dir)):
+                if not _is_lineage_shard(name):
+                    continue
+                rows = _load_shard_cached(os.path.join(parts_dir, name))
+                if rows is None:
+                    ok = False
+                    break
+                out.update(rows)
+            if ok and parts_dir == self.parts_dir:
+                return out
+        raise ConfigException(
+            f"lineage read of {self.path} raced concurrent generation flips "
+            "3 times; retry"
+        )
 
     def _write_manifest(self, m: dict) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".manifest-")
@@ -696,12 +724,22 @@ class EncodedTable:
         old_gen = m.get("parts_gen", 0)
         new_dir = os.path.join(self.path, f"parts-{old_gen + 1}")
         shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir, exist_ok=True)
+        # liveness lock while the build is in flight: a concurrent vacuum
+        # must not sweep a half-built next generation (hard-linked shard
+        # files keep their ORIGINAL mtimes, so a bare mtime heartbeat
+        # would look stale mid-build); after the flip the dir is the
+        # current generation and vacuum skips it by generation number
+        write_staging_lock(new_dir)
         for shard, rows in sorted(self._shard_of(lineage_rows).items()):
             self._write_shard_file(new_dir, shard, rows=rows)
-        os.makedirs(new_dir, exist_ok=True)
         m["parts"] = {}  # clears any legacy inline parts too
         m["parts_gen"] = old_gen + 1
         self._write_manifest(m)
+        try:
+            os.remove(os.path.join(new_dir, STAGING_LOCK))
+        except OSError:
+            pass  # committed either way; a leftover lock is ignored
         if not int(m.get("properties", {}).get("snapshot-retention", 0) or 0):
             shutil.rmtree(
                 os.path.join(self.path, f"parts-{old_gen}"), ignore_errors=True
@@ -744,6 +782,9 @@ class EncodedTable:
         new_dir = os.path.join(self.path, f"parts-{old_gen + 1}")
         shutil.rmtree(new_dir, ignore_errors=True)
         os.makedirs(new_dir, exist_ok=True)
+        # see _replace_parts: protect the in-flight build from a concurrent
+        # vacuum (hard links keep source mtimes, so no mtime heartbeat)
+        write_staging_lock(new_dir)
         touched = {int(p) // SHARD_SIZE for p in remove} | {
             int(p) // SHARD_SIZE for p in add
         }
@@ -789,6 +830,10 @@ class EncodedTable:
             retired = m.setdefault("properties", {}).setdefault("retired-parts", [])
             retired.extend(sorted(int(p) for p in remove if int(p) not in set(retired)))
         self._write_manifest(m)
+        try:
+            os.remove(os.path.join(new_dir, STAGING_LOCK))
+        except OSError:
+            pass  # committed either way; a leftover lock is ignored
         if not int(m.get("properties", {}).get("snapshot-retention", 0) or 0):
             shutil.rmtree(old_dir, ignore_errors=True)
         # retention on: superseded shards stay for time travel (see
@@ -1268,43 +1313,55 @@ class EncodedTable:
         manifest; those (small by construction) are pruned driver-side and
         unioned in."""
         fillable = frozenset(self.added_columns())
-        shard_files = []
-        if os.path.isdir(self.parts_dir):
-            for name in os.listdir(self.parts_dir):
-                if _is_lineage_shard(name):
-                    sid = int(name[len("shard-"):-len(".json")])
-                    shard_files.append(
-                        (os.path.join(self.parts_dir, name), self.parts_dir, sid)
-                    )
-        out: set[int] = set()
-        inline = self._core_manifest().get("parts", {})
-        if inline:
-            from .chunkscan import _survives
+        for _attempt in range(3):
+            parts_dir = self.parts_dir  # re-resolves the generation pointer
+            shard_files = []
+            if os.path.isdir(parts_dir):
+                for name in os.listdir(parts_dir):
+                    if _is_lineage_shard(name):
+                        sid = int(name[len("shard-"):-len(".json")])
+                        shard_files.append(
+                            (os.path.join(parts_dir, name), parts_dir, sid)
+                        )
+            out: set[int] = set()
+            inline = self._core_manifest().get("parts", {})
+            if inline:
+                from .chunkscan import _survives
 
-            inline_ids = {
-                int(pid)
-                for pid, row in inline.items()
-                if _survives(row.get("zones") or {}, conjuncts, fillable=fillable)
-            }
-            # inline rows' bloom probes still stream through the sidecars
-            probeable = [
-                (c, op, v) for c, op, v in conjuncts if op in ("==", "in")
-            ]
-            out |= self._probe_blooms(inline_ids, probeable)
-        if not shard_files:
+                inline_ids = {
+                    int(pid)
+                    for pid, row in inline.items()
+                    if _survives(row.get("zones") or {}, conjuncts, fillable=fillable)
+                }
+                # inline rows' bloom probes still stream through the sidecars
+                probeable = [
+                    (c, op, v) for c, op, v in conjuncts if op in ("==", "in")
+                ]
+                out |= self._probe_blooms(inline_ids, probeable)
+            if not shard_files:
+                return out
+            sc = spark.sparkContext
+            n_tasks = min(len(shard_files), max(sc.defaultParallelism * 2, 1))
+            conj = list(conjuncts)
+            fill = fillable
+            results = (
+                sc.parallelize(shard_files, n_tasks)
+                .map(lambda t: _prune_shard_task(t[0], t[1], t[2], conj, fill))
+                .collect()
+            )
+            if any(ids is None for ids in results):
+                # a shard vanished under a task: a concurrent rewrite
+                # flipped the generation mid-plan -- re-list and re-plan
+                # against the fresh pointer instead of silently dropping
+                # that shard's committed parts from the survivors
+                continue
+            for ids in results:
+                out.update(ids)
             return out
-        sc = spark.sparkContext
-        n_tasks = min(len(shard_files), max(sc.defaultParallelism * 2, 1))
-        conj = list(conjuncts)
-        fill = fillable
-        results = (
-            sc.parallelize(shard_files, n_tasks)
-            .map(lambda t: _prune_shard_task(t[0], t[1], t[2], conj, fill))
-            .collect()
+        raise ConfigException(
+            f"distributed pruning of {self.path} raced concurrent "
+            "generation flips 3 times; retry"
         )
-        for ids in results:
-            out.update(ids)
-        return out
 
     def pruned_part_dirs(
         self, conjuncts: list[tuple], spark=None

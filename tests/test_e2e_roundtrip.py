@@ -1928,21 +1928,42 @@ def test_vacuum_safe_after_crashed_preflip_rewrite(spark, tmp_path):
     t = EncodedTable(path)
     gen = t.generations()[-1]
 
-    # simulate the crash: next-gen shard dir exists, manifest NOT flipped
+    # simulate the crash: next-gen shard dir exists, manifest NOT flipped.
+    # Real builders (r5) drop a .writer-lock; a crashed one leaves it with
+    # dead pids, which is what lets vacuum sweep the debris immediately
+    # while an IN-FLIGHT build with a live lock is never touched.
     src = os.path.join(path, f"parts-{gen}")
     dst = os.path.join(path, f"parts-{gen + 1}")
     shutil.copytree(src, dst)
+    import json as _json
+
+    from embulk_output_s3_parquet_spark.sources.tables import STAGING_LOCK
+
+    with open(os.path.join(dst, STAGING_LOCK), "w") as f:
+        _json.dump({"pid": 2**22 + 7, "ppid": 2**22 + 8,
+                    "host": __import__("socket").gethostname(),
+                    "ts": 0.0}, f)
     assert t.generations()[-1] == gen  # debris is not a generation
     with pytest.raises(ConfigException, match="never committed"):
         t.lineage_at(gen + 1)
 
+    # an in-flight build (live lock: OUR pid) must survive the sweep
+    inflight = os.path.join(path, f"parts-{gen + 2}")
+    shutil.copytree(src, inflight)
+    from embulk_output_s3_parquet_spark.sources.tables import write_staging_lock
+
+    write_staging_lock(inflight)
+
     rep = vacuum_job(path)
-    # the debris dir was swept; the LIVE generation and its parts were not
+    # the dead debris dir was swept; the LIVE generation, its parts, and
+    # the in-flight build were not
     assert rep["stale_shard_dirs"] == 1
     assert rep["orphan_parts"] == []
     assert os.path.isdir(src) and not os.path.exists(dst)
+    assert os.path.isdir(inflight), "in-flight next-gen build swept"
     assert decode_job(spark, path).count() == docs.count()
     assert verify_table(spark, path) == []
+    shutil.rmtree(inflight)
 
 
 def test_merge_preserves_duplicate_target_rows(spark, tmp_path):
@@ -2497,3 +2518,84 @@ def test_predicated_aggregates_at_gen(spark, tmp_path):
         F.sum("doc_id")
     ).first()[0]
     assert sm0["doc_id"]["sum"] == exp_sum
+
+
+def test_sum_job_mixed_resolution_no_double_fold(spark, tmp_path):
+    """Regression (r5 review): a NON-boundary part where one aggregate
+    column resolves from lineage and another needs the file scan must fold
+    the resolved column ONCE -- the file scan is scoped to the unresolved
+    columns, or sums and non-null counts come back exactly doubled (avg
+    masks it). Covers jobs.sum_job and the Spark-free stats_table twin."""
+    from embulk_output_s3_parquet_spark.jobs import minmax_job, sum_job
+    from embulk_output_s3_parquet_spark.sources.pyreader import stats_table
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("small"),                      # part sums recorded
+        (F.lit(2**61) + F.col("id")).alias("huge"),      # overflow-risk: none
+    )
+    path = str(tmp_path / "mix")
+    encode_job(spark, df, path, _policy(chunk_rows=256), if_exists="error")
+    t = EncodedTable(path)
+    zones = next(iter(t.lineage().values()))["zones"]
+    assert "sm" in zones["small"] and "sm" not in zones["huge"], "fixture broke"
+
+    want_small = sum(range(3000))
+    want_huge = sum(2**61 + i for i in range(3000))
+    got = sum_job(spark, path, ["small", "huge"])
+    assert got["small"]["sum"] == want_small, "resolved column folded twice"
+    assert got["small"]["count_nonnull"] == 3000
+    assert got["huge"]["sum"] == want_huge
+
+    acc = stats_table(path, ["small", "huge"], sums=True)
+    assert acc["small"]["sm"] == want_small and acc["small"]["nn"] == 3000
+    assert acc["huge"]["sm"] == want_huge
+    # min/max unaffected by double-folds but must agree through the same
+    # mixed path
+    mm = minmax_job(spark, path, ["small", "huge"])
+    assert mm["small"] == (0, 2999)
+    assert mm["huge"] == (2**61, 2**61 + 2999)
+
+
+def test_vacuum_fail_safe_on_unreadable_lineage(spark, tmp_path, monkeypatch):
+    """Review r5: vacuum must be FAIL-SAFE, not fail-open. A retained
+    generation whose lineage keeps racing away mid-computation, or a table
+    whose CURRENT shard dir is gone while the manifest records committed
+    history, must abort the sweep loudly -- treating either as "zero live
+    parts" would classify committed data as orphans and delete it."""
+    import shutil
+
+    from embulk_output_s3_parquet_spark.jobs import delete_job, vacuum_job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    # -- persistent mid-computation race: lineage_at keeps raising ---------
+    path = str(tmp_path / "vfs")
+    encode_job(spark, docs, path, _policy(chunk_rows=64), if_exists="error")
+    t = EncodedTable(path)
+    t.set_snapshot_retention(1)
+    delete_job(spark, path, ("doc_id", "==", 1))
+    n_parts = len(EncodedTable(path).lineage())
+
+    def raging_race(self, gen):
+        raise ConfigException(f"generation {gen} is not on disk (simulated race)")
+
+    monkeypatch.setattr(EncodedTable, "lineage_at", raging_race)
+    with pytest.raises(ConfigException, match="vacuum aborted"):
+        vacuum_job(path)
+    monkeypatch.undo()
+    # nothing was deleted: current generation reads fine
+    assert len(EncodedTable(path).lineage()) == n_parts
+    assert decode_job(spark, path).count() == docs.count() - 1
+
+    # -- CURRENT generation's shard dir gone -------------------------------
+    path2 = str(tmp_path / "vfs2")
+    encode_job(spark, docs, path2, _policy(chunk_rows=64), if_exists="error")
+    delete_job(spark, path2, ("doc_id", "==", 1))  # bumps to gen > 0
+    t2 = EncodedTable(path2)
+    shutil.rmtree(t2.parts_dir)
+    with pytest.raises(ConfigException, match="vacuum aborted"):
+        vacuum_job(path2)
+    # the committed payload dirs are still on disk
+    assert any(
+        n.startswith("part_id=") for n in os.listdir(os.path.join(path2, "data"))
+    )
