@@ -1382,20 +1382,38 @@ WHERE event_id IN (3, 501, 777) ORDER BY event_id
 def _encoded_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE over the encoded format: per-column rows/nulls plus the
     zone-map min/max aggregated from chunk metadata alone (payloads never
-    read). Exact-equal to SQL min/max on the plain table for int columns."""
+    read). Exact-equal to SQL min/max on the plain table for int columns.
+    Round 5 adds ndv_long: the per-part HyperLogLog sketch merge
+    (jobs.distinct_job) surfaced for the low-cardinality event_type column,
+    where linear counting makes the estimate exactly COUNT(DISTINCT) --
+    the error-bound regime is pytest-gated (test_distinct_job_hll_ndv)."""
     import hashlib as _h
     import os
     import tempfile
 
-    from embulk_output_s3_parquet_spark.jobs import encode_job, table_stats
+    from embulk_output_s3_parquet_spark.jobs import (
+        distinct_job,
+        encode_job,
+        table_stats,
+    )
     from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
 
     ev = _t(spark, sf_dir, "events")
     path = os.path.join(
         tempfile.gettempdir(), f"statsenc_{_h.md5(sf_dir.encode()).hexdigest()[:8]}"
     )
-    encode_job(spark, ev, path, CodecPolicy(chunk_rows=2048), if_exists="delete")
-    return table_stats(spark, path)
+    encode_job(
+        spark,
+        ev,
+        path,
+        CodecPolicy(chunk_rows=2048, ndv_columns=("event_type",)),
+        if_exists="delete",
+    )
+    ndv = distinct_job(path, ["event_type"])["event_type"]["ndv"]
+    return table_stats(spark, path).withColumn(
+        "ndv_long",
+        F.when(F.col("col") == "event_type", F.lit(ndv)).cast("long"),
+    )
 
 
 def _table_stats_sql() -> str:
@@ -1411,10 +1429,15 @@ def _table_stats_sql() -> str:
             mm = (f"epoch_us(min({c}))", f"epoch_us(max({c}))")
         else:
             mm = ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+        ndv = (
+            f"CAST(count(DISTINCT {c}) AS BIGINT)"
+            if c == "event_type"
+            else "CAST(NULL AS BIGINT)"
+        )
         parts.append(
             f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS rows, "
             f"CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nulls, "
-            f"{mm[0]} AS zmin_long, {mm[1]} AS zmax_long FROM events"
+            f"{mm[0]} AS zmin_long, {mm[1]} AS zmax_long, {ndv} AS ndv_long FROM events"
         )
     return "\nUNION ALL\n".join(parts) + "\nORDER BY col"
 

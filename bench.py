@@ -156,6 +156,32 @@ def main() -> int:
         cstats["raw"] / timings["decode_corpus"] / 1e9, 4
     )
 
+    # approximate NDV (r5): the per-part HLL sidecar merge is a Spark-free
+    # driver metadata pass -- reported in extra against the countDistinct
+    # scan it replaces (at 100 TB the scan reads the table; this doesn't)
+    from embulk_output_s3_parquet_spark.jobs import distinct_job
+
+    ndv_table = f"/tmp/bench_ndv_docs_{pol_key}"
+    if not os.path.exists(os.path.join(ndv_table, "manifest.json")):
+        shutil.rmtree(ndv_table, ignore_errors=True)
+        encode_job(
+            spark,
+            docs,
+            ndv_table,
+            CodecPolicy(chunk_rows=32768, ndv_columns=("doc_id", "lang")),
+            if_exists="delete",
+        )
+    t0 = time.time()
+    ndv_rep = distinct_job(ndv_table, ["doc_id", "lang"])
+    extra["ndv_metadata_sec"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    exact_ndv = docs.agg(
+        F.countDistinct("doc_id").alias("d"), F.countDistinct("lang").alias("l")
+    ).first()
+    extra["ndv_scan_sec"] = round(time.time() - t0, 3)
+    extra["ndv_doc_id_est"] = int(ndv_rep["doc_id"]["ndv"])
+    extra["ndv_doc_id_exact"] = int(exact_ndv["d"])
+
     # export_corpus: the production EXPORT path (jobs.export_job) -- tasks
     # decode with pyarrow and write snappy parquet straight to disk, no
     # JVM<->Python hop for payload bytes; includes the full output write,

@@ -89,6 +89,7 @@ def _encode_slices(
     seq0: int = 0,
     sticky: dict[str, str] | None = None,
     bloom_cols: frozenset[str] = frozenset(),
+    ndv_cols: frozenset[str] = frozenset(),
 ) -> pa.Table:
     """Encode a table as column chunks.
 
@@ -121,6 +122,15 @@ def _encode_slices(
     pbf_pending = {
         name: _bloom.build(table.column(name).combine_chunks(), m_bits=part_m)
         for name in bloom_cols
+        if name in colmap
+    } if n_rows else {}
+    # NDV sketches follow the same one-per-call shape ("phl" on the first
+    # chunk's meta): commit merges them register-wise into the part row
+    from ..codecs import hll as _hll
+
+    phl_pending = {
+        name: _hll.build(table.column(name).combine_chunks())
+        for name in ndv_cols
         if name in colmap
     } if n_rows else {}
     seq = seq0
@@ -158,6 +168,9 @@ def _encode_slices(
                 # once per column (not every chunk: a part-sized filter on
                 # each chunk would multiply metadata bytes by chunk count)
                 meta["pbf"] = pbf
+            phl = phl_pending.pop(name, None)
+            if phl is not None:
+                meta["phl"] = phl
             cols["part_id"].append(part_id)
             cols["chunk_seq"].append(seq)
             cols["col"].append(name)
@@ -239,6 +252,7 @@ def encode_grouped(
     colmap = _resolve_policy(df_with_part.schema, policy)
     chunk_rows = policy.chunk_rows
     bloom_cols = frozenset(policy.bloom_columns)
+    ndv_cols = frozenset(getattr(policy, "ndv_columns", ()) or ())
 
     def enc(key: tuple, table: pa.Table) -> pa.Table:
         k = key[0]
@@ -249,7 +263,7 @@ def encode_grouped(
         elif cluster_by:
             data = data.sort_by([(c, "ascending") for c in cluster_by])
         eff = _effective_chunk_rows(data, chunk_rows, policy.chunk_bytes)
-        return _encode_slices(part_id, data, colmap, eff, bloom_cols=bloom_cols)
+        return _encode_slices(part_id, data, colmap, eff, bloom_cols=bloom_cols, ndv_cols=ndv_cols)
 
     return df_with_part.groupBy("part_id").applyInArrow(enc, schema=ENCODED_SCHEMA)
 
@@ -281,6 +295,7 @@ def encode_local(
     colmap = _resolve_policy(df_with_part.schema, policy)
     chunk_rows = policy.chunk_rows
     bloom_cols = frozenset(policy.bloom_columns)
+    ndv_cols = frozenset(getattr(policy, "ndv_columns", ()) or ())
 
     import numpy as np
 
@@ -307,7 +322,7 @@ def encode_local(
             if cut:
                 out = _encode_slices(
                     pid, table.slice(0, cut), colmap, chunk_rows,
-                    seq0=base + seq, sticky=sticky, bloom_cols=bloom_cols,
+                    seq0=base + seq, sticky=sticky, bloom_cols=bloom_cols, ndv_cols=ndv_cols,
                 )
                 seq += max(1, -(-cut // chunk_rows))
                 rest = table.slice(cut)
@@ -487,6 +502,7 @@ def encode_direct(
     colmap = _resolve_policy(schema, policy)
     chunk_rows = policy.chunk_rows
     bloom_cols = frozenset(policy.bloom_columns)
+    ndv_cols = frozenset(getattr(policy, "ndv_columns", ()) or ())
     cpus = parallelism or spark.sparkContext.defaultParallelism
 
     # part_id = split index: DETERMINISTIC for a fixed input file set, so a
@@ -536,7 +552,7 @@ def encode_direct(
                 eff = _effective_chunk_rows(t, chunk_rows, policy.chunk_bytes)
                 out = _encode_slices(
                     int(part_id), t, colmap, eff, sticky=sticky,
-                    bloom_cols=bloom_cols,
+                    bloom_cols=bloom_cols, ndv_cols=ndv_cols,
                 )
                 yield from out.to_batches()
 
@@ -549,6 +565,7 @@ def encode_map(df: DataFrame, policy: CodecPolicy) -> DataFrame:
     colmap = _resolve_policy(df.schema, policy)
     chunk_rows = policy.chunk_rows
     bloom_cols = frozenset(policy.bloom_columns)
+    ndv_cols = frozenset(getattr(policy, "ndv_columns", ()) or ())
 
     def enc(batches):
         pid = TaskContext.get().partitionId()
@@ -560,7 +577,7 @@ def encode_map(df: DataFrame, policy: CodecPolicy) -> DataFrame:
             if seq == 0:
                 eff = _effective_chunk_rows(t, chunk_rows, policy.chunk_bytes)
             out = _encode_slices(
-                pid, t, colmap, eff, seq0=seq, sticky=sticky, bloom_cols=bloom_cols
+                pid, t, colmap, eff, seq0=seq, sticky=sticky, bloom_cols=bloom_cols, ndv_cols=ndv_cols
             )
             seq += max(1, -(-t.num_rows // eff))
             yield from out.to_batches()

@@ -281,7 +281,14 @@ def load_output_config(cfg: dict, schema: T.StructType) -> OutputPlan:
     blooms = tuple(
         cname for cname, opt in col_opts.items() if opt.get("bloom") is True
     )
-    policy = CodecPolicy(column_options=forced, bloom_columns=blooms)
+    # `ndv: true` opts a column into per-part HyperLogLog sketches for
+    # approximate COUNT(DISTINCT) (jobs.distinct_job)
+    ndvs = tuple(
+        cname for cname, opt in col_opts.items() if opt.get("ndv") is True
+    )
+    policy = CodecPolicy(
+        column_options=forced, bloom_columns=blooms, ndv_columns=ndvs
+    )
     # table-level engine extensions: cluster_by (write ordering) and
     # zorder (Morton clustering over the cluster_by columns) -- validated
     # eagerly like every other config error, BEFORE any data moves

@@ -75,6 +75,11 @@ class CodecPolicy:
     # per-chunk Bloom filters for equality/IN data skipping on unsorted
     # high-cardinality columns (codecs/bloom.py); string/binary/int only
     bloom_columns: tuple[str, ...] = ()
+    # per-part HyperLogLog sketches for approximate NDV (codecs/hll.py,
+    # jobs.distinct_job): ~1.4 KB manifest bytes per column per part,
+    # mergeable so a table-wide distinct count is one driver manifest
+    # pass; same supported types as blooms
+    ndv_columns: tuple[str, ...] = ()
 
     def validate(self, schema: T.StructType) -> None:
         known = set(CODECS) | {AUTO}
@@ -113,6 +118,15 @@ class CodecPolicy:
                     f"bloom_columns[{col}]: type "
                     f"{by_name[col].simpleString()} has no bloom support "
                     "(string/binary/int/bool only)"
+                )
+        for col in self.ndv_columns:
+            if col not in by_name:
+                raise ConfigException(f"ndv_columns: unknown column {col!r}")
+            if not isinstance(by_name[col], bloomable):
+                raise ConfigException(
+                    f"ndv_columns[{col}]: type "
+                    f"{by_name[col].simpleString()} has no NDV-sketch "
+                    "support (string/binary/int/bool only)"
                 )
 
     def resolve(self, col: str, dtype: T.DataType) -> str:

@@ -327,7 +327,9 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
     Modes: default/append errors if the table exists (part_id collision
     semantics are the job API's business -- use encode_job part_base for
     append); overwrite recreates. Options: chunk_rows, codec,
-    bloom_columns (comma-separated), cluster_by (comma-separated),
+    bloom_columns (comma-separated), ndv_columns (comma-separated:
+    per-part HLL sketches for jobs.distinct_job),
+    cluster_by (comma-separated),
     zorder ("true": Z-curve clustering over the cluster_by columns --
     multi-dimensional zone boxes instead of leading-column ranges).
     """
@@ -342,6 +344,9 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
             bloom_columns=tuple(
                 options["bloom_columns"].split(",")
             ) if options.get("bloom_columns") else (),
+            ndv_columns=tuple(
+                options["ndv_columns"].split(",")
+            ) if options.get("ndv_columns") else (),
         )
         policy.validate(schema)  # fail fast on the driver, before tasks run
         self._cluster = (
@@ -410,6 +415,7 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
         pid = ctx.partitionId() if ctx is not None else 0  # driver-side tests
         colmap = _resolve_policy(self._schema, self._policy)
         bloom_cols = frozenset(self._policy.bloom_columns)
+        ndv_cols = frozenset(self._policy.ndv_columns)
         sticky: dict = {}
         seq = 0
         eff = self._policy.chunk_rows
@@ -441,7 +447,8 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
                     t, self._policy.chunk_rows, self._policy.chunk_bytes
                 )
             out = _encode_slices(
-                pid, t, colmap, eff, seq0=seq, sticky=sticky, bloom_cols=bloom_cols
+                pid, t, colmap, eff, seq0=seq, sticky=sticky,
+                bloom_cols=bloom_cols, ndv_cols=ndv_cols,
             )
             seq += max(1, -(-t.num_rows // eff))
             outs.append(out)

@@ -93,13 +93,20 @@ SHARD_SIZE = 4096
 # touches only shards whose parts survived zone pruning.
 BF_SIDECAR_SUFFIX = ".bf.json"
 
+# Per-part HyperLogLog NDV sketches (codecs/hll.py) follow the same
+# sidecar rule for the same reason: ~1.4 KB/part/column would bloat the
+# lineage shards EVERY manifest reader parses, while the only consumer is
+# jobs.distinct_job (one streaming pass, shard by shard).
+HLL_SIDECAR_SUFFIX = ".hll.json"
+
 
 def _is_lineage_shard(name: str) -> bool:
-    """shard-<N>.json but NOT the shard-<N>.bf.json bloom sidecar."""
+    """shard-<N>.json but NOT the shard-<N>.bf.json / .hll.json sidecars."""
     return (
         name.startswith("shard-")
         and name.endswith(".json")
         and not name.endswith(BF_SIDECAR_SUFFIX)
+        and not name.endswith(HLL_SIDECAR_SUFFIX)
     )
 
 
@@ -348,17 +355,21 @@ def _load_shard_cached(path: str) -> dict | None:
     return parsed
 
 
-def _split_part_blooms(rows: dict[str, dict]) -> tuple[dict[str, dict], dict[str, dict]]:
-    """Split in-memory lineage rows into (bloom-free rows, {pid: {col: bf}}).
-    Input rows are never mutated (callers hold references into lineage())."""
+def _split_zone_key(
+    rows: dict[str, dict], key: str
+) -> tuple[dict[str, dict], dict[str, dict]]:
+    """Split in-memory lineage rows into (key-free rows, {pid: {col: val}})
+    for a sidecar-carried zone key (``"bf"`` part blooms, ``"hl"`` NDV
+    sketches). Input rows are never mutated (callers hold references into
+    lineage())."""
     clean: dict[str, dict] = {}
-    bfs: dict[str, dict] = {}
+    out: dict[str, dict] = {}
     for pid, row in rows.items():
         zones = row.get("zones") or {}
         carried = {
-            c: z["bf"]
+            c: z[key]
             for c, z in zones.items()
-            if isinstance(z, dict) and "bf" in z
+            if isinstance(z, dict) and key in z
         }
         if not carried:
             clean[pid] = row
@@ -366,12 +377,26 @@ def _split_part_blooms(rows: dict[str, dict]) -> tuple[dict[str, dict], dict[str
         clean[pid] = {
             **row,
             "zones": {
-                c: ({k: v for k, v in z.items() if k != "bf"} if c in carried else z)
+                c: ({k: v for k, v in z.items() if k != key} if c in carried else z)
                 for c, z in zones.items()
             },
         }
-        bfs[pid] = carried
-    return clean, bfs
+        out[pid] = carried
+    return clean, out
+
+
+def _split_part_blooms(rows: dict[str, dict]) -> tuple[dict[str, dict], dict[str, dict]]:
+    return _split_zone_key(rows, "bf")
+
+
+def _read_hll_sidecar(parts_dir: str, shard: int) -> dict[str, dict]:
+    """One shard's NDV-sketch sidecar ({pid: {col: hl}}); {} when absent."""
+    path = os.path.join(parts_dir, f"shard-{shard}{HLL_SIDECAR_SUFFIX}")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
 
 
 # Staging-dir liveness (single-writer contract, judge ADVICE r3: a second
@@ -671,12 +696,28 @@ class EncodedTable:
         prior = _read_sidecar(parts_dir, shard)  # v2 or legacy
         if prior:
             bfs = {**{p: b for p, b in prior.items() if p in clean}, **bfs}
+        clean, hls = _split_zone_key(clean, "hl")
+        prior_h = _read_hll_sidecar(parts_dir, shard)
+        if prior_h:
+            hls = {**{p: h for p, h in prior_h.items() if p in clean}, **hls}
         sidecar = os.path.join(parts_dir, f"shard-{shard}{BF_BIN_SUFFIX}")
         legacy = os.path.join(parts_dir, f"shard-{shard}{BF_SIDECAR_SUFFIX}")
+        hll_side = os.path.join(parts_dir, f"shard-{shard}{HLL_SIDECAR_SUFFIX}")
         path = os.path.join(parts_dir, f"shard-{shard}.json")
         fd, tmp = tempfile.mkstemp(dir=parts_dir, prefix=".shard-")
         with os.fdopen(fd, "w") as f:
             json.dump(clean, f, indent=1, sort_keys=True)
+        # NDV sidecar before the shard JSON (same rationale as blooms:
+        # a crash must not leave a lineage row whose sketch vanished --
+        # distinct_job would refuse loudly, but the write order makes the
+        # window a stale-entry cleanup instead of a refusal)
+        if hls:
+            fdh, tmph = tempfile.mkstemp(dir=parts_dir, prefix=".shardhll-")
+            with os.fdopen(fdh, "w") as f:
+                json.dump(hls, f, sort_keys=True)
+            os.replace(tmph, hll_side)
+        elif os.path.exists(hll_side):
+            os.remove(hll_side)
         # sidecar first: a crash between the two writes must not leave a
         # lineage row whose bloom vanished (pruning would silently weaken);
         # the reverse order's worst case is a stale sidecar entry for a pid
@@ -790,12 +831,14 @@ class EncodedTable:
         }
         if os.path.isdir(old_dir):
             for name in os.listdir(old_dir):
-                # lineage shards AND their bloom sidecars (either format)
+                # lineage shards AND their bloom/NDV sidecars (any format)
                 # carry over
                 if name.endswith(BF_BIN_SUFFIX):
                     sid = int(name[len("shard-"):-len(BF_BIN_SUFFIX)])
                 elif name.endswith(BF_SIDECAR_SUFFIX):
                     sid = int(name[len("shard-"):-len(BF_SIDECAR_SUFFIX)])
+                elif name.endswith(HLL_SIDECAR_SUFFIX):
+                    sid = int(name[len("shard-"):-len(HLL_SIDECAR_SUFFIX)])
                 elif _is_lineage_shard(name):
                     sid = int(name[len("shard-"):-len(".json")])
                 else:
@@ -1188,25 +1231,41 @@ class EncodedTable:
             int(k): v for k, v in _read_sidecar(self.parts_dir, shard).items()
         }
 
+    def shard_hlls(self, shard: int, gen: int | None = None) -> dict[int, dict]:
+        """One shard's part-level NDV sketches ({pid: {col: hl}}) from its
+        ``.hll.json`` sidecar -- live generation, or ``parts-<gen>`` for a
+        retained snapshot; empty when the sidecar is absent."""
+        d = (
+            self.parts_dir
+            if gen is None
+            else os.path.join(self.path, f"parts-{gen}")
+        )
+        return {int(k): v for k, v in _read_hll_sidecar(d, shard).items()}
+
     def lineage_full(self, shards: set[int] | None = None) -> dict[int, dict]:
-        """Lineage with part blooms re-injected from the sidecars (``shards``
-        limits the injection to those shards -- rewrite paths only need the
-        shards they touch). Only for paths that REWRITE lineage rows and
-        must not drop blooms; pruning uses the streaming probe in
-        :meth:`surviving_parts` instead of materializing this."""
+        """Lineage with part blooms AND NDV sketches re-injected from the
+        sidecars (``shards`` limits the injection to those shards -- rewrite
+        paths only need the shards they touch). Only for paths that REWRITE
+        lineage rows and must not drop sidecar-carried stats; pruning uses
+        the streaming probe in :meth:`surviving_parts` instead of
+        materializing this."""
         rows = self.lineage()
         want = (
             {p // SHARD_SIZE for p in rows} if shards is None else set(shards)
         )
         for sid in sorted(want):
-            for pid, cols in self.shard_blooms(sid).items():
-                row = rows.get(pid)
-                if row is None:
-                    continue
-                zones = dict(row.get("zones") or {})
-                for c, bf in cols.items():
-                    zones[c] = {**zones.get(c, {}), "bf": bf}
-                rows[pid] = {**row, "zones": zones}
+            for key, per_pid in (
+                ("bf", self.shard_blooms(sid)),
+                ("hl", self.shard_hlls(sid)),
+            ):
+                for pid, cols in per_pid.items():
+                    row = rows.get(pid)
+                    if row is None:
+                        continue
+                    zones = dict(row.get("zones") or {})
+                    for c, v in cols.items():
+                        zones[c] = {**zones.get(c, {}), key: v}
+                    rows[pid] = {**row, "zones": zones}
         return rows
 
     def surviving_parts(

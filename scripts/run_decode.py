@@ -7,15 +7,21 @@ Usage:
     ... --count [--where ...]   # metadata-first COUNT(*), no --out needed
     ... --minmax col1,col2 [--where ...]   # metadata-first MIN/MAX
     ... --sum col1,col2 [--where ...]      # metadata-first SUM/AVG
+    ... --ndv col1,col2                    # approx COUNT(DISTINCT), HLL
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import sys
 import time
+
+# plain `python scripts/run_decode.py` (no spark-submit --py-files) works
+# for the Spark-free metadata paths (--ndv): resolve the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _WHERE_RE = re.compile(r"^(\w+)\s*(==|>=|<=|>|<)\s*(.+)$")
 
@@ -63,6 +69,12 @@ def main() -> int:
         "required)",
     )
     ap.add_argument(
+        "--ndv", metavar="COL,COL", dest="ndv_cols",
+        help="approximate COUNT(DISTINCT) per column from the per-part "
+        "HyperLogLog sketches (encode with --ndv-columns; Spark-free "
+        "manifest pass, no --out required)",
+    )
+    ap.add_argument(
         "--at-gen", type=int,
         help="time travel: read a retained part-set generation (requires "
         "snapshot-retention > 0 on the table; see run_dml.py snapshots)",
@@ -91,6 +103,18 @@ def main() -> int:
         "exact filter is applied after decode)",
     )
     args = ap.parse_args()
+
+    if args.ndv_cols:
+        # Spark-free driver manifest pass: answer BEFORE paying JVM startup
+        from embulk_output_s3_parquet_spark.jobs import distinct_job
+
+        if args.where:
+            raise SystemExit("--ndv does not support --where (sketches are "
+                             "table-wide; filter-scoped NDV needs a scan)")
+        t0 = time.time()
+        rep = distinct_job(args.table, args.ndv_cols.split(","), at_gen=args.at_gen)
+        print(json.dumps({"ndv": rep, "wall_s": round(time.time() - t0, 2)}))
+        return 0
 
     from pyspark.sql import SparkSession
 

@@ -58,6 +58,11 @@ def main() -> int:
         "data skipping for point lookups; string/binary/int only)",
     )
     ap.add_argument(
+        "--ndv-columns", default=None, metavar="COL[,COL...]",
+        help="record per-part HyperLogLog sketches on these columns for "
+        "approximate COUNT(DISTINCT) (run_decode --ndv / jobs.distinct_job)",
+    )
+    ap.add_argument(
         "--direct", action="store_true",
         help="with --input-parquet: executor-side pyarrow split scans "
         "(encode_parquet_job) instead of the DataFrame path -- no "
@@ -88,6 +93,7 @@ def main() -> int:
         chunk_rows=args.chunk_rows,
         target_partition_bytes=args.target_part_mb * 1024 * 1024,
         bloom_columns=tuple(args.bloom_columns.split(",")) if args.bloom_columns else (),
+        ndv_columns=tuple(args.ndv_columns.split(",")) if args.ndv_columns else (),
     )
     import os
 
@@ -129,6 +135,9 @@ def main() -> int:
         policy.column_options = {**plan.policy.column_options, **policy.column_options}
         policy.bloom_columns = tuple(
             dict.fromkeys(plan.policy.bloom_columns + policy.bloom_columns)
+        )
+        policy.ndv_columns = tuple(
+            dict.fromkeys(plan.policy.ndv_columns + policy.ndv_columns)
         )
         if plan.cluster_by and not args.cluster_by:
             args.cluster_by = ",".join(plan.cluster_by)

