@@ -770,7 +770,10 @@ def sum_job(
 
 
 def distinct_job(
-    table_path: str, columns: list[str], at_gen: int | None = None
+    table_path: str,
+    columns: list[str],
+    at_gen: int | None = None,
+    spark: SparkSession | None = None,
 ) -> dict[str, dict]:
     """Approximate COUNT(DISTINCT col) from the per-part HyperLogLog
     sketches recorded at encode time (``CodecPolicy.ndv_columns``,
@@ -786,7 +789,14 @@ def distinct_job(
     provably all-null contribute nothing; a part WITHOUT a sketch
     (encoded before the column was opted in) refuses loudly rather than
     undercounting -- compact_job rewrites it with the table's current
-    policy."""
+    policy.
+
+    Pass ``spark`` to merge shard sketches ON THE EXECUTORS for big
+    manifests (>= DIST_PRUNE_MIN_SHARDS lineage shards, like
+    ``surviving_parts``): one task per shard parses the shard JSON +
+    sidecar and returns ONE merged sketch per column, so the driver's
+    work is O(shards) -- at 10^6 parts the shard parses are the cost,
+    and they scale out."""
     from .codecs import hll as _hll
     from .sources.tables import SHARD_SIZE
 
@@ -796,6 +806,13 @@ def distinct_job(
     if missing:
         raise ConfigException(f"ndv columns not in table schema: {missing}")
     fillable = frozenset(table.added_columns())
+    if (
+        spark is not None
+        and at_gen is None
+        and not table._core_manifest().get("parts")
+        and table._shard_count() >= EncodedTable.DIST_PRUNE_MIN_SHARDS
+    ):
+        return _distinct_distributed(spark, table, list(columns), fillable)
     lineage = (
         table.lineage_at(at_gen) if at_gen is not None else table.lineage()
     )
@@ -851,6 +868,77 @@ def distinct_job(
             "parts": covered,
         }
     return out
+
+
+def _distinct_distributed(
+    spark: SparkSession, table: EncodedTable, columns: list[str], fillable: frozenset
+) -> dict[str, dict]:
+    """Executor-side shard-sketch merge for :func:`distinct_job`: identical
+    results to the driver path (tests assert equality), same concurrent-flip
+    retry contract as ``surviving_parts_distributed``."""
+    import os
+
+    from .codecs import hll as _hll
+    from .sources.tables import _is_lineage_shard, _ndv_shard_task
+
+    for _attempt in range(3):
+        parts_dir = table.parts_dir  # re-resolves the generation pointer
+        shard_files = []
+        if os.path.isdir(parts_dir):
+            for name in sorted(os.listdir(parts_dir)):
+                if _is_lineage_shard(name):
+                    sid = int(name[len("shard-"):-len(".json")])
+                    shard_files.append(
+                        (os.path.join(parts_dir, name), parts_dir, sid)
+                    )
+        if not shard_files:
+            raise ConfigException(
+                f"table {table.path} has no committed partitions"
+            )
+        sc = spark.sparkContext
+        n_tasks = min(len(shard_files), max(sc.defaultParallelism * 2, 1))
+        cols = list(columns)
+        fill = fillable
+        results = (
+            sc.parallelize(shard_files, n_tasks)
+            .map(lambda t: _ndv_shard_task(t[0], t[1], t[2], cols, fill))
+            .collect()
+        )
+        if any(r is None for r in results):
+            continue  # a generation flip swapped a shard mid-plan; re-list
+        errors = [e for r in results for e in r["errors"]]
+        if errors:
+            raise ConfigException(
+                f"distinct_job over {table.path}: " + "; ".join(errors[:5])
+            )
+        out: dict[str, dict] = {}
+        for c in cols:
+            shard_sketches = [
+                r["cols"][c]["hl"]
+                for r in results
+                if r["cols"][c]["hl"] is not None
+            ]
+            covered = sum(r["cols"][c]["covered"] for r in results)
+            if not shard_sketches:
+                out[c] = {"ndv": 0, "rel_std_error": 0.0, "parts": 0}
+                continue
+            merged = _hll.merge(shard_sketches)
+            if merged is None:
+                raise ConfigException(
+                    f"NDV sketches for column {c!r} of {table.path} have "
+                    "mixed precisions across shards; re-encode or compact "
+                    "to unify"
+                )
+            out[c] = {
+                "ndv": int(round(_hll.estimate(merged))),
+                "rel_std_error": _hll.std_error(merged),
+                "parts": covered,
+            }
+        return out
+    raise ConfigException(
+        f"distributed NDV of {table.path} raced concurrent generation "
+        "flips 3 times; retry"
+    )
 
 
 def decode_job_chunks(

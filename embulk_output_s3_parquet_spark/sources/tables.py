@@ -389,6 +389,62 @@ def _split_part_blooms(rows: dict[str, dict]) -> tuple[dict[str, dict], dict[str
     return _split_zone_key(rows, "bf")
 
 
+def _ndv_shard_task(
+    shard_path: str,
+    parts_dir: str,
+    sid: int,
+    columns: list,
+    fillable: frozenset,
+) -> dict | None:
+    """Per-shard NDV-sketch merge for ``jobs.distinct_job(spark=...)``:
+    runs ON AN EXECUTOR, reads its own shard JSON + ``.hll.json`` sidecar,
+    merges the shard's part sketches register-wise per column, and returns
+    one merged sketch per column -- the driver's result stays O(shards),
+    not O(parts), the same shape as :func:`_prune_shard_task`. ``None``
+    signals the shard was swapped by a concurrent commit (driver
+    re-plans); per-part policy gaps come back as ``errors`` strings so
+    the driver can refuse as loudly as the local path does."""
+    from ..codecs import hll as _hll
+
+    try:
+        with open(shard_path) as f:
+            rows = json.load(f)
+    except FileNotFoundError:
+        return None
+    hls = _read_hll_sidecar(parts_dir, sid)
+    out: dict = {"cols": {}, "errors": []}
+    for c in columns:
+        sketches = []
+        covered = 0
+        for pid, row in rows.items():
+            zones = row.get("zones") or {}
+            e = zones.get(c)
+            if e is None:
+                if c in fillable:
+                    continue  # added column: all-null in this part
+                out["errors"].append(
+                    f"part {pid} has no lineage entry for column {c!r}"
+                )
+                continue
+            if int(e.get("z", 0)) >= int(e.get("n", 0)):
+                continue  # all-null part: no values, no sketch needed
+            hl = e.get("hl") or hls.get(pid, {}).get(c)
+            if hl is None:
+                out["errors"].append(
+                    f"part {pid} has no NDV sketch for column {c!r}"
+                )
+                continue
+            sketches.append(hl)
+            covered += 1
+        merged = _hll.merge(sketches) if sketches else None
+        if sketches and merged is None:
+            out["errors"].append(
+                f"column {c!r}: mixed sketch precisions in shard {sid}"
+            )
+        out["cols"][c] = {"hl": merged, "covered": covered}
+    return out
+
+
 def _read_hll_sidecar(parts_dir: str, shard: int) -> dict[str, dict]:
     """One shard's NDV-sketch sidecar ({pid: {col: hl}}); {} when absent."""
     path = os.path.join(parts_dir, f"shard-{shard}{HLL_SIDECAR_SUFFIX}")

@@ -43,6 +43,7 @@ import pyarrow as pa
 from pyspark.sql import types as T
 
 from embulk_output_s3_parquet_spark.codecs import bloom as bloomlib
+from embulk_output_s3_parquet_spark.codecs import hll as hlllib
 from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
 from embulk_output_s3_parquet_spark.sources import tables as tables_mod
 from embulk_output_s3_parquet_spark.sources.tables import SHARD_SIZE, EncodedTable
@@ -65,7 +66,9 @@ def _zone(t: str, n: int, mm) -> dict:
     return {"t": t, "n": n, "z": 0, "mm": mm}
 
 
-def lineage_row(pid: int, part_rows: int, bloom: dict | None) -> dict:
+def lineage_row(
+    pid: int, part_rows: int, bloom: dict | None, hl: dict | None = None
+) -> dict:
     """One part's lineage row with the same shape lineage_row_from_chunks
     emits (jobs.py): per-column zone summaries over realistic domains --
     id zones are disjoint ranges (prunable), repo/lang/commit zones span
@@ -81,6 +84,8 @@ def lineage_row(pid: int, part_rows: int, bloom: dict | None) -> dict:
     }
     if bloom is not None:
         zones["commit"]["bf"] = bloom
+    if hl is not None:
+        zones["id"]["hl"] = hl
     return {
         "rows": part_rows,
         "chunks": 32,
@@ -92,11 +97,21 @@ def lineage_row(pid: int, part_rows: int, bloom: dict | None) -> dict:
     }
 
 
-def build_table(root: str, parts: int, wave: int, part_rows: int, with_blooms: bool):
+def build_table(
+    root: str,
+    parts: int,
+    wave: int,
+    part_rows: int,
+    with_blooms: bool,
+    with_ndv: bool = False,
+):
     t = EncodedTable.create(
-        os.path.join(root, f"meta_{parts}_{int(with_blooms)}"),
+        os.path.join(root, f"meta_{parts}_{int(with_blooms)}_{int(with_ndv)}"),
         SCHEMA,
-        CodecPolicy(bloom_columns=("commit",) if with_blooms else ()),
+        CodecPolicy(
+            bloom_columns=("commit",) if with_blooms else (),
+            ndv_columns=("id",) if with_ndv else (),
+        ),
     )
     bloom_m = None
     if with_blooms:
@@ -116,7 +131,15 @@ def build_table(root: str, parts: int, wave: int, part_rows: int, with_blooms: b
                 # cost (probe wall depends on m and shard IO, not fill)
                 vals = pa.array([f"{pid:08d}{i:032d}" for i in range(128)])
                 bf = bloomlib.build(vals, m_bits=bloom_m)
-            rows[pid] = lineage_row(pid, part_rows, bf)
+            hl = None
+            if with_ndv:
+                # 256 globally-disjoint ids per part: the merged estimate
+                # must land near parts*256 or the merge path is broken
+                base = pid * part_rows
+                hl = hlllib.build(
+                    pa.array(range(base, base + 256), pa.int64())
+                )
+            rows[pid] = lineage_row(pid, part_rows, bf, hl)
         t0 = time.time()
         t._append_parts(rows)
         wave_times.append(time.time() - t0)
@@ -129,9 +152,16 @@ def main() -> int:
     ap.add_argument("--wave", type=int, default=2048)
     ap.add_argument("--bloom-parts", type=int, default=8192)
     ap.add_argument("--part-rows", type=int, default=100_000)
+    ap.add_argument(
+        "--ndv-parts", type=int, default=None,
+        help="parts for the NDV sidecar-merge measurement (default: "
+        "--parts; 0 = skip)",
+    )
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--spark", type=int, default=0, help="cores for the distributed-prune measurement (0 = skip)")
     args = ap.parse_args()
+    if args.ndv_parts is None:
+        args.ndv_parts = args.parts
 
     root = tempfile.mkdtemp(prefix="meta_scale_")
     out: dict = {
@@ -245,6 +275,46 @@ def main() -> int:
         surv0 = tb.surviving_parts([("commit", "==", "not-a-commit-anywhere")])
         out["bloom_probe_absent_s"] = round(time.time() - t0, 3)
         out["bloom_absent_survivors"] = len(surv0)
+
+        # -- NDV sketch table (per-part HLL sidecars, full part count) -----
+        if args.ndv_parts:
+            from embulk_output_s3_parquet_spark.jobs import distinct_job
+
+            tn, _ = build_table(
+                root, args.ndv_parts, args.wave, args.part_rows, False,
+                with_ndv=True,
+            )
+            hsides = [
+                os.path.join(tn.parts_dir, f)
+                for f in os.listdir(tn.parts_dir)
+                if f.endswith(".hll.json")
+            ]
+            out["ndv_parts"] = args.ndv_parts
+            out["ndv_sidecar_bytes_per_part"] = (
+                sum(map(os.path.getsize, hsides)) // args.ndv_parts
+            )
+            t0 = time.time()
+            rep = distinct_job(tn.path, ["id"])
+            out["ndv_merge_s"] = round(time.time() - t0, 3)
+            out["ndv_est"] = rep["id"]["ndv"]
+            out["ndv_true"] = args.ndv_parts * 256
+            err = abs(out["ndv_est"] - out["ndv_true"]) / out["ndv_true"]
+            out["ndv_rel_err"] = round(err, 4)
+            assert err <= 4 * rep["id"]["rel_std_error"], (
+                "merged estimate outside 4 sigma: the register union is "
+                "broken, not noisy"
+            )
+            out["extrapolated_1e6_ndv_merge_s"] = round(
+                out["ndv_merge_s"] * 1e6 / args.ndv_parts, 1
+            )
+            if args.spark:
+                # executor-side shard premerge: driver receives one sketch
+                # per shard, so the per-part work scales out
+                rep_d = distinct_job(tn.path, ["id"], spark=spark)
+                t0 = time.time()
+                rep_d = distinct_job(tn.path, ["id"], spark=spark)
+                out["ndv_merge_distributed_s"] = round(time.time() - t0, 3)
+                assert rep_d == rep, "distributed NDV diverged from driver"
 
         # per-part driver costs -> what 10^6 parts would cost, linearly
         out["extrapolated_1e6_zone_sweep_s"] = round(

@@ -351,3 +351,55 @@ def test_shard_cache_invalidates_on_write(tmp_path):
     assert len(t.lineage()) == 11  # cache did not serve the stale shard
     t._update_parts(remove={3}, add={})
     assert 3 not in t.lineage()
+
+
+def test_distributed_ndv_matches_driver(spark, tmp_path, monkeypatch):
+    """distinct_job(spark=...) must return the exact same report as the
+    driver-side merge: the executor task is a one-shard mirror of the
+    local loop (all-null parts skipped, missing sketches refuse loudly,
+    added columns contribute nothing), and the register-wise merge is
+    associative so shard-local premerge cannot change the estimate."""
+    import pyarrow as pa
+
+    from embulk_output_s3_parquet_spark.codecs import hll
+    from embulk_output_s3_parquet_spark.jobs import distinct_job
+    from embulk_output_s3_parquet_spark.plans.policy import ConfigException
+
+    t = EncodedTable.create(
+        str(tmp_path / "t"), SCHEMA, CodecPolicy(ndv_columns=("x",))
+    )
+    rows: dict[int, dict] = {}
+    # sparse pids spanning 3 shards, disjoint 64-value domains per part
+    for pid in [0, 5, SHARD_SIZE + 1, 2 * SHARD_SIZE + 7]:
+        r = _row(pid)
+        lo = pid * 1000
+        r["rows"] = 64
+        r["zones"] = {
+            "x": {
+                "t": "int64", "n": 64, "z": 0, "mm": [lo, lo + 63],
+                "hl": hll.build(pa.array(range(lo, lo + 64), pa.int64())),
+            }
+        }
+        rows[pid] = r
+    allnull = _row(3)  # all-null part: no sketch needed, contributes nothing
+    allnull["zones"] = {"x": {"t": "int64", "n": 1, "z": 1, "mm": None}}
+    rows[3] = allnull
+    t._append_parts(rows)
+
+    want = distinct_job(str(tmp_path / "t"), ["x"])
+    assert want["x"]["parts"] == 4
+    assert abs(want["x"]["ndv"] - 256) / 256 <= 4 * want["x"]["rel_std_error"]
+    monkeypatch.setattr(EncodedTable, "DIST_PRUNE_MIN_SHARDS", 1)
+    got = distinct_job(str(tmp_path / "t"), ["x"], spark=spark)
+    assert got == want
+
+    # a part with values but no sketch refuses on BOTH paths
+    bare = _row(9000)
+    bare["zones"] = {"x": {"t": "int64", "n": 8, "z": 0, "mm": [1, 8]}}
+    t._append_parts({9000: bare})
+    import pytest
+
+    with pytest.raises(ConfigException, match="no NDV sketch"):
+        distinct_job(str(tmp_path / "t"), ["x"])
+    with pytest.raises(ConfigException, match="no NDV sketch"):
+        distinct_job(str(tmp_path / "t"), ["x"], spark=spark)
