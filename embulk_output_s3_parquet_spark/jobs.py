@@ -870,6 +870,141 @@ def distinct_job(
     return out
 
 
+def quantile_job(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    qs: list[float],
+    bins: int = 1024,
+) -> dict:
+    """Approximate quantiles with PROVABLE bounds from chunk zone maps
+    alone -- the percentile member of the metadata-first aggregate family
+    (count/minmax/sum/ndv). Returns ``{"n": non_null_rows, "quantiles":
+    {q: {"lb": v, "ub": v, "est": v}}}`` where the true q-quantile is
+    GUARANTEED inside [lb, ub] (zone semantics: a chunk's values all lie
+    in its [zmin, zmax]), and ``est`` interpolates a midpoint histogram.
+
+    Cost: one payload-free Spark pass over chunk metadata (the parquet
+    scan reads only col/n/meta -- column-pruned, like table_stats),
+    reduced to THREE fixed-size histograms of ``bins`` buckets; the
+    driver never sees per-chunk rows, so a 10^6-part / 3*10^7-chunk
+    table returns the same few KB. Bound tightness tracks the layout:
+    cluster_by/zorder tables give near-exact answers (chunk zones are
+    tight boxes), unsorted tables give honest wide intervals -- the
+    bounds NEVER lie either way. Numeric/timestamp storage domains only
+    (string zones have no widths to bin)."""
+    if not qs:
+        raise ConfigException("quantile_job needs at least one q in [0, 1]")
+    bad = [q for q in qs if not (0.0 <= q <= 1.0)]
+    if bad:
+        raise ConfigException(f"quantiles must be in [0, 1]: {bad}")
+    table = EncodedTable(table_path)
+    fields = {f.name: f.dataType for f in table.schema().fields}
+    if column not in fields:
+        raise ConfigException(f"quantile column not in table schema: {column!r}")
+    if isinstance(fields[column], (T.StringType, T.BinaryType)):
+        raise ConfigException(
+            f"quantile_job[{column}]: string/binary zones have no widths "
+            "to bin (numeric/timestamp columns only)"
+        )
+
+    enc = table.read_encoded(spark).filter(F.col("col") == column)
+    parsed = enc.select(
+        F.col("n").cast("long").alias("n"),
+        F.coalesce(
+            F.get_json_object("meta", "$.z").cast("long"), F.lit(0)
+        ).alias("z"),
+        F.get_json_object("meta", "$.mm[0]").try_cast("double").alias("lo"),
+        F.get_json_object("meta", "$.mm[1]").try_cast("double").alias("hi"),
+    ).filter(F.col("n") > F.col("z"))
+    gmin, gmax, total, unzoned = parsed.agg(
+        F.min("lo"),
+        F.max("hi"),
+        F.sum(F.when(F.col("lo").isNotNull(), F.col("n") - F.col("z"))),
+        F.sum(F.when(F.col("lo").isNull(), F.col("n") - F.col("z"))),
+    ).first()
+    if unzoned:
+        # a chunk with values but no numeric zone would silently fall out
+        # of every histogram -- bounds that ignore rows are not bounds
+        raise ConfigException(
+            f"quantile_job[{column}]: {int(unzoned)} non-null rows sit in "
+            "chunks without numeric zone metadata; compact_job re-records "
+            "zones"
+        )
+    if total is None or not total:
+        return {"n": 0, "quantiles": {q: None for q in qs}}
+    parsed = parsed.filter(F.col("lo").isNotNull())
+    if gmin == gmax:
+        v = gmin
+        return {
+            "n": int(total),
+            "quantiles": {q: {"lb": v, "ub": v, "est": v} for q in qs},
+        }
+    width = (gmax - gmin) / bins
+    cnt = (F.col("n") - F.col("z")).alias("c")
+    # three fixed-size histograms over the bin index space [0, bins]:
+    #   below: chunk counts that are CERTAIN to lie at-or-below edge i
+    #          (zmax rounds UP to the next edge)
+    #   from_: chunk counts that CANNOT lie below edge i (zmin rounds DOWN)
+    #   mid:   midpoint histogram for the interpolated estimate
+    idx_hi = F.least(
+        F.lit(bins), F.ceil((F.col("hi") - F.lit(gmin)) / F.lit(width))
+    ).cast("int")
+    idx_lo = F.greatest(
+        F.lit(0), F.floor((F.col("lo") - F.lit(gmin)) / F.lit(width))
+    ).cast("int")
+    idx_mid = F.least(
+        F.lit(bins - 1),
+        F.floor(
+            ((F.col("lo") + F.col("hi")) / 2 - F.lit(gmin)) / F.lit(width)
+        ),
+    ).cast("int")
+    rows = (
+        parsed.select(idx_hi.alias("bh"), idx_lo.alias("bl"), idx_mid.alias("bm"), cnt)
+        .groupBy("bh", "bl", "bm")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    below = [0] * (bins + 2)   # cum count certainly <= edge i
+    from_ = [0] * (bins + 2)   # cum count certainly >= edge i's bin start
+    mid = [0] * (bins + 1)
+    for r in rows:
+        below[r["bh"]] += r["c"]
+        from_[r["bl"]] += r["c"]
+        mid[r["bm"]] += r["c"]
+    for i in range(1, bins + 2):
+        below[i] += below[i - 1]
+    for i in range(bins, -1, -1):
+        from_[i] += from_[i + 1]  # suffix: count at-or-after edge i
+    cum_mid = [0] * (bins + 1)
+    s = 0
+    for i in range(bins):
+        s += mid[i]
+        cum_mid[i + 1] = s
+
+    def edge(i: int) -> float:
+        return gmin + min(i, bins) * width
+
+    out: dict = {}
+    n = int(total)
+    for q in qs:
+        rank = q * (n - 1)  # 0-based target rank
+        # ub: smallest edge with at least rank+1 values certainly <= it
+        ub_i = next(i for i in range(bins + 1) if below[i] >= rank + 1)
+        # lb: largest edge where at least n-rank values are certainly >= it
+        lb_i = max(i for i in range(bins + 1) if from_[i] >= n - rank)
+        # estimate: linear interpolation on the midpoint histogram,
+        # clamped into the provable interval
+        ei = next(
+            (i for i in range(bins) if cum_mid[i + 1] >= rank + 1), bins - 1
+        )
+        span = mid[ei] or 1
+        frac = (rank + 1 - cum_mid[ei]) / span
+        est = min(max(edge(ei) + frac * width, edge(lb_i)), edge(ub_i))
+        out[q] = {"lb": edge(lb_i), "ub": edge(ub_i), "est": est}
+    return {"n": n, "quantiles": out}
+
+
 def _distinct_distributed(
     spark: SparkSession, table: EncodedTable, columns: list[str], fillable: frozenset
 ) -> dict[str, dict]:

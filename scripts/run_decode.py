@@ -8,6 +8,7 @@ Usage:
     ... --minmax col1,col2 [--where ...]   # metadata-first MIN/MAX
     ... --sum col1,col2 [--where ...]      # metadata-first SUM/AVG
     ... --ndv col1,col2                    # approx COUNT(DISTINCT), HLL
+    ... --quantile col --q 0.1,0.5,0.9    # percentile bounds from zones
 """
 
 from __future__ import annotations
@@ -75,6 +76,16 @@ def main() -> int:
         "manifest pass, no --out required)",
     )
     ap.add_argument(
+        "--quantile", metavar="COL", dest="quantile_col",
+        help="approximate percentiles with PROVABLE bounds from chunk zone "
+        "maps alone (payloads never read); quantiles via --q",
+    )
+    ap.add_argument(
+        "--q", default="0.5", metavar="Q[,Q...]",
+        help="comma-separated quantiles in [0,1] for --quantile "
+        "(default 0.5)",
+    )
+    ap.add_argument(
         "--at-gen", type=int,
         help="time travel: read a retained part-set generation (requires "
         "snapshot-retention > 0 on the table; see run_dml.py snapshots)",
@@ -130,6 +141,19 @@ def main() -> int:
 
         n = count_job(spark, args.table, where=where, at_gen=args.at_gen)
         print(json.dumps({"count": n, "wall_s": round(time.time() - t0, 2)}))
+        return 0
+    if args.quantile_col:
+        from embulk_output_s3_parquet_spark.jobs import quantile_job
+
+        rep = quantile_job(
+            spark, args.table, args.quantile_col,
+            [float(x) for x in args.q.split(",")],
+        )
+        print(json.dumps({
+            "n": rep["n"],
+            "quantiles": {str(q): v for q, v in rep["quantiles"].items()},
+            "wall_s": round(time.time() - t0, 2),
+        }))
         return 0
     if args.sum_cols:
         from embulk_output_s3_parquet_spark.jobs import sum_job

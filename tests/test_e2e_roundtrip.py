@@ -2665,3 +2665,68 @@ def test_distinct_job_hll_ndv(spark, tmp_path):
         _policy(ndv_columns=("quality",)).validate(
             spark.range(1).select(F.lit(0.5).alias("quality")).schema
         )
+
+
+def test_quantile_job_zone_bounds(spark, tmp_path):
+    """quantile_job (r5): the true percentile must sit INSIDE the provable
+    [lb, ub] interval on every layout; a clustered layout (tight chunk
+    zones) must give near-exact answers; strings and bad q refuse."""
+    from embulk_output_s3_parquet_spark.jobs import quantile_job
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    exact = {
+        q: li.selectExpr(f"percentile(l_extendedprice, {q}) AS p").first()["p"]
+        for q in (0.1, 0.5, 0.9)
+    }
+    domain = (
+        li.agg(F.max("l_extendedprice") - F.min("l_extendedprice")).first()[0]
+    )
+
+    # unsorted layout: wide-but-honest intervals
+    p1 = str(tmp_path / "flat")
+    encode_job(spark, li, p1, _policy(chunk_rows=512), if_exists="error")
+    rep = quantile_job(spark, p1, "l_extendedprice", [0.1, 0.5, 0.9])
+    assert rep["n"] == li.count()
+    for q, e in exact.items():
+        b = rep["quantiles"][q]
+        assert b["lb"] <= float(e) <= b["ub"], (q, b, e)
+        assert b["lb"] <= b["est"] <= b["ub"]
+
+    # clustered layout: zones are tight -> interval well under the domain.
+    # sf0.001 lineitem is too small to cluster (16 parts x 1 chunk), so
+    # use a 60k-row / 2-part table where cluster_by gives ~60 narrow
+    # chunks per part
+    p2 = str(tmp_path / "clustered")
+    big = (
+        spark.range(60_000)
+        .select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 7919) % 60_000).cast("double").alias("v"),
+        )
+        .repartition(2)
+    )
+    encode_job(
+        spark, big, p2, _policy(chunk_rows=64), if_exists="error",
+        cluster_by=["v"],
+    )
+    exact2 = {
+        q: big.selectExpr(f"percentile(v, {q}) AS p").first()["p"]
+        for q in (0.1, 0.5, 0.9)
+    }
+    rep2 = quantile_job(spark, p2, "v", [0.1, 0.5, 0.9])
+    assert rep2["n"] == 60_000
+    for q, e in exact2.items():
+        b = rep2["quantiles"][q]
+        assert b["lb"] <= float(e) <= b["ub"], (q, b, e)
+        assert (b["ub"] - b["lb"]) <= 0.06 * 60_000, (q, b)
+        assert abs(b["est"] - float(e)) <= 0.06 * 60_000
+
+    # refusals
+    with pytest.raises(ConfigException, match="no widths to bin"):
+        quantile_job(spark, p1, "l_returnflag", [0.5])
+    with pytest.raises(ConfigException, match="not in table schema"):
+        quantile_job(spark, p1, "ghost", [0.5])
+    with pytest.raises(ConfigException, match="in \\[0, 1\\]"):
+        quantile_job(spark, p1, "l_orderkey", [1.5])
