@@ -959,19 +959,31 @@ def quantile_job(
             ((F.col("lo") + F.col("hi")) / 2 - F.lit(gmin)) / F.lit(width)
         ),
     ).cast("int")
+    # one (hist, idx) pair per histogram per chunk, grouped to <=
+    # 3*(bins+2) result rows -- the driver NEVER collects per-chunk rows
+    # (a groupBy on the joint (bh, bl, bm) key would be O(chunks) distinct
+    # triples on mixed layouts)
     rows = (
-        parsed.select(idx_hi.alias("bh"), idx_lo.alias("bl"), idx_mid.alias("bm"), cnt)
-        .groupBy("bh", "bl", "bm")
+        parsed.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("h"), idx_hi.alias("i")),
+                    F.struct(F.lit(1).alias("h"), idx_lo.alias("i")),
+                    F.struct(F.lit(2).alias("h"), idx_mid.alias("i")),
+                )
+            ).alias("e"),
+            cnt,
+        )
+        .groupBy("e.h", "e.i")
         .agg(F.sum("c").alias("c"))
         .collect()
     )
     below = [0] * (bins + 2)   # cum count certainly <= edge i
     from_ = [0] * (bins + 2)   # cum count certainly >= edge i's bin start
     mid = [0] * (bins + 1)
+    hists = (below, from_, mid)
     for r in rows:
-        below[r["bh"]] += r["c"]
-        from_[r["bl"]] += r["c"]
-        mid[r["bm"]] += r["c"]
+        hists[r["h"]][r["i"]] += r["c"]
     for i in range(1, bins + 2):
         below[i] += below[i - 1]
     for i in range(bins, -1, -1):

@@ -426,3 +426,50 @@ def test_ambiguous_nested_field_names_roundtrip():
     _, pmeta = encode_array(plain)
     assert "tt" not in pmeta
     assert not type_needs_tree(plain.type)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog NDV sketches (codecs/hll.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_build_merge_estimate_properties():
+    """The sketch contract distinct_job relies on: HLL of a multiset equals
+    HLL of its support, merge is exact set-union (order/partitioning
+    invariant), the estimate stays inside the published error bound, and
+    empty/unsupported/precision-mismatched inputs return None."""
+    from embulk_output_s3_parquet_spark.codecs import hll
+
+    # multiset == support
+    vals = pa.array(list(range(1000)) * 3, pa.int64())
+    assert hll.build(vals) == hll.build(pa.array(range(1000), pa.int64()))
+
+    # partition invariance: sketch(A | B) == merge(sketch(A), sketch(B))
+    a = hll.build(pa.array(range(0, 700), pa.int64()))
+    b = hll.build(pa.array(range(300, 1000), pa.int64()))
+    both = hll.build(pa.array(range(1000), pa.int64()))
+    assert hll.merge([a, b]) == both
+    assert hll.merge([b, a]) == both  # commutative
+
+    # error bound across scales (deterministic hashing: exact replay)
+    for n in (10, 1000, 50_000):
+        sk = hll.build(pa.array(range(n), pa.int64()))
+        est = hll.estimate(sk)
+        assert abs(est - n) / n <= 4 * hll.std_error(sk), (n, est)
+
+    # strings and ints with identical canonical text must not collide
+    s = hll.build(pa.array([str(i) for i in range(500)], pa.string()))
+    assert abs(hll.estimate(s) - 500) / 500 <= 4 * hll.std_error(s)
+
+    # None poisoning
+    assert hll.build(pa.array([], pa.int64())) is None
+    assert hll.build(pa.array([None, None], pa.int64())) is None
+    assert hll.build(pa.array([1.5], pa.float64())) is None  # unsupported
+    assert hll.merge([]) is None
+    assert hll.merge([a, None]) is None
+    lo_p = hll.build(pa.array(range(100), pa.int64()), p=8)
+    assert hll.merge([a, lo_p]) is None  # precision mismatch
+
+    # nulls are ignored, not hashed
+    with_nulls = hll.build(pa.array([1, None, 2, None, 3], pa.int64()))
+    assert with_nulls == hll.build(pa.array([1, 2, 3], pa.int64()))
