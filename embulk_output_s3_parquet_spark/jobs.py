@@ -876,6 +876,7 @@ def quantile_job(
     column: str,
     qs: list[float],
     bins: int = 1024,
+    at_gen: int | None = None,
 ) -> dict:
     """Approximate quantiles with PROVABLE bounds from chunk zone maps
     alone -- the percentile member of the metadata-first aggregate family
@@ -908,7 +909,19 @@ def quantile_job(
             "to bin (numeric/timestamp columns only)"
         )
 
-    enc = table.read_encoded(spark).filter(F.col("col") == column)
+    if at_gen is not None:
+        # snapshot read (Iceberg-style): the generation's explicit part set
+        import os as _os
+
+        snap = sorted(table.lineage_at(at_gen))
+        if not snap:
+            return {"n": 0, "quantiles": {q: None for q in qs}}
+        enc = spark.read.option("basePath", table.data_dir).parquet(
+            *[_os.path.join(table.data_dir, f"part_id={p}") for p in snap]
+        )
+    else:
+        enc = table.read_encoded(spark)
+    enc = enc.filter(F.col("col") == column)
     parsed = enc.select(
         F.col("n").cast("long").alias("n"),
         F.coalesce(

@@ -148,6 +148,7 @@ def main() -> int:
         rep = quantile_job(
             spark, args.table, args.quantile_col,
             [float(x) for x in args.q.split(",")],
+            at_gen=args.at_gen,
         )
         print(json.dumps({
             "n": rep["n"],

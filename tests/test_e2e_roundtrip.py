@@ -2730,3 +2730,13 @@ def test_quantile_job_zone_bounds(spark, tmp_path):
         quantile_job(spark, p1, "ghost", [0.5])
     with pytest.raises(ConfigException, match="in \\[0, 1\\]"):
         quantile_job(spark, p1, "l_orderkey", [1.5])
+
+    # time travel: the pre-delete snapshot answers with pre-delete bounds
+    from embulk_output_s3_parquet_spark.jobs import delete_job
+
+    EncodedTable(p2).set_snapshot_retention(2)
+    before = quantile_job(spark, p2, "v", [0.5])
+    delete_job(spark, p2, ("v", "<", 30_000.0))
+    after = quantile_job(spark, p2, "v", [0.5])
+    assert after["n"] < before["n"]
+    assert quantile_job(spark, p2, "v", [0.5], at_gen=0) == before
