@@ -167,8 +167,19 @@ def main() -> int:
             existing = f.read()
         if "## Attempt history" not in existing:
             existing += "\n## Attempt history (every run, including failures)\n\n"
+        # insert INSIDE the history section (it may sit mid-file), not at
+        # the file tail where it would dangle under an unrelated heading
+        head, _, rest = existing.partition("## Attempt history")
+        nxt = rest.find("\n## ")
+        if nxt < 0:
+            merged = head + "## Attempt history" + rest.rstrip("\n") + "\n" + attempt_line
+        else:
+            merged = (
+                head + "## Attempt history" + rest[:nxt].rstrip("\n")
+                + "\n" + attempt_line + rest[nxt:]
+            )
         with open(baseline, "w") as f:
-            f.write(existing + attempt_line)
+            f.write(merged)
         sys.stderr.write(
             f"efficiency {eff:.3f} < 0.8: kept existing PASS as headline, "
             f"appended the failing attempt to BASELINE.md and wrote {attempt}\n"
