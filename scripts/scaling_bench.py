@@ -103,6 +103,13 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=200000)
     ap.add_argument("--levels", default="2,8")
     ap.add_argument("--runs", type=int, default=3, help="runs per level, median taken")
+    ap.add_argument(
+        "--interleave", action="store_true",
+        help="alternate levels (2,8,2,8,...) instead of all-of-one-level "
+        "blocks: a transient neighbor-load spike then lands on BOTH "
+        "levels instead of biasing whichever block it overlaps, which is "
+        "what produced today's 0.37/0.79 contended FAIL attempts",
+    )
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     assert len(levels) == 2 and levels[1] > levels[0]
@@ -110,14 +117,21 @@ def main() -> int:
     subprocess.run([sys.executable, os.path.join(ROOT, "scripts", "make_pyfiles.py")], check=True)
     corpus = _gen_corpus(args.rows)
 
-    def median_of(c: int) -> dict:
-        runs = sorted(
-            (_run_level(c, corpus, args.rows) for _ in range(args.runs)),
-            key=lambda m: m["wall_s"],
-        )
+    def _median(runs: list[dict]) -> dict:
+        runs = sorted(runs, key=lambda m: m["wall_s"])
         return runs[len(runs) // 2]
 
-    results = [median_of(c) for c in levels]
+    if args.interleave:
+        per: dict[int, list[dict]] = {c: [] for c in levels}
+        for _ in range(args.runs):
+            for c in levels:
+                per[c].append(_run_level(c, corpus, args.rows))
+        results = [_median(per[c]) for c in levels]
+    else:
+        results = [
+            _median([_run_level(c, corpus, args.rows) for _ in range(args.runs)])
+            for c in levels
+        ]
     snappy_bytes = _snappy_baseline(corpus)
     t_lo, t_hi = results[0]["wall_s"], results[1]["wall_s"]
     factor = levels[1] / levels[0]
