@@ -98,6 +98,24 @@ def _snappy_baseline(corpus: str) -> int:
     return sum(os.path.getsize(p) for p in glob.glob(out + "/*.parquet"))
 
 
+def _insert_attempt(doc: str, attempt_line: str) -> str:
+    """Insert an attempt line INSIDE the '## Attempt history' section.
+
+    The section may sit mid-file (hand-written analyses follow it), so
+    appending at the document tail would dangle the line under an
+    unrelated heading.
+    """
+    head, sep, rest = doc.partition("## Attempt history")
+    if not sep:
+        return doc.rstrip("\n") + (
+            "\n\n## Attempt history (every run, including failures)\n\n" + attempt_line
+        )
+    nxt = rest.find("\n## ")
+    if nxt < 0:
+        return head + sep + rest.rstrip("\n") + "\n" + attempt_line
+    return head + sep + rest[:nxt].rstrip("\n") + "\n" + attempt_line + rest[nxt:]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=200000)
@@ -179,41 +197,25 @@ def main() -> int:
             json.dump(summary, f, indent=1)
         with open(baseline) as f:
             existing = f.read()
-        if "## Attempt history" not in existing:
-            existing += "\n## Attempt history (every run, including failures)\n\n"
-        # insert INSIDE the history section (it may sit mid-file), not at
-        # the file tail where it would dangle under an unrelated heading
-        head, _, rest = existing.partition("## Attempt history")
-        nxt = rest.find("\n## ")
-        if nxt < 0:
-            merged = head + "## Attempt history" + rest.rstrip("\n") + "\n" + attempt_line
-        else:
-            merged = (
-                head + "## Attempt history" + rest[:nxt].rstrip("\n")
-                + "\n" + attempt_line + rest[nxt:]
-            )
         with open(baseline, "w") as f:
-            f.write(merged)
+            f.write(_insert_attempt(existing, attempt_line))
         sys.stderr.write(
             f"efficiency {eff:.3f} < 0.8: kept existing PASS as headline, "
             f"appended the failing attempt to BASELINE.md and wrote {attempt}\n"
         )
         return 1
-    history = ""
-    notes = ""
+    preserved = ""
     if os.path.exists(baseline):
         with open(baseline) as f:
             old = f.read()
-        # preserve the hand-written measurement-history/notes section and
-        # the machine-appended attempt log across headline rewrites
-        if "## Measurement history" in old:
-            notes = old[old.index("## Measurement history"):]
-            if "## Attempt history" in notes:
-                notes = notes[: notes.index("## Attempt history")]
-        if "## Attempt history" in old:
-            history = old[old.index("## Attempt history"):]
-    if not history:
-        history = "## Attempt history (every run, including failures)\n\n"
+        # preserve EVERY section after the machine-written headline block
+        # (metadata-scale tables, variance analyses, measurement history,
+        # attempt log, ...) -- only the headline paragraph is regenerated
+        i = old.find("\n## ")
+        if i >= 0:
+            preserved = old[i + 1:]
+    if "## Attempt history" not in preserved:
+        preserved += "\n## Attempt history (every run, including failures)\n\n"
     with open(baseline, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured engine numbers\n\n"
@@ -240,7 +242,7 @@ def main() -> int:
             "stages: partition planning is a group-level aggregation + broadcast\n"
             "join, encode is per-scan-partition, and only encoded chunks (~10x\n"
             "smaller) shuffle to their part files.\n\n"
-            + notes + history + attempt_line
+            + _insert_attempt(preserved, attempt_line)
         )
     return 0
 
