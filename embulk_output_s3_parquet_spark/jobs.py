@@ -2183,6 +2183,111 @@ def rollback_job(table_path: str, to_gen: int) -> dict:
     }
 
 
+def diff_summary(table_path: str, from_gen: int, to_gen: int | None = None) -> dict:
+    """Spark-free part-level diff between two retained generations: which
+    parts a rewrite added/removed and the exact net row/byte delta, all
+    from lineage metadata. The driver of an incremental pipeline calls
+    this first -- on a 100 TB table it answers "did anything change, and
+    how much" in O(shard) metadata IO; :func:`diff_job` then decodes only
+    the changed parts."""
+    table = EncodedTable(table_path)
+    cur = int(table._core_manifest().get("parts_gen", 0))
+    to_gen = cur if to_gen is None else int(to_gen)
+    old = table.lineage_at(int(from_gen))
+    new = table.lineage_at(to_gen)
+    removed = sorted(set(old) - set(new))
+    added = sorted(set(new) - set(old))
+    rows = lambda lin, pids: sum(int(lin[p].get("rows", 0)) for p in pids)  # noqa: E731
+    byts = lambda lin, pids: sum(int(lin[p].get("enc_bytes", 0)) for p in pids)  # noqa: E731
+    return {
+        "from_gen": int(from_gen),
+        "to_gen": to_gen,
+        "parts_added": added,
+        "parts_removed": removed,
+        "parts_unchanged": len(set(old) & set(new)),
+        "rows_delta": rows(new, added) - rows(old, removed),
+        "rows_in_changed_parts": rows(new, added) + rows(old, removed),
+        "enc_bytes_delta": byts(new, added) - byts(old, removed),
+    }
+
+
+def diff_job(
+    spark: SparkSession,
+    table_path: str,
+    from_gen: int,
+    to_gen: int | None = None,
+    columns: list[str] | None = None,
+    change_col: str = "_change",
+) -> DataFrame:
+    """Row-level changelog between two retained snapshot generations --
+    the Iceberg changelog-scan analogue that completes the DML family
+    (delete/update/merge/rollback write history; this reads it). Returns
+    the table columns plus ``change_col`` in {'insert', 'delete'}: a
+    DELETE emits its removed rows as deletes, an append emits inserts,
+    an UPDATE/MERGE emits the pre-image as delete and the post-image as
+    insert (classic changelog semantics; duplicates keep multiplicity).
+
+    Scale shape: parts are immutable and every rewrite mints fresh part
+    ids above the high-water mark, so a part id common to both
+    generations is byte-identical and never decoded -- the scan touches
+    ONLY parts the rewrite added or removed, and the single shuffle is
+    the ``exceptAll`` over those changed-part rows (rewrites copy
+    surviving rows into fresh parts, so the copies must cancel). Both
+    snapshots read with the CURRENT schema, like every at_gen read.
+
+    ``columns`` restricts the diff to a projection (rows differing only
+    in excluded columns cancel out -- the changelog OF that projection).
+    Map-typed columns are not comparable in Spark; project them away."""
+    from .operators.decode import decode_table_scan
+
+    table = EncodedTable(table_path)
+    cur = int(table._core_manifest().get("parts_gen", 0))
+    to_gen = cur if to_gen is None else int(to_gen)
+    from_gen = int(from_gen)
+    if from_gen > to_gen:
+        raise ConfigException(
+            f"diff_job: from_gen {from_gen} is after to_gen {to_gen}; "
+            "swap the arguments (the changelog reads forward)"
+        )
+    old_lineage = table.lineage_at(from_gen)
+    new_lineage = table.lineage_at(to_gen)
+    schema = table.schema()
+    names = [f.name for f in schema.fields]
+    sel = list(columns) if columns is not None else names
+    missing = [c for c in sel if c not in names]
+    if missing:
+        raise ConfigException(f"diff columns not in table schema: {missing}")
+    if change_col in sel:
+        raise ConfigException(
+            f"change_col {change_col!r} collides with a diffed table column; "
+            "pass a different change_col"
+        )
+    fields = {f.name: f.dataType for f in schema.fields}
+    maps = [c for c in sel if isinstance(fields[c], T.MapType)]
+    if maps:
+        raise ConfigException(
+            f"diff_job: map columns {maps} are not comparable in Spark's "
+            "exceptAll; pass columns= excluding them"
+        )
+    removed = set(old_lineage) - set(new_lineage)
+    added = set(new_lineage) - set(old_lineage)
+
+    def _rows(parts: set[int]) -> DataFrame:
+        if not parts:
+            return spark.createDataFrame([], _prune(schema, sel))
+        return decode_table_scan(spark, table, columns=sel, parts=parts)
+
+    def _prune(s: T.StructType, cols: list[str]) -> T.StructType:
+        return T.StructType([f for f in s.fields if f.name in cols])
+
+    old_rows, new_rows = _rows(removed), _rows(added)
+    return new_rows.exceptAll(old_rows).withColumn(
+        change_col, F.lit("insert")
+    ).unionAll(
+        old_rows.exceptAll(new_rows).withColumn(change_col, F.lit("delete"))
+    )
+
+
 def vacuum_job(
     table_path: str, dry_run: bool = False, stale_after_s: float | None = None
 ) -> dict:

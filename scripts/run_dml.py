@@ -11,6 +11,7 @@ Usage:
     ... vacuum  --table T [--dry-run]
     ... snapshots --table T [--retain N]          # list / set retention
     ... rollback --table T --to-gen G             # undo rewrites atomically
+    ... diff    --table T --from-gen G [--to-gen H] [--out /path.parquet]
     ... verify  --table T
 
 Every subcommand prints ONE JSON report line (the job API's return value),
@@ -92,6 +93,14 @@ def main() -> int:
     )
     p.add_argument("--table", required=True)
     p.add_argument("--to-gen", type=int, required=True, dest="to_gen")
+
+    p = sub.add_parser(
+        "diff", help="row-level changelog between two retained generations"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--from-gen", type=int, required=True, dest="from_gen")
+    p.add_argument("--to-gen", type=int, dest="to_gen")
+    p.add_argument("--out", help="write changelog rows to this parquet path")
 
     p = sub.add_parser("verify", help="sha256 lineage audit")
     p.add_argument("--table", required=True)
@@ -215,6 +224,17 @@ def main() -> int:
             cb = args.cluster_by.split(",") if args.cluster_by else None
             t = compact_job(spark, args.table, cluster_by=cb)
             rep = {"parts": len(t.lineage())}
+        elif args.cmd == "diff":
+            from embulk_output_s3_parquet_spark.jobs import (
+                diff_job, diff_summary,
+            )
+
+            rep = diff_summary(args.table, args.from_gen, args.to_gen)
+            if args.out:
+                df = diff_job(spark, args.table, args.from_gen, args.to_gen)
+                df.write.mode("error").parquet(args.out)
+                rep["out"] = args.out
+                rep["changelog_rows"] = spark.read.parquet(args.out).count()
         elif args.cmd == "verify":
             from embulk_output_s3_parquet_spark.jobs import verify_table
 

@@ -2740,3 +2740,72 @@ def test_quantile_job_zone_bounds(spark, tmp_path):
     after = quantile_job(spark, p2, "v", [0.5])
     assert after["n"] < before["n"]
     assert quantile_job(spark, p2, "v", [0.5], at_gen=0) == before
+
+
+def test_diff_job_changelog(spark, tmp_path):
+    """Generation-diff changelog (r5): diff_job emits row-level
+    insert/delete changes between two retained snapshots, touching only
+    parts the rewrites added/removed; diff_summary answers part-level
+    deltas Spark-free. Completes the DML family: DELETE shows as deletes,
+    UPDATE as delete(pre-image) + insert(post-image)."""
+    from embulk_output_s3_parquet_spark.jobs import (
+        delete_job, diff_job, diff_summary, update_job,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "chlog")
+    encode_job(spark, docs, path, _policy(chunk_rows=64), if_exists="error")
+    t = EncodedTable(path)
+    t.set_snapshot_retention(3)
+    g0 = t.generations()[-1]
+
+    victims = [
+        int(r[0])
+        for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()
+    ]
+    delete_job(spark, path, ("doc_id", "==", victims[0]))
+    g1 = EncodedTable(path).generations()[-1]
+    update_job(spark, path, ("doc_id", "==", victims[1]), {"lang": "'zz'"})
+    g2 = EncodedTable(path).generations()[-1]
+
+    # DELETE: exactly the removed row, as a delete
+    d01 = diff_job(spark, path, g0, g1).collect()
+    assert len(d01) == 1
+    assert d01[0]["_change"] == "delete" and d01[0]["doc_id"] == victims[0]
+
+    # UPDATE: pre-image delete + post-image insert of the same key
+    d12 = {(r["_change"], r["lang"]) for r in
+           diff_job(spark, path, g1, g2).collect()}
+    rows12 = diff_job(spark, path, g1, g2).collect()
+    assert len(rows12) == 2
+    assert all(r["doc_id"] == victims[1] for r in rows12)
+    assert ("insert", "zz") in d12 and any(c == "delete" for c, _ in d12)
+
+    # compound diff to current (to_gen defaults to the manifest pointer)
+    d02 = diff_job(spark, path, g0).collect()
+    assert len(d02) == 3
+    assert sum(1 for r in d02 if r["_change"] == "delete") == 2
+    assert sum(1 for r in d02 if r["_change"] == "insert") == 1
+
+    # self-diff is empty, with the changelog schema
+    d00 = diff_job(spark, path, g0, g0)
+    assert d00.count() == 0 and "_change" in d00.columns
+
+    # projection diff: the update only touched lang, so a doc_id-only
+    # changelog cancels the update pair and keeps just the delete
+    dproj = diff_job(spark, path, g0, columns=["doc_id"]).collect()
+    assert len(dproj) == 1 and dproj[0]["doc_id"] == victims[0]
+
+    # metadata-only summary agrees with lineage
+    s = diff_summary(path, g0, g1)
+    assert s["rows_delta"] == -1
+    assert set(s["parts_added"]).isdisjoint(s["parts_removed"])
+    assert s["parts_added"] and s["parts_removed"]
+
+    # refusals
+    with pytest.raises(ConfigException, match="swap the arguments"):
+        diff_job(spark, path, g2, g0)
+    with pytest.raises(ConfigException, match="collides"):
+        diff_job(spark, path, g0, change_col="lang")
+    with pytest.raises(ConfigException, match="not in table schema"):
+        diff_job(spark, path, g0, columns=["ghost"])
