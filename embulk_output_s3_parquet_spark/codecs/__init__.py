@@ -94,6 +94,10 @@ def encode_array(
     zone = _zone_of(values)
     if zone is not None:
         meta["mm"] = zone
+    elif pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
+        pz = _prefix_zone_of(values)
+        if pz is not None:
+            meta["mp"] = pz
     sm = _sum_of(values, zone)
     if sm is not None:
         meta["sm"] = sm
@@ -154,6 +158,51 @@ def _zone_of(values: pa.Array):
     if pa.types.is_floating(t) and not (math.isfinite(lo) and math.isfinite(hi)):
         return None
     if isinstance(lo, str) and (len(lo) > _ZONE_MAX_STR or len(hi) > _ZONE_MAX_STR):
+        return None
+    return [lo, hi]
+
+
+_ZONE_PREFIX_CP = 64
+
+
+def _cp_increment(s: str) -> str | None:
+    """Smallest convenient string strictly greater than EVERY string having
+    prefix ``s``: increment the last code point (hopping the surrogate gap,
+    dropping maxed-out U+10FFFF tails). None when no such string exists."""
+    cs = list(s)
+    while cs:
+        o = ord(cs[-1])
+        if o >= 0x10FFFF:
+            cs.pop()
+            continue
+        o += 1
+        if 0xD800 <= o <= 0xDFFF:
+            o = 0xE000  # lone surrogates aren't storable utf-8
+        cs[-1] = chr(o)
+        return "".join(cs)
+    return None
+
+
+def _prefix_zone_of(values: pa.Array):
+    """Widened [lo, hi] prefix zone for string chunks whose exact lexical
+    bounds are too long to store (Parquet's truncate-and-increment column
+    statistics): lo = min over 64-codepoint prefixes (a prefix of x is
+    <= x, so the min of prefixes bounds the true min from below) and
+    hi = code-point increment of the max prefix (every value is < it --
+    any x's prefix is <= the max prefix, and incrementing the last code
+    point exceeds every extension). The interval CONTAINS the exact zone
+    but its endpoints are generally not achieved values, so it is sound
+    for pruning (zone_excludes AND zone_includes stay conservative under
+    widening) and must never feed exactness consumers -- minmax_job /
+    quantile_job / stats folds key on "mm" only and ignore "mp"."""
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(pc.utf8_slice_codeunits(values, 0, _ZONE_PREFIX_CP))
+    lo, hi_prefix = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None or hi_prefix is None:
+        return None
+    hi = _cp_increment(hi_prefix)
+    if hi is None:
         return None
     return [lo, hi]
 

@@ -60,6 +60,7 @@ def lineage_row_from_chunks(
             "n": int(m.get("n", 0)),
             "z": int(m.get("z", 0)),
             "mm": m.get("mm"),
+            "mp": m.get("mm") if m.get("mm") is not None else m.get("mp"),
             "sm": m.get("sm"),
         }
         if e["sm"] is None and e["z"] >= e["n"] and _summable(e["t"]):
@@ -78,10 +79,16 @@ def lineage_row_from_chunks(
             cur["n"] += e["n"]
             cur["z"] += e["z"]
             cur["mm"] = merge_zone(cur["t"], cur["mm"], e["mm"])
+            # part-level widened zone: union over each chunk's exact zone
+            # (which embeds in its own widening) or prefix zone; one chunk
+            # with neither poisons it, same rule as "mm"
+            cur["mp"] = merge_zone(cur["t"], cur["mp"], e["mp"])
             cur["sm"] = merge_sum(cur["t"], cur["sm"], e["sm"])
-    for e in zones.values():  # poisoned/non-summable: no manifest bytes
+    for e in zones.values():  # poisoned/non-summable/redundant: no bytes
         if e.get("sm") is None:
             e.pop("sm", None)
+        if e.get("mp") is None or e.get("mm") is not None:
+            e.pop("mp", None)  # exact part zone present: widening is noise
     # part-level blooms so a point lookup prunes whole PARTS driver-side
     # via pruned_part_dirs/surviving_parts -- zones can't exclude unsorted
     # high-cardinality keys, exactly the columns blooms are opted into.

@@ -195,6 +195,10 @@ def _survives(
                 return False
         zone = meta.get("mm")
         if zone is None:
+            # widened prefix zone (long strings, codecs._prefix_zone_of):
+            # contains the exact zone, so exclusion stays conservative
+            zone = meta.get("mp") if tname in ("string", "large_string") else None
+        if zone is None:
             continue
         if tname.startswith("decimal128("):
             from decimal import Decimal
@@ -411,6 +415,12 @@ def _conjunct_state(meta: dict, op: str, v) -> str:
         return "none"
     zone = meta.get("mm")
     tname = meta.get("t", "")
+    if zone is None and tname in ("string", "large_string"):
+        # widened prefix zone: containment makes BOTH verdicts sound --
+        # exclusion (the true zone sits inside it) and inclusion (its
+        # inclusion proofs are of the form "the whole widened interval
+        # satisfies the op", which the tighter true zone then does too)
+        zone = meta.get("mp")
     if zone is not None and tname.startswith("decimal128("):
         from decimal import Decimal
 
