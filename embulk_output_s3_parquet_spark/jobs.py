@@ -469,6 +469,7 @@ def count_job(
     total = 0
     dirs = []
     fillable = frozenset(table.added_columns())
+    aliases = table.stored_aliases()
     # sidecar part-blooms can exclude whole parts that zones can't (==/in on
     # unsorted high-cardinality keys); probe them once, streamed per shard.
     # CURRENT-generation reads only: surviving_parts evaluates the current
@@ -515,7 +516,7 @@ def count_job(
                 if not files:
                     raise FileNotFoundError(f"committed part missing: {d}")
                 for f in files:
-                    n += count_file(f, conjuncts, fillable=fillable)
+                    n += count_file(f, conjuncts, fillable=fillable, aliases=aliases)
             import pandas as pd
 
             yield pd.DataFrame({"n": [n]})
@@ -564,6 +565,7 @@ def _stats_scan(
     if not lineage:
         raise ConfigException(f"table {table_path} has no committed partitions")
     fillable = frozenset(table.added_columns())
+    aliases = table.stored_aliases()
 
     acc: dict[str, dict] = {
         c: {"t": "", "mm": None, "sm": None, "nn": 0} for c in columns
@@ -674,6 +676,7 @@ def _stats_scan(
                         got = minmax_file(
                             f, cjs if bd else [], cs.split(","),
                             fillable=fillable, sums=want_sums,
+                            aliases=aliases,
                         )
                         for c, e in got.items():
                             cur = out.get(c)
@@ -928,7 +931,11 @@ def quantile_job(
         )
     else:
         enc = table.read_encoded(spark)
-    enc = enc.filter(F.col("col") == column)
+    # pre-rename parts store the column under its historical spelling(s)
+    spellings = [column] + [
+        s for s, logical in table.stored_aliases().items() if logical == column
+    ]
+    enc = enc.filter(F.col("col").isin(spellings))
     parsed = enc.select(
         F.col("n").cast("long").alias("n"),
         F.coalesce(
@@ -1114,7 +1121,10 @@ def decode_job_chunks(
     """groupBy-reassembly decode: works for ANY chunk layout (chunks of one
     part spread across files) at the cost of shuffling encoded payloads."""
     table = EncodedTable(table_path)
-    return decode_chunks(table.read_encoded(spark), table.schema(), columns=columns)
+    return decode_chunks(
+        table.read_encoded(spark), table.schema(), columns=columns,
+        aliases=table.stored_aliases(),
+    )
 
 
 def compact_job(
@@ -1154,7 +1164,9 @@ def compact_job(
     for c in cluster:
         if c not in names:
             raise ConfigException(f"cluster_by: unknown column {c!r}")
-    df = decode_chunks(table.read_encoded(spark), table.schema())
+    df = decode_chunks(
+        table.read_encoded(spark), table.schema(), aliases=table.stored_aliases()
+    )
 
     bucket = _resolve_bucket_by(table, None, table.schema())
     dfp, plan = _plan(df, policy, bucket=bucket)
@@ -1936,6 +1948,7 @@ def export_job(
     fields = [(f.name, f.type) for f in arrow_schema]
     conjuncts = normalize_where(where, names)
     fillable = frozenset(table.added_columns()) & set(names)
+    aliases = table.stored_aliases()
     lineage = table.lineage_at(at_gen) if at_gen is not None else table.lineage()
     if not lineage:
         raise ConfigException(f"table {table_path} has no committed partitions")
@@ -2034,6 +2047,7 @@ def export_job(
                     for tbl in iter_part_tables(
                         files, fields, conjuncts, fillable=fillable,
                         slice_of=(int(sl), int(nsub)) if int(nsub) > 1 else None,
+                        aliases=aliases,
                     ):
                         if conjuncts:  # exact filter (scan is may-match)
                             mask = None
@@ -2418,7 +2432,16 @@ def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
     zmin/zmax are exact for integer columns (every non-all-null chunk
     records a zone); NULL for types whose zones are absent or non-numeric.
     The numbers a cost-based planner would want from a catalog."""
-    enc = EncodedTable(table_path).read_encoded(spark).select("col", "n", "meta")
+    table = EncodedTable(table_path)
+    enc = table.read_encoded(spark).select("col", "n", "meta")
+    aliases = table.stored_aliases()
+    if aliases:
+        # pre-rename parts store historical spellings: fold them into the
+        # current logical name so one column reports as one row
+        mapping = F.create_map(*[F.lit(x) for kv in aliases.items() for x in kv])
+        enc = enc.withColumn(
+            "col", F.coalesce(mapping[F.col("col")], F.col("col"))
+        )
     parsed = enc.select(
         "col",
         F.col("n").cast("long").alias("n"),

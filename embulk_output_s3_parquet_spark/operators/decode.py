@@ -22,13 +22,18 @@ def decode_chunks(
     encoded: DataFrame,
     out_schema: T.StructType,
     columns: list[str] | None = None,
+    aliases: dict[str, str] | None = None,
 ) -> DataFrame:
     """Group encoded rows by chunk and rebuild original rows.
 
     ``columns`` prunes the decode to a projection: the filter on the chunk
     table's ``col`` column pushes down to the parquet scan, so unrequested
     columns' payloads are never read -- the encoded format's equivalent of
-    columnar projection pushdown."""
+    columnar projection pushdown. ``aliases`` maps historical stored
+    chunk-column names to logical (EncodedTable.stored_aliases,
+    rename_column): parts committed before a rename keep the old spelling
+    on disk."""
+    aliases = aliases or {}
     if columns is not None:
         missing = set(columns) - {f.name for f in out_schema.fields}
         if missing:
@@ -36,7 +41,9 @@ def decode_chunks(
         out_schema = T.StructType([f for f in out_schema.fields if f.name in columns])
         from pyspark.sql import functions as F
 
-        encoded = encoded.filter(F.col("col").isin(list(columns)))
+        want = set(columns)
+        spellings = list(want | {s for s, l in aliases.items() if l in want})
+        encoded = encoded.filter(F.col("col").isin(spellings))
     arrow_schema = to_arrow_schema(out_schema)
     names = [f.name for f in out_schema.fields]
 
@@ -46,7 +53,7 @@ def decode_chunks(
         payloads = table.column("payload").to_pylist()
         by_name = {}
         for c, m, p in zip(cols, metas, payloads):
-            by_name[c] = decode_array(p, meta_from_json(m))
+            by_name[aliases.get(c, c)] = decode_array(p, meta_from_json(m))
         arrays = []
         for name, field in zip(names, arrow_schema):
             arr = by_name[name]
@@ -128,6 +135,8 @@ def decode_table_scan(
     conjuncts = normalize_where(where, names)  # fail fast on the driver
     # schema-evolution columns read as nulls in parts predating add_column
     fillable = frozenset(table.added_columns()) & set(names)
+    # pre-rename parts' stored chunk names translate to current logical
+    aliases = table.stored_aliases()
 
     # driver-side part pruning from the lineage zone summaries: excluded
     # parts never even get a task (at 10^6 parts the scheduler, not the
@@ -178,7 +187,8 @@ def decode_table_scan(
                 st: dict | None = {} if counters is not None else None
                 sl = (slice_i, n_slices) if n_slices > 1 else None
                 for tbl in iter_part_tables(
-                    files, fields, conjuncts, st, slice_of=sl, fillable=fillable
+                    files, fields, conjuncts, st, slice_of=sl,
+                    fillable=fillable, aliases=aliases,
                 ):
                     yield from tbl.to_batches()
                 if counters is not None:

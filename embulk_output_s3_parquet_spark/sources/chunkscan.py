@@ -237,6 +237,7 @@ def scan_file(
     slice_of: tuple[int, int] | None = None,
     chunk_n_out: dict | None = None,
     fillable: frozenset[str] = frozenset(),
+    aliases: dict[str, str] | None = None,
 ) -> tuple[list[int], dict, dict]:
     """Scan ONE chunk parquet file -> (surviving chunk_seqs in order,
     {seq: {col: meta}}, {col: {seq: decoded pa.Array}}).
@@ -253,9 +254,17 @@ def scan_file(
     ``chunk_n_out`` (optional dict) receives {seq: row count} for EVERY
     chunk in the file -- callers filling schema-evolved (added) columns
     with nulls need the counts even when no projected column exists in
-    this file."""
+    this file.
+
+    ``aliases`` maps HISTORICAL stored chunk-column names to their current
+    logical name (EncodedTable.stored_aliases, written by rename_column):
+    parts committed before a rename keep their old ``col`` spelling on
+    disk, so the scan translates stored -> logical right where the file is
+    read and everything downstream (projection match, meta dicts, decoded
+    arrays) lives in logical space."""
     pf = pq.ParquetFile(path)
     want = set(names)
+    aliases = aliases or {}
 
     # pass 1: metadata only -- payload column never touched. chunk_n tracks
     # every chunk's row count regardless of projection: a projection of
@@ -269,6 +278,7 @@ def scan_file(
         mt.column("col").to_pylist(),
         mt.column("meta").to_pylist(),
     ):
+        col = aliases.get(col, col)
         wanted = col in want
         if wanted:
             any_wanted_in_file = True
@@ -308,7 +318,11 @@ def scan_file(
         return surviving, meta_by, decoded
 
     surv = set(surviving)
-    names_sorted = sorted(names)
+    # row-group stats hold STORED spellings: widen the match set with every
+    # historical alias of a wanted column so pre-rename row groups survive
+    names_sorted = sorted(
+        want | {s for s, l in aliases.items() if l in want}
+    )
     col_idx = {
         pf.metadata.row_group(0).column(i).path_in_schema: i
         for i in range(pf.metadata.num_columns)
@@ -325,6 +339,7 @@ def scan_file(
         cols = t.column("col").to_pylist()
         payloads = t.column("payload")
         for i, (seq, col) in enumerate(zip(seqs, cols)):
+            col = aliases.get(col, col)
             if col in want and seq in surv:
                 # .as_py() copies ONE payload at a time; the decoded arrays
                 # are compact arrow buffers, never a whole-part pylist
@@ -605,14 +620,18 @@ def count_file(
     conjuncts: list[tuple],
     stats_out: dict | None = None,
     fillable: frozenset[str] = frozenset(),
+    aliases: dict[str, str] | None = None,
 ) -> int:
     """Exact COUNT(*) over one chunk file under ANDed ``conjuncts``, reading
     payload bytes ONLY for boundary chunks (those the zone/null metadata can
     neither fully include nor fully exclude) -- and then only the predicate
     columns. With no conjuncts this is a pure metadata pass.
     ``fillable`` columns (schema evolution) count as all-null where absent:
-    decidable from metadata alone, never a boundary decode."""
+    decidable from metadata alone, never a boundary decode. ``aliases``
+    translates historical stored column names to logical (rename_column,
+    see scan_file)."""
     pf = pq.ParquetFile(path)
+    aliases = aliases or {}
     mt = pf.read(columns=["chunk_seq", "col", "meta"])
     meta_by: dict[int, dict] = {}
     for seq, col, meta in zip(
@@ -620,7 +639,7 @@ def count_file(
         mt.column("col").to_pylist(),
         mt.column("meta").to_pylist(),
     ):
-        meta_by.setdefault(seq, {})[col] = meta_from_json(meta)
+        meta_by.setdefault(seq, {})[aliases.get(col, col)] = meta_from_json(meta)
 
     total = 0
     boundary: dict[int, list[tuple]] = {}
@@ -645,8 +664,10 @@ def count_file(
         return total
 
     # decode only the undecided conjuncts' columns of the boundary chunks
-    need_cols = sorted({c for cjs in boundary.values() for c, _, _ in cjs})
-    names_sorted = need_cols
+    need_cols = {c for cjs in boundary.values() for c, _, _ in cjs}
+    names_sorted = sorted(
+        need_cols | {s for s, l in aliases.items() if l in need_cols}
+    )
     surviving_sorted = sorted(boundary)
     col_idx = {
         pf.metadata.row_group(0).column(i).path_in_schema: i
@@ -661,6 +682,7 @@ def count_file(
         for i, (seq, col) in enumerate(
             zip(t.column("chunk_seq").to_pylist(), t.column("col").to_pylist())
         ):
+            col = aliases.get(col, col)
             if seq in boundary and col in {c for c, _, _ in boundary[seq]}:
                 decoded.setdefault(seq, {})[col] = decode_array(
                     payloads[i].as_py(), meta_by[seq][col]
@@ -752,6 +774,7 @@ def minmax_file(
     fillable: frozenset[str] = frozenset(),
     stats_out: dict | None = None,
     sums: bool = False,
+    aliases: dict[str, str] | None = None,
 ) -> dict[str, dict]:
     """Exact per-column [min, max] over one chunk file under ANDed
     ``conjuncts``, in the zone storage domain: ``{col: {"t": tname,
@@ -766,8 +789,11 @@ def minmax_file(
     chunk contributes nothing, and decode happens just for boundary chunks
     (masked by the undecided conjuncts) and for fully-included chunks of
     columns with no recorded zone (document-sized strings, non-finite
-    floats). On a clustered table a range MIN/MAX is a pure metadata pass."""
+    floats). On a clustered table a range MIN/MAX is a pure metadata pass.
+    ``aliases`` translates historical stored column names to logical
+    (rename_column, see scan_file)."""
     pf = pq.ParquetFile(path)
+    aliases = aliases or {}
     mt = pf.read(columns=["chunk_seq", "col", "meta"])
     meta_by: dict[int, dict] = {}
     for seq, col, meta in zip(
@@ -775,7 +801,7 @@ def minmax_file(
         mt.column("col").to_pylist(),
         mt.column("meta").to_pylist(),
     ):
-        meta_by.setdefault(seq, {})[col] = meta_from_json(meta)
+        meta_by.setdefault(seq, {})[aliases.get(col, col)] = meta_from_json(meta)
 
     acc: dict[str, dict] = {}
 
@@ -850,7 +876,10 @@ def minmax_file(
         seq: ({c for c, _, _ in cjs} | set(dcols))
         for seq, (cjs, dcols) in need.items()
     }
-    names_sorted = sorted({c for cols in read_cols.values() for c in cols})
+    logical_need = {c for cols in read_cols.values() for c in cols}
+    names_sorted = sorted(
+        logical_need | {s for s, l in aliases.items() if l in logical_need}
+    )
     surviving_sorted = sorted(need)
     col_idx = {
         pf.metadata.row_group(0).column(i).path_in_schema: i
@@ -865,6 +894,7 @@ def minmax_file(
         for i, (seq, col) in enumerate(
             zip(t.column("chunk_seq").to_pylist(), t.column("col").to_pylist())
         ):
+            col = aliases.get(col, col)
             if seq in read_cols and col in read_cols[seq]:
                 decoded.setdefault(seq, {})[col] = decode_array(
                     payloads[i].as_py(), meta_by[seq][col]
@@ -907,6 +937,7 @@ def iter_part_tables(
     stats_out: dict | None = None,
     slice_of: tuple[int, int] | None = None,
     fillable: frozenset[str] = frozenset(),
+    aliases: dict[str, str] | None = None,
 ):
     """Decode a committed part's files -> one pa.Table per surviving chunk,
     columns in ``fields`` order. Every chunk's rows live in one file (one
@@ -915,13 +946,14 @@ def iter_part_tables(
     per file (sub-part decode parallelism, see scan_file).
     ``fillable``: schema-evolution columns (EncodedTable.add_column) that
     read as nulls in parts predating their addition; any OTHER missing
-    column stays a loud layout error."""
+    column stays a loud layout error. ``aliases``: historical stored
+    column names -> logical (rename_column, see scan_file)."""
     names = [n for n, _ in fields]
     for path in sorted(files):
         chunk_n: dict[int, int] = {}
         surviving, meta_by, decoded = scan_file(
             path, names, conjuncts, stats_out, slice_of=slice_of,
-            chunk_n_out=chunk_n, fillable=fillable,
+            chunk_n_out=chunk_n, fillable=fillable, aliases=aliases,
         )
         for seq in surviving:
             arrays = []

@@ -165,7 +165,10 @@ class EncodedTablePlainReader(DataSourceReader):
 
         # schema-evolution columns (add_column) read as nulls in parts
         # predating their addition; resolved once, ships with the reader
-        self._fillable = frozenset(EncodedTable(path).added_columns()) & self._names
+        t = EncodedTable(path)
+        self._fillable = frozenset(t.added_columns()) & self._names
+        # pre-rename parts' stored chunk names -> current logical names
+        self._aliases = t.stored_aliases()
 
     def partitions(self):
         # called after pushFilters: part-zone lineage summaries prune whole
@@ -185,7 +188,8 @@ class EncodedTablePlainReader(DataSourceReader):
         if not files:
             raise FileNotFoundError(f"committed part missing: {partition.value}")
         for tbl in iter_part_tables(
-            files, self._fields, self._conjuncts, fillable=self._fillable
+            files, self._fields, self._conjuncts, fillable=self._fillable,
+            aliases=self._aliases,
         ):
             yield from tbl.to_batches()
 
@@ -251,7 +255,9 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         self._gen = EncodedTable(path).manifest().get("parts_gen", 0)
         # resolved ONCE here -- read() runs per partition per micro-batch
         # on executors and must not re-read manifest state for this
-        self._fillable = frozenset(EncodedTable(path).added_columns()) & names
+        t = EncodedTable(path)
+        self._fillable = frozenset(t.added_columns()) & names
+        self._aliases = t.stored_aliases()
 
     def _table(self):
         from .tables import EncodedTable
@@ -297,7 +303,8 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         if not files:
             raise FileNotFoundError(f"committed part missing: {partition.value}")
         for tbl in iter_part_tables(
-            files, self._fields, [], fillable=self._fillable
+            files, self._fields, [], fillable=self._fillable,
+            aliases=self._aliases,
         ):
             yield from tbl.to_batches()
 

@@ -54,6 +54,7 @@ def read_table(
     fillable = frozenset(
         manifest.get("properties", {}).get("added-columns", [])
     ) & set(want)
+    aliases = manifest.get("properties", {}).get("renamed-columns", {}) or {}
 
     from .chunkscan import _survives
 
@@ -84,7 +85,10 @@ def read_table(
         if not files:
             raise FileNotFoundError(f"committed part {pid} missing at {part_dir}")
         batches.extend(
-            iter_part_tables(files, fields, conjuncts, scan_stats, fillable=fillable)
+            iter_part_tables(
+                files, fields, conjuncts, scan_stats,
+                fillable=fillable, aliases=aliases,
+            )
         )
     if batches:
         return pa.concat_tables(batches)
@@ -123,6 +127,7 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
     conjuncts = normalize_where(where, names)
     parts = _committed_parts(path, manifest)
     fillable = frozenset(manifest.get("properties", {}).get("added-columns", []))
+    aliases = manifest.get("properties", {}).get("renamed-columns", {}) or {}
 
     from .chunkscan import conjunct_state_of
 
@@ -158,7 +163,9 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
         if not files:
             raise FileNotFoundError(f"committed part {pid} missing at {part_dir}")
         for fpath in files:
-            total += count_file(fpath, conjuncts, scan_stats, fillable=fillable)
+            total += count_file(
+                fpath, conjuncts, scan_stats, fillable=fillable, aliases=aliases
+            )
     return total
 
 
@@ -192,6 +199,7 @@ def stats_table(
     conjuncts = normalize_where(where, names)
     parts = _committed_parts(path, manifest)
     fillable = frozenset(manifest.get("properties", {}).get("added-columns", []))
+    aliases = manifest.get("properties", {}).get("renamed-columns", {}) or {}
 
     acc: dict[str, dict] = {
         c: {"t": "", "mm": None, "sm": None, "nn": 0} for c in columns
@@ -268,6 +276,7 @@ def stats_table(
             got = minmax_file(
                 fpath, conjuncts if boundary else [], want_cols,
                 fillable=fillable, stats_out=scan_stats, sums=sums,
+                aliases=aliases,
             )
             for c, e in got.items():
                 fold(c, e)

@@ -1162,6 +1162,105 @@ class EncodedTable:
             },
         )
 
+    def stored_aliases(self) -> dict[str, str]:
+        """{historical stored chunk-column name: current logical name},
+        cumulative over every :meth:`rename_column`. Parts committed before
+        a rename keep the old spelling in their chunk files' ``col`` values;
+        every chunk-file reader (chunkscan scan_file/count_file/minmax_file)
+        translates through this map, so renames never touch part bytes."""
+        return dict(self.properties().get("renamed-columns", {}))
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Schema evolution, Iceberg-style RENAME COLUMN: metadata-only,
+        ZERO part payload bytes touched. Two writes, ordered for crash
+        safety: (1) the lineage shards rewrite into a new generation with
+        the column's zone/bloom/NDV summaries re-keyed (O(manifest), never
+        O(data) -- the analogue of Delta's column-mapping metadata
+        rewrite); (2) one atomic core-manifest write flips the schema and
+        records the old spelling in ``renamed-columns`` so readers
+        translate stored chunk names in pre-rename parts (and retained
+        snapshot generations) forever after. A crash between the two
+        leaves the table fully readable under the OLD name (re-keyed zones
+        simply stop pruning that column until the rename is re-run, which
+        is idempotent over step 1)."""
+        cur = self.schema()
+        names = {f.name for f in cur.fields}
+        if old not in names:
+            raise ConfigException(f"column {old!r} does not exist")
+        if new in names:
+            raise ConfigException(f"column {new!r} already exists")
+        if new in self.properties().get("dropped-columns", []):
+            # committed parts still hold chunk data under this spelling;
+            # new waves writing it would collide with the stale chunks
+            raise ConfigException(
+                f"column {new!r} was previously dropped; committed parts "
+                "still contain its data -- use a fresh name, or compact "
+                "the table first"
+            )
+        ren = dict(self.properties().get("renamed-columns", {}))
+        if new in ren and ren[new] != old:
+            # the spelling is a live alias of ANOTHER column: new parts
+            # writing chunks under it would be mis-translated to that one
+            raise ConfigException(
+                f"column name {new!r} is a historical spelling of "
+                f"{ren[new]!r}; committed parts still store chunks under "
+                "it -- use a fresh name, or compact the table first"
+            )
+
+        # step 1: re-key the column's lineage summaries (zones + sidecar
+        # blooms/sketches ride along via lineage_full -> _replace_parts'
+        # sidecar split). Idempotent: a re-run finds no `old` keys.
+        rows = self.lineage_full()
+        changed = {}
+        for pid, row in rows.items():
+            z = row.get("zones") or {}
+            if old in z:
+                z = dict(z)
+                z[new] = z.pop(old)
+                changed[pid] = {**row, "zones": z}
+        if changed:
+            rows.update(changed)
+            self._replace_parts(rows)
+
+        # step 2: one atomic schema + properties flip
+        m = self._core_manifest()
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in cur.fields
+            ]
+        )
+        m["schema"] = new_schema.json()
+        props = m.setdefault("properties", {})
+        for s, logical in list(ren.items()):
+            if logical == old:
+                ren[s] = new  # chains collapse: every spelling -> current
+        ren[old] = new
+        # renaming BACK (a->b then b->a) leaves only live aliases behind
+        props["renamed-columns"] = {s: l for s, l in ren.items() if s != l}
+        added = props.get("added-columns", [])
+        if old in added:
+            added[added.index(old)] = new
+        wo = props.get("write-order") or []
+        if old in wo:
+            props["write-order"] = [new if c == old else c for c in wo]
+        bb = props.get("bucket-by")
+        if bb and bb[0] == old:
+            props["bucket-by"] = [new, bb[1]]
+        pol = props.get("codec-policy")
+        if pol:
+            co = pol.get("column_options") or {}
+            if old in co:
+                co[new] = co.pop(old)
+            for key in ("bloom_columns", "ndv_columns"):
+                cols = pol.get(key) or []
+                if old in cols:
+                    pol[key] = [new if c == old else c for c in cols]
+        self._write_manifest(m)
+        self.log_op("rename_column", {"from": old, "to": new})
+
     def drop_column(self, name: str) -> None:
         """Schema evolution, Iceberg-style DROP COLUMN: remove the column
         from the manifest schema (one atomic metadata write). Chunk data in

@@ -120,6 +120,10 @@ def main() -> int:
         "--widen", metavar="col:type",
         help="lossless promotion only, e.g. qty:bigint, amt:decimal(20,2)",
     )
+    g.add_argument(
+        "--rename", metavar="old:new",
+        help="metadata-only RENAME COLUMN (readers translate old part data)",
+    )
 
     args = ap.parse_args()
 
@@ -175,6 +179,12 @@ def main() -> int:
         elif args.drop:
             t.drop_column(args.drop)
             rep = {"op": "drop_column", "column": args.drop}
+        elif args.rename:
+            old, _, new = args.rename.partition(":")
+            if not new:
+                raise SystemExit(f"expected old:new, got {args.rename!r}")
+            t.rename_column(old, new)
+            rep = {"op": "rename_column", "from": old, "to": new}
         else:
             col, dt = _coltype(args.widen)
             t.widen_column(col, dt)
