@@ -1115,6 +1115,72 @@ def _distinct_distributed(
     )
 
 
+def sample_job(
+    spark: SparkSession,
+    table_path: str,
+    fraction: float,
+    seed: int = 42,
+    columns: list[str] | None = None,
+    where=None,
+    granularity: str = "part",
+) -> DataFrame:
+    """TABLESAMPLE SYSTEM over an encoded table: deterministic CLUSTER
+    sampling whose payload IO -- and, at part granularity, task count --
+    scales with ``fraction`` instead of the table size. The pipeline-
+    profiling primitive a 100 TB corpus needs: 'run the quality model on
+    0.1% of the table' must not schedule 10^6 tasks or decode 100 TB.
+
+    ``granularity="part"``: parts are sampled DRIVER-SIDE from the
+    lineage (keyed blake2b of part id + seed -- no file IO, no task for a
+    sampled-out part), then decoded by the normal shuffle-free scan. A
+    0.1% sample of a 10^6-part table schedules ~10^3 tasks.
+    ``granularity="chunk"``: every zone-surviving part schedules one task
+    and the task keeps a deterministic fraction of its chunks (finer
+    strata -- better for skewed part sizes -- at O(parts) scheduling).
+
+    Block sampling semantics (Spark's TABLESAMPLE SYSTEM, not Bernoulli):
+    rows inside one part/chunk are kept or dropped TOGETHER, so estimates
+    inherit any row-to-part correlation the layout has (a cluster_by'd
+    table samples clustered strata). Same seed + fraction => the same
+    rows, across runs and executors. ``where`` composes with the sample
+    and keeps decode_job's may-match contract (zone pruning first, exact
+    filter is the caller's)."""
+    from .operators.decode import decode_table_scan
+    from .sources.chunkscan import normalize_where, sampled_chunk
+
+    if not (0.0 < fraction <= 1.0):
+        raise ConfigException(f"sample fraction must be in (0, 1]: {fraction}")
+    if granularity not in ("part", "chunk"):
+        raise ConfigException(
+            f"granularity must be 'part' or 'chunk', got {granularity!r}"
+        )
+    table = EncodedTable(table_path)
+    names = [f.name for f in table.schema().fields]
+    conjuncts = normalize_where(where, names)  # fail fast on the driver
+    if granularity == "chunk":
+        return decode_table_scan(
+            spark, table, columns=columns, where=where,
+            sample=(fraction, seed),
+        )
+    survivors = (
+        table.surviving_parts(conjuncts, spark=spark)
+        if conjuncts
+        else table.completed_parts()
+    )
+    pids = {
+        p for p in survivors
+        if sampled_chunk(f"part_id={p}", -1, fraction, seed)
+    }
+    if not pids:
+        schema = table.schema()
+        if columns:
+            schema = T.StructType([f for f in schema.fields if f.name in columns])
+        return spark.createDataFrame([], schema)
+    return decode_table_scan(
+        spark, table, columns=columns, where=where, parts=pids
+    )
+
+
 def decode_job_chunks(
     spark: SparkSession, table_path: str, columns: list[str] | None = None
 ) -> DataFrame:

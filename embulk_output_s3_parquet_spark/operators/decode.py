@@ -101,6 +101,7 @@ def decode_table_scan(
     where: tuple | None = None,
     counters: dict | None = None,
     parts: set[int] | None = None,
+    sample: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Shuffle-free decode of a committed EncodedTable.
 
@@ -188,7 +189,7 @@ def decode_table_scan(
                 sl = (slice_i, n_slices) if n_slices > 1 else None
                 for tbl in iter_part_tables(
                     files, fields, conjuncts, st, slice_of=sl,
-                    fillable=fillable, aliases=aliases,
+                    fillable=fillable, aliases=aliases, sample=sample,
                 ):
                     yield from tbl.to_batches()
                 if counters is not None:

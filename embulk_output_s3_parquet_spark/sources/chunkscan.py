@@ -229,6 +229,21 @@ def _rg_prunable(rgmd, col_idx: dict, names_sorted: list, surviving_sorted: list
     return False
 
 
+def sampled_chunk(part_tag: str, seq: int, fraction: float, seed: int) -> bool:
+    """Deterministic cluster-sample membership for one chunk: a keyed
+    blake2b of (part dir name, chunk_seq, seed) mapped to [0, 1) compared
+    against ``fraction``. Stable across runs/executors/slices, independent
+    of scan order -- the SYSTEM (block) sampling rule shared by the
+    driver-side part sampler (jobs.sample_job) and the in-task chunk
+    filter (scan_file)."""
+    import hashlib
+
+    h = hashlib.blake2b(
+        f"{part_tag}:{seq}:{seed}".encode(), digest_size=8
+    ).digest()
+    return int.from_bytes(h, "little") / 2.0**64 < fraction
+
+
 def scan_file(
     path: str,
     names: list[str],
@@ -238,6 +253,7 @@ def scan_file(
     chunk_n_out: dict | None = None,
     fillable: frozenset[str] = frozenset(),
     aliases: dict[str, str] | None = None,
+    sample: tuple[float, int] | None = None,
 ) -> tuple[list[int], dict, dict]:
     """Scan ONE chunk parquet file -> (surviving chunk_seqs in order,
     {seq: {col: meta}}, {col: {seq: decoded pa.Array}}).
@@ -294,6 +310,15 @@ def scan_file(
         for seq in chunk_n
         if _survives(meta_by.get(seq, {}), conjuncts, fillable=fillable)
     )
+    if sample is not None:
+        # cluster (block) sampling: keep a deterministic ``fraction`` of
+        # the surviving chunks; sampled-out chunks' payload row groups are
+        # never read. Applied BEFORE slice_of so slices stay disjoint.
+        import os as _os
+
+        frac, seed = sample
+        tag = _os.path.basename(_os.path.dirname(_os.path.abspath(path)))
+        surviving = [s for s in surviving if sampled_chunk(tag, s, frac, seed)]
     if chunk_n_out is not None:
         chunk_n_out.update(chunk_n)
     # file-level stats are recorded once (by slice 0) so slicing a part
@@ -938,6 +963,7 @@ def iter_part_tables(
     slice_of: tuple[int, int] | None = None,
     fillable: frozenset[str] = frozenset(),
     aliases: dict[str, str] | None = None,
+    sample: tuple[float, int] | None = None,
 ):
     """Decode a committed part's files -> one pa.Table per surviving chunk,
     columns in ``fields`` order. Every chunk's rows live in one file (one
@@ -954,6 +980,7 @@ def iter_part_tables(
         surviving, meta_by, decoded = scan_file(
             path, names, conjuncts, stats_out, slice_of=slice_of,
             chunk_n_out=chunk_n, fillable=fillable, aliases=aliases,
+            sample=sample,
         )
         for seq in surviving:
             arrays = []

@@ -108,6 +108,21 @@ def main() -> int:
         "--where is applied EXACTLY",
     )
     ap.add_argument(
+        "--sample", type=float, metavar="FRACTION",
+        help="TABLESAMPLE SYSTEM via jobs.sample_job: deterministic cluster "
+        "sample whose IO (and task count at --sample-by part) scales with "
+        "the fraction; composes with --where/--columns/--out",
+    )
+    ap.add_argument(
+        "--seed", type=int, default=42, help="sample determinism seed",
+    )
+    ap.add_argument(
+        "--sample-by", choices=("part", "chunk"), default="part",
+        help="sampling granularity: 'part' skips whole parts driver-side "
+        "(no task scheduled), 'chunk' samples chunks inside every "
+        "surviving part",
+    )
+    ap.add_argument(
         "--where", action="append", default=[], metavar="COL OP LIT",
         help="zone-map conjunct, e.g. 'n_chars>=100' (repeatable, ANDed; "
         "may-match contract -- rows are pre-filtered by chunk zones, the "
@@ -181,6 +196,32 @@ def main() -> int:
                         for c, (lo, hi) in mm.items()},
              "wall_s": round(time.time() - t0, 2)}
         ))
+        return 0
+    if args.sample is not None:
+        from embulk_output_s3_parquet_spark.jobs import sample_job
+
+        df = sample_job(
+            spark, args.table, args.sample, seed=args.seed, columns=cols,
+            where=where, granularity=args.sample_by,
+        )
+        if where:
+            from pyspark.sql import functions as F
+
+            ops = {"==": "==", ">=": ">=", "<=": "<=", ">": ">", "<": "<"}
+            for c, op, v in where:  # exact filter over the may-match scan
+                df = df.filter(F.expr(f"`{c}` {ops[op]} {v!r}"))
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({
+                "rows": spark.read.parquet(args.out).count(),
+                "fraction": args.sample, "seed": args.seed,
+                "wall_s": round(time.time() - t0, 2), "out": args.out,
+            }))
+        else:
+            print(json.dumps({
+                "rows": df.count(), "fraction": args.sample,
+                "seed": args.seed, "wall_s": round(time.time() - t0, 2),
+            }))
         return 0
     if not args.out:
         raise SystemExit("--out is required unless --count is given")

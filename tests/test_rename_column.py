@@ -93,12 +93,12 @@ def test_rename_keeps_pruning_and_predicates_exact(spark, docs, tmp_path):
     assert all("document_id" in z and "doc_id" not in z for z in zones.values())
     assert t.pruned_part_dirs([("document_id", ">=", 10**9)]) == []
 
-    exact = docs.where(F.col("doc_id") >= 2500).count()
-    assert count_job(spark, path, where=("document_id", ">=", 2500)) == exact
+    exact = docs.where(F.col("doc_id") >= 250).count()
+    assert count_job(spark, path, where=("document_id", ">=", 250)) == exact
     st: dict = {}
-    assert count_table(path, where=("document_id", ">=", 2500), scan_stats=st) == exact
-    got = decode_job(spark, path, where=("document_id", ">=", 2500))
-    assert got.where(F.col("document_id") >= 2500).count() == exact
+    assert count_table(path, where=("document_id", ">=", 250), scan_stats=st) == exact
+    got = decode_job(spark, path, where=("document_id", ">=", 250))
+    assert got.where(F.col("document_id") >= 250).count() == exact
 
 
 def test_rename_then_append_mixes_stored_spellings(spark, docs, tmp_path):
