@@ -72,6 +72,9 @@ def main() -> int:
     def timed(name: str, fn, repeats: int = 1):
         best, out = None, None
         for _ in range(repeats):
+            os.sync()  # drain writeback: a query pays ITS OWN IO, not the
+            # previous phase's dirty pages (measured: the snappy-writer
+            # baseline swings 0.45s..4.2s purely with inherited writeback)
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
