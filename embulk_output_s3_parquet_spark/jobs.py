@@ -424,7 +424,7 @@ def decode_job(
         # does inside the scanner
         return decode_table_scan(
             spark, table, columns=columns, where=where, counters=counters,
-            parts=set(snap),
+            parts=set(snap), dv=table.part_dv(gen=at_gen),
         )
     return decode_table_scan(
         spark, table, columns=columns, where=where, counters=counters
@@ -470,6 +470,9 @@ def count_job(
     dirs = []
     fillable = frozenset(table.added_columns())
     aliases = table.stored_aliases()
+    # merge-on-read delete vectors: decided counts shrink by the recorded
+    # deleted totals; boundary parts ship their vector into the task
+    dv_all = table.part_dv(gen=at_gen) if at_gen is not None else table.part_dv()
     # sidecar part-blooms can exclude whole parts that zones can't (==/in on
     # unsorted high-cardinality keys); probe them once, streamed per shard.
     # CURRENT-generation reads only: surviving_parts evaluates the current
@@ -479,10 +482,13 @@ def count_job(
     admitted = (
         table.surviving_parts(conjuncts, spark=spark) if conjuncts and at_gen is None else None
     )
+    import json as _json
+
     for pid in sorted(lineage):
         row = lineage[pid]
+        dv_n = int(dv_all.get(pid, {}).get("n", 0))
         if not conjuncts:
-            total += int(row["rows"])
+            total += int(row["rows"]) - dv_n
             continue
         if admitted is not None and pid not in admitted:
             continue
@@ -495,28 +501,37 @@ def count_job(
         if any(s == "none" for s in states):
             continue
         if all(s == "all" for s in states):
-            total += int(row["rows"])
+            total += int(row["rows"]) - dv_n
             continue
-        dirs.append(os.path.join(table.data_dir, f"part_id={pid}"))
+        dirs.append(
+            (
+                os.path.join(table.data_dir, f"part_id={pid}"),
+                _json.dumps(dv_all[pid]) if pid in dv_all else "",
+            )
+        )
     if not dirs:
         return total
     par = min(len(dirs), spark.sparkContext.defaultParallelism * 2)
-    path_df = spark.createDataFrame([(d,) for d in dirs], "dir string").repartition(par)
+    path_df = spark.createDataFrame(dirs, "dir string, dv string").repartition(par)
 
     def cnt(it):
         import glob as _glob
+        import json as _j
         import os as _os
 
         from embulk_output_s3_parquet_spark.sources.chunkscan import count_file
 
         for pdf in it:
             n = 0
-            for d in pdf["dir"]:
+            for d, dv_json in zip(pdf["dir"], pdf["dv"]):
                 files = sorted(_glob.glob(_os.path.join(d, "*.parquet")))
                 if not files:
                     raise FileNotFoundError(f"committed part missing: {d}")
+                dv = _j.loads(dv_json) if dv_json else None
                 for f in files:
-                    n += count_file(f, conjuncts, fillable=fillable, aliases=aliases)
+                    n += count_file(
+                        f, conjuncts, fillable=fillable, aliases=aliases, dv=dv
+                    )
             import pandas as pd
 
             yield pd.DataFrame({"n": [n]})
@@ -566,6 +581,10 @@ def _stats_scan(
         raise ConfigException(f"table {table_path} has no committed partitions")
     fillable = frozenset(table.added_columns())
     aliases = table.stored_aliases()
+    # merge-on-read deletes: a part with a vector can't resolve from its
+    # lineage zones/sums (a deleted row may be the extremum / inflate the
+    # sum) -- its columns fall to the file scan, which masks per chunk
+    dv_all = table.part_dv(gen=at_gen) if at_gen is not None else table.part_dv()
 
     acc: dict[str, dict] = {
         c: {"t": "", "mm": None, "sm": None, "nn": 0} for c in columns
@@ -615,7 +634,9 @@ def _stats_scan(
         # these may be re-derived from the files, or an already-folded
         # column's sum/count would be added twice
         unresolved_cols: list[str] = []
-        if not boundary:
+        if pid in dv_all and not boundary:
+            unresolved_cols = list(columns)  # vectors poison part zones/sums
+        elif not boundary:
             # fully-included part: lineage zones answer columns they cover
             for c in columns:
                 e = zones.get(c)
@@ -643,12 +664,13 @@ def _stats_scan(
                     os.path.join(table.data_dir, f"part_id={pid}"),
                     bool(boundary),
                     ",".join(columns if boundary else unresolved_cols),
+                    _json.dumps(dv_all[pid]) if pid in dv_all else "",
                 )
             )
     if dirs:
         par = min(len(dirs), spark.sparkContext.defaultParallelism * 2)
         path_df = spark.createDataFrame(
-            dirs, "dir string, boundary boolean, cols string"
+            dirs, "dir string, boundary boolean, cols string, dv string"
         ).repartition(par)
         cjs = conjuncts
         want_sums = sums
@@ -668,15 +690,18 @@ def _stats_scan(
 
             for pdf in it:
                 out: dict[str, dict] = {}
-                for d, bd, cs in zip(pdf["dir"], pdf["boundary"], pdf["cols"]):
+                for d, bd, cs, dv_json in zip(
+                    pdf["dir"], pdf["boundary"], pdf["cols"], pdf["dv"]
+                ):
                     files = sorted(_glob.glob(_os.path.join(d, "*.parquet")))
                     if not files:
                         raise FileNotFoundError(f"committed part missing: {d}")
+                    dv = _j.loads(dv_json) if dv_json else None
                     for f in files:
                         got = minmax_file(
                             f, cjs if bd else [], cs.split(","),
                             fillable=fillable, sums=want_sums,
-                            aliases=aliases,
+                            aliases=aliases, dv=dv,
                         )
                         for c, e in got.items():
                             cur = out.get(c)
@@ -815,6 +840,13 @@ def distinct_job(
     missing = [c for c in columns if c not in names]
     if missing:
         raise ConfigException(f"ndv columns not in table schema: {missing}")
+    if table.part_dv(gen=at_gen) if at_gen is not None else table.part_dv():
+        # HLL registers are a set-union: merge-on-read-deleted values
+        # cannot be subtracted, so the estimate would count ghosts
+        raise ConfigException(
+            "distinct_job: table has merge-on-read delete vectors pending; "
+            "compact_job materializes them (and re-sketches) first"
+        )
     fillable = frozenset(table.added_columns())
     if (
         spark is not None
@@ -917,6 +949,15 @@ def quantile_job(
         raise ConfigException(
             f"quantile_job[{column}]: string/binary zones have no widths "
             "to bin (numeric/timestamp columns only)"
+        )
+    if table.part_dv(gen=at_gen) if at_gen is not None else table.part_dv():
+        # chunk zones and row counts include merge-on-read-deleted rows:
+        # the [lb, ub] interval would still CONTAIN the live quantile
+        # (superset zones) but n and the histogram weights would count
+        # deleted rows -- refuse rather than return subtly-shifted answers
+        raise ConfigException(
+            f"quantile_job[{column}]: table has merge-on-read delete "
+            "vectors pending; compact_job materializes them first"
         )
 
     if at_gen is not None:
@@ -1189,7 +1230,7 @@ def decode_job_chunks(
     table = EncodedTable(table_path)
     return decode_chunks(
         table.read_encoded(spark), table.schema(), columns=columns,
-        aliases=table.stored_aliases(),
+        aliases=table.stored_aliases(), dv=table.part_dv(),
     )
 
 
@@ -1231,7 +1272,8 @@ def compact_job(
         if c not in names:
             raise ConfigException(f"cluster_by: unknown column {c!r}")
     df = decode_chunks(
-        table.read_encoded(spark), table.schema(), aliases=table.stored_aliases()
+        table.read_encoded(spark), table.schema(),
+        aliases=table.stored_aliases(), dv=table.part_dv(),
     )
 
     bucket = _resolve_bucket_by(table, None, table.schema())
@@ -1610,6 +1652,7 @@ def delete_job(
     table_path: str,
     where,
     policy: CodecPolicy | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Row-level DELETE: remove every row matching the ANDed ``where``
     conjuncts (same shapes as decode_job's ``where``), rewriting ONLY the
@@ -1619,20 +1662,37 @@ def delete_job(
     column) rewrites a handful of parts; every provably clean part keeps
     its files and lineage rows untouched.
 
-    Affected parts are decoded in FULL (no chunk pruning -- non-matching
-    rows of matching parts must survive), filtered exactly, re-encoded
-    under fresh part ids, and swapped in atomically via the partial
-    generation flip (``_update_parts``: unchanged lineage shards are
-    hard-linked, a crash before the flip leaves the old table intact).
+    ``mode="cow"`` (default): affected parts are decoded in FULL (no chunk
+    pruning -- non-matching rows of matching parts must survive), filtered
+    exactly, re-encoded under fresh part ids, and swapped in atomically via
+    the partial generation flip (``_update_parts``: unchanged lineage
+    shards are hard-linked, a crash before the flip leaves the old table
+    intact).
+
+    ``mode="mor"`` (merge-on-read, the Iceberg v2 positional-delete /
+    Delta deletion-vector analogue): instead of rewriting 64 MB parts, the
+    job decodes ONLY the predicate columns of admitted parts, records the
+    matching row positions as per-chunk packed bitmaps in ``.dv.json``
+    shard sidecars, and flips the generation with zero payload writes --
+    a trickle delete costs O(matched rows) bitmap bytes, not O(matched
+    parts) rewrites. Every reader masks deleted positions; a later
+    copy-on-write rewrite (delete/update/merge/compact) of a part
+    materializes its vector and drops it. Metadata-first shortcuts stay
+    exact: COUNT subtracts recorded per-chunk deleted counts, MIN/MAX/SUM
+    decode the affected chunks (a deleted row may be the extremum);
+    quantile_job / distinct_job refuse on tables with live vectors
+    (their sketches cannot subtract) until compaction.
 
     Returns {"parts_total", "parts_affected", "parts_rewritten",
-    "rows_deleted"}."""
+    "rows_deleted"} (+"mode"/"dv_parts" for mor)."""
     import os
     import shutil
 
     from .operators.decode import decode_table_scan
     from .sources.chunkscan import normalize_where
 
+    if mode not in ("cow", "mor"):
+        raise ConfigException(f"delete mode must be 'cow' or 'mor': {mode!r}")
     table = EncodedTable(table_path)
     names = [f.name for f in table.schema().fields]
     conjuncts = normalize_where(where, names)
@@ -1651,9 +1711,15 @@ def delete_job(
         "parts_rewritten": 0,
         "rows_deleted": 0,
     }
+    if mode == "mor":
+        return _delete_mor(spark, table, conjuncts, affected, report)
     if not affected:
         return report
     rows_before = sum(lineage[p]["rows"] for p in affected)
+    dv_before = table.part_dv()
+    rows_before -= sum(
+        int(dv_before[p].get("n", 0)) for p in affected if p in dv_before
+    )
 
     schema = table.schema()
     df = decode_table_scan(spark, table, parts=affected)
@@ -1663,6 +1729,143 @@ def delete_job(
     report["parts_rewritten"] = len(new_lineage)
     report["rows_deleted"] = rows_before - rows_after
     table.log_op("delete", dict(report))
+    return report
+
+
+def _delete_mor(
+    spark: SparkSession,
+    table: EncodedTable,
+    conjuncts: list[tuple],
+    affected: set[int],
+    report: dict,
+) -> dict:
+    """Merge-on-read branch of :func:`delete_job`: compute per-chunk
+    deleted-position bitmaps for the admitted parts on the executors, OR
+    them into any existing vectors, and commit via one partial generation
+    flip (zero payload bytes written; crash-before-flip leaves the old
+    table intact)."""
+    import base64
+    import glob as _glob
+    import json as _json
+    import os
+
+    report = {**report, "mode": "mor", "dv_parts": 0}
+    if table._core_manifest().get("parts"):
+        raise ConfigException(
+            "merge-on-read delete needs sharded lineage; this table uses "
+            "legacy inline lineage -- compact_job it first"
+        )
+    if not affected:
+        table.log_op("delete_mor", dict(report))
+        return report
+    pred_cols = sorted({c for c, _, _ in conjuncts})
+    fillable = frozenset(table.added_columns()) & set(pred_cols)
+    aliases = table.stored_aliases()
+    existing = table.part_dv()
+    work = [
+        (
+            int(pid),
+            os.path.join(table.data_dir, f"part_id={pid}"),
+            _json.dumps(existing.get(pid) or {}),
+        )
+        for pid in sorted(affected)
+    ]
+    par = min(len(work), spark.sparkContext.defaultParallelism * 2)
+    src = spark.createDataFrame(work, "part_id long, dir string, dv string")
+    src = src.repartition(par)
+    cjs = conjuncts
+
+    def mark(it):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from embulk_output_s3_parquet_spark.sources.chunkscan import (
+            _match_mask,
+            dv_masks,
+            scan_file,
+        )
+
+        for pdf in it:
+            out_rows = []
+            for pid, d, dv_json in zip(pdf["part_id"], pdf["dir"], pdf["dv"]):
+                old = _json.loads(dv_json)
+                old_keep = dv_masks(old)  # keep-masks (True = live row)
+                chunks: dict = dict((old or {}).get("chunks") or {})
+                new_bits = 0
+                files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+                if not files:
+                    raise FileNotFoundError(f"committed part missing: {d}")
+                for f in files:
+                    chunk_n: dict = {}
+                    surviving, meta_by, decoded = scan_file(
+                        f, pred_cols, cjs, chunk_n_out=chunk_n,
+                        fillable=fillable, aliases=aliases,
+                    )
+                    for seq in surviving:
+                        mask = None
+                        for c, op, v in cjs:
+                            arr = decoded.get(c, {}).get(seq)
+                            if arr is None:
+                                if c in fillable:
+                                    mask = pa.array([False] * chunk_n[seq])
+                                    break
+                                raise ValueError(
+                                    f"chunk {seq} of {f} is missing "
+                                    f"predicate column {c!r}"
+                                )
+                            m = _match_mask(arr, op, v)
+                            mask = m if mask is None else pc.and_kleene(mask, m)
+                        if mask is None:  # no conjuncts can't happen (guarded)
+                            continue
+                        matched = pc.fill_null(mask, False).to_numpy(
+                            zero_copy_only=False
+                        ).astype(bool)
+                        prior_keep = old_keep.get(seq)
+                        prior_del = (
+                            ~prior_keep[: len(matched)]
+                            if prior_keep is not None
+                            else np.zeros(len(matched), bool)
+                        )
+                        fresh = matched & ~prior_del
+                        if not fresh.any():
+                            continue
+                        new_bits += int(fresh.sum())
+                        union = matched | prior_del
+                        chunks[str(seq)] = {
+                            "n": int(union.sum()),
+                            "bm": base64.b64encode(
+                                np.packbits(union).tobytes()
+                            ).decode(),
+                        }
+                if new_bits:
+                    total = sum(int(e["n"]) for e in chunks.values())
+                    out_rows.append(
+                        (int(pid), new_bits,
+                         _json.dumps({"n": total, "chunks": chunks}))
+                    )
+            yield pd.DataFrame(
+                out_rows, columns=["part_id", "fresh", "dv"]
+            ) if out_rows else pd.DataFrame(
+                {"part_id": pd.Series([], dtype="int64"),
+                 "fresh": pd.Series([], dtype="int64"),
+                 "dv": pd.Series([], dtype="object")}
+            )
+
+    got = src.mapInPandas(mark, schema="part_id long, fresh long, dv string").collect()
+    if not got:
+        table.log_op("delete_mor", dict(report))
+        return report
+    full = table.lineage_full()
+    amended: dict[int, dict] = {}
+    for r in got:
+        pid = int(r["part_id"])
+        amended[pid] = {**full[pid], "dv": _json.loads(r["dv"])}
+        report["rows_deleted"] += int(r["fresh"])
+    report["dv_parts"] = len(amended)
+    table._update_parts(set(), amended)
+    table.log_op("delete_mor", dict(report))
     return report
 
 
@@ -2067,14 +2270,23 @@ def export_job(
     # (each slice writes its own output file) so export parallelism tracks
     # the cluster; at scale (parts >> cores) n_sub stays 1
     n_sub = max(1, min(-(-cores // n_parts), 16)) if n_parts < cores else 1
+    import json as _json
+
+    dv_all = table.part_dv(gen=at_gen) if at_gen is not None else table.part_dv()
     work = [
-        (pid, os.path.join(table.data_dir, f"part_id={pid}"), i, n_sub)
+        (
+            pid,
+            os.path.join(table.data_dir, f"part_id={pid}"),
+            i,
+            n_sub,
+            _json.dumps(dv_all[pid]) if pid in dv_all else "",
+        )
         for pid in sorted(lineage)
         for i in range(n_sub)
     ]
     par = min(len(work), cores * 2)
     src = spark.createDataFrame(
-        work, "part_id long, dir string, sl int, n_sub int"
+        work, "part_id long, dir string, sl int, n_sub int, dv string"
     ).repartition(par)
 
     def export(it):
@@ -2091,10 +2303,12 @@ def export_job(
             iter_part_tables,
         )
 
+        import json as _j
+
         for pdf in it:
             out_rows = []
-            for pid, d, sl, nsub in zip(
-                pdf["part_id"], pdf["dir"], pdf["sl"], pdf["n_sub"]
+            for pid, d, sl, nsub, dv_json in zip(
+                pdf["part_id"], pdf["dir"], pdf["sl"], pdf["n_sub"], pdf["dv"]
             ):
                 files = sorted(_glob.glob(_os.path.join(d, "*.parquet")))
                 if not files:
@@ -2114,6 +2328,7 @@ def export_job(
                         files, fields, conjuncts, fillable=fillable,
                         slice_of=(int(sl), int(nsub)) if int(nsub) > 1 else None,
                         aliases=aliases,
+                        dv=_j.loads(dv_json) if dv_json else None,
                     ):
                         if conjuncts:  # exact filter (scan is may-match)
                             mask = None

@@ -23,6 +23,7 @@ def decode_chunks(
     out_schema: T.StructType,
     columns: list[str] | None = None,
     aliases: dict[str, str] | None = None,
+    dv: dict | None = None,
 ) -> DataFrame:
     """Group encoded rows by chunk and rebuild original rows.
 
@@ -32,8 +33,10 @@ def decode_chunks(
     columnar projection pushdown. ``aliases`` maps historical stored
     chunk-column names to logical (EncodedTable.stored_aliases,
     rename_column): parts committed before a rename keep the old spelling
-    on disk."""
+    on disk. ``dv`` is EncodedTable.part_dv(): merge-on-read-deleted
+    positions are filtered out of every rebuilt chunk."""
     aliases = aliases or {}
+    dv = dv or {}
     if columns is not None:
         missing = set(columns) - {f.name for f in out_schema.fields}
         if missing:
@@ -48,6 +51,8 @@ def decode_chunks(
     names = [f.name for f in out_schema.fields]
 
     def dec(table: pa.Table) -> pa.Table:
+        from ..sources.chunkscan import dv_masks
+
         metas = table.column("meta").to_pylist()
         cols = table.column("col").to_pylist()
         payloads = table.column("payload").to_pylist()
@@ -60,7 +65,14 @@ def decode_chunks(
             if arr.type != field.type:
                 arr = arr.cast(field.type)
             arrays.append(arr)
-        return pa.table(dict(zip(names, arrays)), schema=arrow_schema)
+        out = pa.table(dict(zip(names, arrays)), schema=arrow_schema)
+        if dv:  # the group key columns identify this chunk's vector
+            pid = table.column("part_id")[0].as_py()
+            seq = table.column("chunk_seq")[0].as_py()
+            keep = dv_masks(dv.get(int(pid))).get(int(seq))
+            if keep is not None:
+                out = out.filter(pa.array(keep[: out.num_rows]))
+        return out
 
     return encoded.groupBy("part_id", "chunk_seq").applyInArrow(dec, schema=out_schema)
 
@@ -102,6 +114,7 @@ def decode_table_scan(
     counters: dict | None = None,
     parts: set[int] | None = None,
     sample: tuple[float, int] | None = None,
+    dv: dict | None = None,
 ) -> DataFrame:
     """Shuffle-free decode of a committed EncodedTable.
 
@@ -138,6 +151,11 @@ def decode_table_scan(
     fillable = frozenset(table.added_columns()) & set(names)
     # pre-rename parts' stored chunk names translate to current logical
     aliases = table.stored_aliases()
+    # merge-on-read delete vectors: mask deleted positions per chunk.
+    # None = current generation's vectors; callers reading a SNAPSHOT pass
+    # table.part_dv(gen=...) explicitly
+    if dv is None:
+        dv = table.part_dv()
 
     # driver-side part pruning from the lineage zone summaries: excluded
     # parts never even get a task (at 10^6 parts the scheduler, not the
@@ -167,20 +185,33 @@ def decode_table_scan(
     # payload pass reads just the row groups its own chunks admit. At scale
     # (parts >> cores) n_sub stays 1 -- no extra meta reads.
     n_sub = max(1, min(-(-cores // len(dirs)), 16)) if len(dirs) < cores else 1
-    rows = [(d, i, n_sub) for d in dirs for i in range(n_sub)]
+    import json as _json
+
+    def _dv_of(d: str) -> str:
+        try:
+            pid = int(os.path.basename(d.rstrip("/")).split("=", 1)[1])
+        except (IndexError, ValueError):
+            return ""
+        e = dv.get(pid)
+        return _json.dumps(e) if e else ""
+
+    rows = [(d, i, n_sub, _dv_of(d)) for d in dirs for i in range(n_sub)]
     par = min(len(rows), cores * 2)
     path_df = spark.createDataFrame(
-        rows, "dir string, slice_i int, n_slices int"
+        rows, "dir string, slice_i int, n_slices int, dv string"
     ).repartition(par)
 
     def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import json as _j
+
         from ..sources.chunkscan import iter_part_tables
 
         for b in batches:
-            for d, slice_i, n_slices in zip(
+            for d, slice_i, n_slices, dv_json in zip(
                 b.column(0).to_pylist(),
                 b.column(1).to_pylist(),
                 b.column(2).to_pylist(),
+                b.column(3).to_pylist(),
             ):
                 files = sorted(glob.glob(os.path.join(d, "*.parquet")))
                 if not files:
@@ -190,6 +221,7 @@ def decode_table_scan(
                 for tbl in iter_part_tables(
                     files, fields, conjuncts, st, slice_of=sl,
                     fillable=fillable, aliases=aliases, sample=sample,
+                    dv=_j.loads(dv_json) if dv_json else None,
                 ):
                     yield from tbl.to_batches()
                 if counters is not None:

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from bisect import bisect_left
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -227,6 +228,23 @@ def _rg_prunable(rgmd, col_idx: dict, names_sorted: list, surviving_sorted: list
         if not _any_in_range(surviving_sorted, st_seq.min, st_seq.max):
             return True
     return False
+
+
+def dv_masks(dv: dict | None) -> dict[int, "np.ndarray"]:
+    """Decode a lineage delete-vector dict ({"chunks": {seq: {"n", "bm"}}},
+    sources/tables.py DV sidecars) into {chunk_seq: bool keep-mask over the
+    chunk's stored row order}. {} when the part has no deletes."""
+    import base64
+
+    if not dv:
+        return {}
+    out: dict[int, "np.ndarray"] = {}
+    for seq_s, e in (dv.get("chunks") or {}).items():
+        deleted = np.unpackbits(
+            np.frombuffer(base64.b64decode(e["bm"]), np.uint8)
+        ).astype(bool)
+        out[int(seq_s)] = ~deleted
+    return out
 
 
 def sampled_chunk(part_tag: str, seq: int, fraction: float, seed: int) -> bool:
@@ -646,6 +664,7 @@ def count_file(
     stats_out: dict | None = None,
     fillable: frozenset[str] = frozenset(),
     aliases: dict[str, str] | None = None,
+    dv: dict | None = None,
 ) -> int:
     """Exact COUNT(*) over one chunk file under ANDed ``conjuncts``, reading
     payload bytes ONLY for boundary chunks (those the zone/null metadata can
@@ -667,6 +686,14 @@ def count_file(
         meta_by.setdefault(seq, {})[aliases.get(col, col)] = meta_from_json(meta)
 
     total = 0
+    # merge-on-read deletes: a chunk's decided count shrinks by its
+    # per-chunk deleted count (recorded alongside the bitmap), and
+    # boundary chunks AND the keep-mask into the predicate mask below
+    dv_n = {
+        int(s): int(e.get("n", 0))
+        for s, e in ((dv or {}).get("chunks") or {}).items()
+    }
+    keep_of = dv_masks(dv)
     boundary: dict[int, list[tuple]] = {}
     for seq, cols in meta_by.items():
         n = next(iter(cols.values()))["n"] if cols else 0
@@ -679,7 +706,7 @@ def count_file(
             continue
         undecided = [cj for s, cj in states if s != "all"]
         if not undecided:
-            total += n
+            total += n - dv_n.get(seq, 0)
             continue
         boundary[seq] = undecided
     if stats_out is not None:
@@ -725,6 +752,9 @@ def count_file(
                 )
             m = _match_mask(arrs[c], op, v)
             mask = m if mask is None else pc.and_kleene(mask, m)
+        keep = keep_of.get(seq)
+        if keep is not None:
+            mask = pc.and_kleene(mask, pa.array(keep[: len(mask)]))
         total += int(pc.sum(mask).as_py() or 0)
     return total
 
@@ -800,6 +830,7 @@ def minmax_file(
     stats_out: dict | None = None,
     sums: bool = False,
     aliases: dict[str, str] | None = None,
+    dv: dict | None = None,
 ) -> dict[str, dict]:
     """Exact per-column [min, max] over one chunk file under ANDed
     ``conjuncts``, in the zone storage domain: ``{col: {"t": tname,
@@ -850,6 +881,12 @@ def minmax_file(
             )
         cur["nn"] += nn
 
+    # merge-on-read deletes: a chunk with a delete bitmap can't use its
+    # recorded zone/sum (a deleted row may be the min, or inflate the sum)
+    # -- its agg columns decode with the keep-mask applied; untouched
+    # chunks of the same part keep every metadata shortcut
+    keep_of = dv_masks(dv)
+
     # chunk_seq -> (undecided conjuncts, agg cols whose payload must decode)
     need: dict[int, tuple[list[tuple], list[str]]] = {}
     for seq, cols in meta_by.items():
@@ -877,6 +914,7 @@ def minmax_file(
                 continue
             if (
                 not undecided
+                and seq not in keep_of
                 and meta.get("mm") is not None
                 and (not sums or meta.get("sm") is not None)
             ):
@@ -937,6 +975,11 @@ def minmax_file(
                 )
             m = _match_mask(arrs[c], op, v)
             mask = m if mask is None else pc.and_kleene(mask, m)
+        keep = keep_of.get(seq)
+        if keep is not None:
+            n_rows = len(next(iter(arrs.values()))) if arrs else 0
+            km = pa.array(keep[:n_rows])
+            mask = km if mask is None else pc.and_kleene(mask, km)
         # a boundary chunk decodes EVERY non-all-null agg col (its zone
         # bounds may come from rows the mask drops); a zoneless
         # fully-included chunk only the zoneless ones -- both are exactly
@@ -964,6 +1007,7 @@ def iter_part_tables(
     fillable: frozenset[str] = frozenset(),
     aliases: dict[str, str] | None = None,
     sample: tuple[float, int] | None = None,
+    dv: dict | None = None,
 ):
     """Decode a committed part's files -> one pa.Table per surviving chunk,
     columns in ``fields`` order. Every chunk's rows live in one file (one
@@ -973,8 +1017,11 @@ def iter_part_tables(
     ``fillable``: schema-evolution columns (EncodedTable.add_column) that
     read as nulls in parts predating their addition; any OTHER missing
     column stays a loud layout error. ``aliases``: historical stored
-    column names -> logical (rename_column, see scan_file)."""
+    column names -> logical (rename_column, see scan_file). ``dv``: the
+    part's merge-on-read delete vector (EncodedTable.part_dv row); deleted
+    positions are filtered out of every yielded chunk."""
     names = [n for n, _ in fields]
+    keep_of = dv_masks(dv)
     for path in sorted(files):
         chunk_n: dict[int, int] = {}
         surviving, meta_by, decoded = scan_file(
@@ -994,7 +1041,13 @@ def iter_part_tables(
                         "(file written by a different layout?)"
                     )
                 arrays.append(arr if arr.type == ftype else arr.cast(ftype))
-            yield pa.table(
+            tbl = pa.table(
                 dict(zip(names, arrays)),
                 schema=pa.schema([(n, t) for n, t in fields]),
             )
+            keep = keep_of.get(seq)
+            if keep is not None:
+                # packbits pads the stored bitmap to a byte boundary;
+                # slice back to the chunk's true row count before filtering
+                tbl = tbl.filter(pa.array(keep[: tbl.num_rows]))
+            yield tbl

@@ -169,6 +169,11 @@ class EncodedTablePlainReader(DataSourceReader):
         self._fillable = frozenset(t.added_columns()) & self._names
         # pre-rename parts' stored chunk names -> current logical names
         self._aliases = t.stored_aliases()
+        # merge-on-read delete vectors, keyed by part dir basename (what
+        # partitions() hands read()); resolved once on the driver
+        self._dv = {
+            f"part_id={pid}": dv for pid, dv in t.part_dv().items()
+        }
 
     def partitions(self):
         # called after pushFilters: part-zone lineage summaries prune whole
@@ -187,9 +192,12 @@ class EncodedTablePlainReader(DataSourceReader):
         files = sorted(glob.glob(os.path.join(partition.value, "*.parquet")))
         if not files:
             raise FileNotFoundError(f"committed part missing: {partition.value}")
+        import os as _os
+
         for tbl in iter_part_tables(
             files, self._fields, self._conjuncts, fillable=self._fillable,
             aliases=self._aliases,
+            dv=self._dv.get(_os.path.basename(partition.value.rstrip("/"))),
         ):
             yield from tbl.to_batches()
 
@@ -258,6 +266,15 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         t = EncodedTable(path)
         self._fillable = frozenset(t.added_columns()) & names
         self._aliases = t.stored_aliases()
+        if t.part_dv():
+            # part-granular offsets promise exactly-once APPEND tailing; a
+            # delete vector is a retroactive mutation of an already-shipped
+            # part, which no offset range can express
+            raise RuntimeError(
+                "enctable stream: table has merge-on-read delete vectors; "
+                "compact_job materializes them, then restart the stream "
+                "from a fresh checkpoint"
+            )
 
     def _table(self):
         from .tables import EncodedTable

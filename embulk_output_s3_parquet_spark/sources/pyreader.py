@@ -55,6 +55,7 @@ def read_table(
         manifest.get("properties", {}).get("added-columns", [])
     ) & set(want)
     aliases = manifest.get("properties", {}).get("renamed-columns", {}) or {}
+    dv_all = _dv_of(path, manifest)
 
     from .chunkscan import _survives
 
@@ -87,7 +88,7 @@ def read_table(
         batches.extend(
             iter_part_tables(
                 files, fields, conjuncts, scan_stats,
-                fillable=fillable, aliases=aliases,
+                fillable=fillable, aliases=aliases, dv=dv_all.get(pid),
             )
         )
     if batches:
@@ -105,14 +106,38 @@ def _committed_parts(path: str, manifest: dict) -> dict[str, dict]:
     lineage shards (the ONE Spark-free mirror of sources/tables.py's commit
     protocol -- shared by read_table and count_table so the two can't
     drift)."""
+    from .tables import _is_lineage_shard
+
     parts: dict[str, dict] = dict(manifest.get("parts", {}))
     shard_dir = os.path.join(path, f"parts-{manifest.get('parts_gen', 0)}")
     if os.path.isdir(shard_dir):
         for name in os.listdir(shard_dir):
-            if name.startswith("shard-") and name.endswith(".json"):
+            # ONLY lineage shards: the .bf/.hll/.dv.json SIDECARS also
+            # match a bare startswith/endswith test, and merging one in
+            # would replace lineage rows with sidecar dicts whenever
+            # listdir happens to order it after the shard file
+            if _is_lineage_shard(name):
                 with open(os.path.join(shard_dir, name)) as f:
                     parts.update(json.load(f))
     return parts
+
+
+
+def _dv_of(path: str, manifest: dict) -> dict[int, dict]:
+    """Spark-free merge-on-read delete-vector map ({pid: dv dict}) from the
+    current generation's .dv.json sidecars; {} when none exist."""
+    import glob as _glob
+    import re as _re
+
+    from .tables import DV_SIDECAR_SUFFIX
+
+    shard_dir = os.path.join(path, f"parts-{manifest.get('parts_gen', 0)}")
+    out: dict[int, dict] = {}
+    for f in sorted(_glob.glob(os.path.join(shard_dir, f"shard-*{DV_SIDECAR_SUFFIX}"))):
+        with open(f) as fh:
+            for pid_s, dv in json.load(fh).items():
+                out[int(pid_s)] = dv
+    return out
 
 
 def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
@@ -128,6 +153,7 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
     parts = _committed_parts(path, manifest)
     fillable = frozenset(manifest.get("properties", {}).get("added-columns", []))
     aliases = manifest.get("properties", {}).get("renamed-columns", {}) or {}
+    dv_all = _dv_of(path, manifest)
 
     from .chunkscan import conjunct_state_of
 
@@ -139,6 +165,7 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
         # part-level tri-state from the lineage zone summary: fully
         # included parts contribute their audited row count, excluded
         # parts zero -- files opened only for boundary parts
+        dv_n = int(dv_all.get(pid, {}).get("n", 0))
         if conjuncts and row.get("zones") is not None and "rows" in row:
             zones = row.get("zones", {})
             n_rows = int(row.get("rows", 0))
@@ -153,10 +180,10 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
             if all(s == "all" for s in states):
                 if scan_stats is not None:
                     scan_stats["parts_skipped"] = scan_stats.get("parts_skipped", 0) + 1
-                total += int(row["rows"])
+                total += int(row["rows"]) - dv_n
                 continue
         elif not conjuncts and "rows" in row:
-            total += int(row["rows"])
+            total += int(row["rows"]) - dv_n
             continue
         part_dir = os.path.join(path, "data", f"part_id={pid}")
         files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
@@ -164,7 +191,8 @@ def count_table(path: str, where=None, scan_stats: dict | None = None) -> int:
             raise FileNotFoundError(f"committed part {pid} missing at {part_dir}")
         for fpath in files:
             total += count_file(
-                fpath, conjuncts, scan_stats, fillable=fillable, aliases=aliases
+                fpath, conjuncts, scan_stats, fillable=fillable,
+                aliases=aliases, dv=dv_all.get(pid),
             )
     return total
 
@@ -200,6 +228,7 @@ def stats_table(
     parts = _committed_parts(path, manifest)
     fillable = frozenset(manifest.get("properties", {}).get("added-columns", []))
     aliases = manifest.get("properties", {}).get("renamed-columns", {}) or {}
+    dv_all = _dv_of(path, manifest)
 
     acc: dict[str, dict] = {
         c: {"t": "", "mm": None, "sm": None, "nn": 0} for c in columns
@@ -243,7 +272,9 @@ def stats_table(
         # columns the lineage row could NOT answer: only these may be
         # re-derived from files, or a folded column's sum/count doubles
         unresolved_cols: list[str] = []
-        if not boundary:
+        if pid in dv_all and not boundary:
+            unresolved_cols = list(columns)  # vectors poison part zones/sums
+        elif not boundary:
             for c in columns:
                 e = zones.get(c)
                 if e is None:
@@ -276,7 +307,7 @@ def stats_table(
             got = minmax_file(
                 fpath, conjuncts if boundary else [], want_cols,
                 fillable=fillable, stats_out=scan_stats, sums=sums,
-                aliases=aliases,
+                aliases=aliases, dv=dv_all.get(pid),
             )
             for c, e in got.items():
                 fold(c, e)

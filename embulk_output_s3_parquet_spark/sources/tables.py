@@ -99,14 +99,24 @@ BF_SIDECAR_SUFFIX = ".bf.json"
 # jobs.distinct_job (one streaming pass, shard by shard).
 HLL_SIDECAR_SUFFIX = ".hll.json"
 
+# Merge-on-read delete vectors (Iceberg v2 positional-delete / Delta
+# deletion-vector analogue, jobs.delete_job(mode="mor")): per-part,
+# per-chunk packed row bitmaps marking deleted positions. Same sidecar
+# rule -- a bitmap is rows/8 bytes, and the only consumers are payload
+# readers of that part -- so they ride shard-N.dv.json, re-keyed by
+# lineage_full as row["dv"] = {"n": total, "chunks": {seq: {"n": cnt,
+# "bm": base64(packbits(mask over the chunk's stored row order))}}}.
+DV_SIDECAR_SUFFIX = ".dv.json"
+
 
 def _is_lineage_shard(name: str) -> bool:
-    """shard-<N>.json but NOT the shard-<N>.bf.json / .hll.json sidecars."""
+    """shard-<N>.json but NOT the shard-<N>.*.json sidecars."""
     return (
         name.startswith("shard-")
         and name.endswith(".json")
         and not name.endswith(BF_SIDECAR_SUFFIX)
         and not name.endswith(HLL_SIDECAR_SUFFIX)
+        and not name.endswith(DV_SIDECAR_SUFFIX)
     )
 
 
@@ -387,6 +397,30 @@ def _split_zone_key(
 
 def _split_part_blooms(rows: dict[str, dict]) -> tuple[dict[str, dict], dict[str, dict]]:
     return _split_zone_key(rows, "bf")
+
+
+def _split_row_dv(rows: dict[str, dict]) -> tuple[dict[str, dict], dict[str, dict]]:
+    """Split the ROW-level ``dv`` field (delete vectors) out of in-memory
+    lineage rows -> (dv-free rows, {pid: dv}). Rows are never mutated."""
+    clean: dict[str, dict] = {}
+    out: dict[str, dict] = {}
+    for pid, row in rows.items():
+        if "dv" in row:
+            out[pid] = row["dv"]
+            clean[pid] = {k: v for k, v in row.items() if k != "dv"}
+        else:
+            clean[pid] = row
+    return clean, out
+
+
+def _read_dv_sidecar(parts_dir: str, shard: int) -> dict[str, dict]:
+    """One shard's delete-vector sidecar ({pid: dv dict}); {} when absent."""
+    path = os.path.join(parts_dir, f"shard-{shard}{DV_SIDECAR_SUFFIX}")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
 
 
 def _ndv_shard_task(
@@ -756,13 +790,28 @@ class EncodedTable:
         prior_h = _read_hll_sidecar(parts_dir, shard)
         if prior_h:
             hls = {**{p: h for p, h in prior_h.items() if p in clean}, **hls}
+        clean, dvs = _split_row_dv(clean)
+        prior_d = _read_dv_sidecar(parts_dir, shard)
+        if prior_d:
+            dvs = {**{p: d for p, d in prior_d.items() if p in clean}, **dvs}
         sidecar = os.path.join(parts_dir, f"shard-{shard}{BF_BIN_SUFFIX}")
         legacy = os.path.join(parts_dir, f"shard-{shard}{BF_SIDECAR_SUFFIX}")
         hll_side = os.path.join(parts_dir, f"shard-{shard}{HLL_SIDECAR_SUFFIX}")
+        dv_side = os.path.join(parts_dir, f"shard-{shard}{DV_SIDECAR_SUFFIX}")
         path = os.path.join(parts_dir, f"shard-{shard}.json")
         fd, tmp = tempfile.mkstemp(dir=parts_dir, prefix=".shard-")
         with os.fdopen(fd, "w") as f:
             json.dump(clean, f, indent=1, sort_keys=True)
+        # delete-vector sidecar before the shard JSON: the crash window
+        # must be a stale-entry cleanup, never a lineage row whose deletes
+        # vanished (readers would resurrect deleted rows)
+        if dvs:
+            fdd, tmpd = tempfile.mkstemp(dir=parts_dir, prefix=".sharddv-")
+            with os.fdopen(fdd, "w") as f:
+                json.dump(dvs, f, sort_keys=True)
+            os.replace(tmpd, dv_side)
+        elif os.path.exists(dv_side):
+            os.remove(dv_side)
         # NDV sidecar before the shard JSON (same rationale as blooms:
         # a crash must not leave a lineage row whose sketch vanished --
         # distinct_job would refuse loudly, but the write order makes the
@@ -895,6 +944,8 @@ class EncodedTable:
                     sid = int(name[len("shard-"):-len(BF_SIDECAR_SUFFIX)])
                 elif name.endswith(HLL_SIDECAR_SUFFIX):
                     sid = int(name[len("shard-"):-len(HLL_SIDECAR_SUFFIX)])
+                elif name.endswith(DV_SIDECAR_SUFFIX):
+                    sid = int(name[len("shard-"):-len(DV_SIDECAR_SUFFIX)])
                 elif _is_lineage_shard(name):
                     sid = int(name[len("shard-"):-len(".json")])
                 else:
@@ -1421,7 +1472,38 @@ class EncodedTable:
                     for c, v in cols.items():
                         zones[c] = {**zones.get(c, {}), key: v}
                     rows[pid] = {**row, "zones": zones}
+            for pid_s, dv in _read_dv_sidecar(self.parts_dir, sid).items():
+                row = rows.get(int(pid_s))
+                if row is not None:
+                    rows[int(pid_s)] = {**row, "dv": dv}
         return rows
+
+    def part_dv(self, gen: int | None = None) -> dict[int, dict]:
+        """Delete vectors of every part carrying one, keyed by part id --
+        {pid: {"n": total_deleted, "chunks": {seq: {"n": cnt, "bm":
+        base64 packed row bitmap}}}}. Streamed shard by shard from the
+        ``.dv.json`` sidecars of the current (or a retained ``gen``)
+        generation; {} when the table has no merge-on-read deletes."""
+        import glob as _glob
+        import re as _re
+
+        if gen is None:
+            parts_dir = self.parts_dir
+        else:
+            if gen not in self.generations():
+                raise ConfigException(
+                    f"generation {gen} of {self.path} is not on disk"
+                )
+            parts_dir = os.path.join(self.path, f"parts-{gen}")
+        out: dict[int, dict] = {}
+        pat = os.path.join(parts_dir, f"shard-*{DV_SIDECAR_SUFFIX}")
+        for path in sorted(_glob.glob(pat)):
+            m = _re.search(r"shard-(\d+)", os.path.basename(path))
+            if m is None:
+                continue
+            for pid_s, dv in _read_dv_sidecar(parts_dir, int(m.group(1))).items():
+                out[int(pid_s)] = dv
+        return out
 
     def surviving_parts(
         self, conjuncts: list[tuple], spark=None

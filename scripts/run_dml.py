@@ -62,9 +62,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("delete", help="row-level copy-on-write DELETE")
+    p = sub.add_parser(
+        "delete", help="row-level DELETE (copy-on-write or merge-on-read)"
+    )
     p.add_argument("--table", required=True)
     p.add_argument("--where", action="append", required=True)
+    p.add_argument(
+        "--mode", choices=("cow", "mor"), default="cow",
+        help="cow rewrites affected parts; mor records delete vectors "
+        "(O(matched rows) bitmap bytes, zero payload writes) that readers "
+        "mask and the next rewrite/compaction materializes",
+    )
 
     p = sub.add_parser("update", help="row-level copy-on-write UPDATE")
     p.add_argument("--table", required=True)
@@ -215,7 +223,9 @@ def main() -> int:
         if args.cmd == "delete":
             from embulk_output_s3_parquet_spark.jobs import delete_job
 
-            rep = delete_job(spark, args.table, _parse_where(args.where))
+            rep = delete_job(
+                spark, args.table, _parse_where(args.where), mode=args.mode
+            )
         elif args.cmd == "update":
             from embulk_output_s3_parquet_spark.jobs import update_job
 

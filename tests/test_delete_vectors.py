@@ -1,0 +1,213 @@
+"""Merge-on-read DELETE (delete_job(mode="mor")): Iceberg v2
+positional-delete / Delta deletion-vector parity.
+
+A trickle delete records per-chunk packed row bitmaps in ``.dv.json``
+shard sidecars and flips the generation with ZERO payload writes --
+O(matched rows) bitmap bytes instead of O(matched parts) 64 MB rewrites.
+Every reader masks deleted positions; metadata-first COUNT subtracts the
+recorded per-chunk deleted counts; MIN/MAX/SUM decode affected chunks (a
+deleted row may be the extremum); sketch consumers (quantile/NDV) refuse
+until compaction materializes the vectors.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_s3_parquet_spark.jobs import (
+    compact_job,
+    count_job,
+    decode_job,
+    decode_job_chunks,
+    delete_job,
+    distinct_job,
+    encode_job,
+    export_job,
+    minmax_job,
+    quantile_job,
+    sum_job,
+    update_job,
+    verify_table,
+)
+from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy, ConfigException
+from embulk_output_s3_parquet_spark.sources.pyreader import count_table, read_table
+from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+
+def _pol(**kw):
+    kw.setdefault("target_partition_bytes", 64 * 1024)
+    kw.setdefault("chunk_rows", 64)
+    return CodecPolicy(**kw)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture()
+def table(spark, docs, tmp_path):
+    path = str(tmp_path / "mor")
+    encode_job(spark, docs, path, _pol(), if_exists="error")
+    return path
+
+
+def test_mor_delete_every_reader_masks(spark, docs, table):
+    n = docs.count()
+    killed = docs.where(F.col("doc_id") < 100).count()
+    before = {  # untouched payload bytes: capture file mtimes pre-delete
+        f: os.path.getmtime(f)
+        for d in EncodedTable(table).committed_part_dirs()
+        for f in [os.path.join(d, x) for x in os.listdir(d)]
+    }
+    rep = delete_job(spark, table, ("doc_id", "<", 100), mode="mor")
+    assert rep["mode"] == "mor" and rep["rows_deleted"] == killed
+    assert rep["parts_rewritten"] == 0
+
+    # zero payload writes: every part file byte-untouched
+    after = {
+        f: os.path.getmtime(f)
+        for d in EncodedTable(table).committed_part_dirs()
+        for f in [os.path.join(d, x) for x in os.listdir(d)]
+    }
+    assert after == before
+
+    live = n - killed
+    assert decode_job(spark, table).count() == live
+    assert decode_job_chunks(spark, table).count() == live
+    assert read_table(table).num_rows == live
+    assert count_job(spark, table) == live          # pure metadata
+    assert count_table(table) == live               # Spark-free metadata
+    ids = sorted(read_table(table, columns=["doc_id"]).column("doc_id").to_pylist())
+    assert ids == list(range(100, n))
+
+    # enctable DataSource masks too
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    spark.dataSource.register(EncodedTableDataSource)
+    assert spark.read.format("enctable").load(table).count() == live
+
+    # vectors live in sidecars, never the lineage shards every reader parses
+    t = EncodedTable(table)
+    pdir = t.parts_dir
+    assert any(f.endswith(".dv.json") for f in os.listdir(pdir))
+    for f in os.listdir(pdir):
+        if f.endswith(".json") and not f.endswith((".dv.json", ".hll.json", ".bf.json")):
+            with open(os.path.join(pdir, f)) as fh:
+                assert '"dv"' not in fh.read()
+
+
+def test_mor_metadata_first_aggregates_stay_exact(spark, docs, table):
+    n = docs.count()
+    delete_job(spark, table, ("doc_id", "<", 100), mode="mor")
+    # the deleted range held the MIN: stats must decode, not trust zones
+    assert minmax_job(spark, table, ["doc_id"])["doc_id"] == (100, n - 1)
+    assert sum_job(spark, table, ["doc_id"])["doc_id"]["sum"] == sum(range(100, n))
+    # predicated count straddling the deleted range
+    assert count_job(spark, table, where=("doc_id", "<", 150)) == 50
+    assert count_table(table, where=("doc_id", "<", 150)) == 50
+    # under a predicate entirely inside the living range, metadata tiers hold
+    assert count_job(spark, table, where=("doc_id", ">=", 400)) == n - 400
+
+
+def test_mor_union_counts_only_fresh_bits(spark, docs, table):
+    delete_job(spark, table, ("doc_id", "<", 100), mode="mor")
+    rep2 = delete_job(spark, table, ("doc_id", "<", 120), mode="mor")
+    assert rep2["rows_deleted"] == 20  # overlap not double-counted
+    assert count_job(spark, table) == docs.count() - 120
+    # fully-overlapped re-delete: zero fresh bits, no spurious flip content
+    rep3 = delete_job(spark, table, ("doc_id", "<", 50), mode="mor")
+    assert rep3["rows_deleted"] == 0
+
+
+def test_mor_then_cow_then_compact_materializes(spark, docs, table):
+    n = docs.count()
+    delete_job(spark, table, ("doc_id", "<", 100), mode="mor")
+    rep = delete_job(spark, table, ("doc_id", ">=", 450), mode="cow")
+    assert rep["rows_deleted"] == 50  # cow accounting is dv-aware
+    assert count_job(spark, table) == n - 150
+    assert verify_table(spark, table) == []
+    compact_job(spark, table)
+    t = EncodedTable(table)
+    assert t.part_dv() == {}  # vectors materialized and dropped
+    assert count_job(spark, table) == n - 150
+    assert decode_job(spark, table).count() == n - 150
+    assert verify_table(spark, table) == []
+
+
+def test_mor_update_sees_masked_rows(spark, docs, table):
+    delete_job(spark, table, ("doc_id", "<", 100), mode="mor")
+    # an UPDATE over a range overlapping deleted rows must not resurrect them
+    update_job(spark, table, ("doc_id", "<", 200), {"lang": "'xx'"})
+    got = decode_job(spark, table)
+    assert got.where(F.col("lang") == "xx").count() == 100  # 100..199 only
+    assert got.count() == docs.count() - 100
+
+
+def test_mor_snapshot_reads_respect_their_generation(spark, docs, table):
+    t = EncodedTable(table)
+    t.set_snapshot_retention(2)
+    g0 = t.generations()[-1]
+    n = docs.count()
+    delete_job(spark, table, ("doc_id", "<", 100), mode="mor")
+    # the pre-delete snapshot still shows every row; current gen masks
+    assert decode_job(spark, table, at_gen=g0).count() == n
+    assert count_job(spark, table, at_gen=g0) == n
+    assert decode_job(spark, table).count() == n - 100
+    g1 = EncodedTable(table).generations()[-1]
+    assert count_job(spark, table, at_gen=g1) == n - 100
+
+
+def test_mor_sketch_consumers_refuse_until_compaction(spark, docs, tmp_path):
+    path = str(tmp_path / "sk")
+    encode_job(spark, docs, path, _pol(ndv_columns=("doc_id",)), if_exists="error")
+    delete_job(spark, path, ("doc_id", "<", 10), mode="mor")
+    with pytest.raises(ConfigException, match="merge-on-read"):
+        quantile_job(spark, path, "doc_id", [0.5])
+    with pytest.raises(ConfigException, match="merge-on-read"):
+        distinct_job(path, ["doc_id"])
+    compact_job(spark, path)
+    assert quantile_job(spark, path, "doc_id", [0.5])["n"] == docs.count() - 10
+    r = distinct_job(path, ["doc_id"])
+    exact = docs.count() - 10
+    assert abs(r["doc_id"]["ndv"] - exact) <= 4 * r["doc_id"]["rel_std_error"] * exact
+
+
+def test_mor_stream_refuses_fresh_start(spark, docs, table):
+    delete_job(spark, table, ("doc_id", "<", 10), mode="mor")
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    spark.dataSource.register(EncodedTableDataSource)
+    q = (
+        spark.readStream.format("enctable").load(table)
+        .writeStream.format("memory").queryName("dvq")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        with pytest.raises(Exception, match="delete vectors"):
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        q.stop()
+
+
+def test_mor_export_and_sample_mask(spark, docs, table, tmp_path):
+    from embulk_output_s3_parquet_spark.jobs import sample_job
+
+    n = docs.count()
+    delete_job(spark, table, ("doc_id", "<", 100), mode="mor")
+    out = str(tmp_path / "exp.parquet")
+    rep = export_job(spark, table, out)
+    assert rep["rows"] == n - 100
+    assert spark.read.parquet(out).where(F.col("doc_id") < 100).count() == 0
+    got = sample_job(spark, table, 1.0, granularity="chunk")
+    assert got.where(F.col("doc_id") < 100).count() == 0
+    assert got.count() == n - 100
