@@ -1809,12 +1809,16 @@ def _delete_mor(
                             arr = decoded.get(c, {}).get(seq)
                             if arr is None:
                                 if c in fillable:
-                                    mask = pa.array([False] * chunk_n[seq])
-                                    break
-                                raise ValueError(
-                                    f"chunk {seq} of {f} is missing "
-                                    f"predicate column {c!r}"
-                                )
+                                    # added column, part predates it: the
+                                    # column is all-null here -- evaluate
+                                    # the op against nulls (isnull matches
+                                    # every row; value ops match none)
+                                    arr = pa.nulls(chunk_n[seq])
+                                else:
+                                    raise ValueError(
+                                        f"chunk {seq} of {f} is missing "
+                                        f"predicate column {c!r}"
+                                    )
                             m = _match_mask(arr, op, v)
                             mask = m if mask is None else pc.and_kleene(mask, m)
                         if mask is None:  # no conjuncts can't happen (guarded)

@@ -211,3 +211,19 @@ def test_mor_export_and_sample_mask(spark, docs, table, tmp_path):
     got = sample_job(spark, table, 1.0, granularity="chunk")
     assert got.where(F.col("doc_id") < 100).count() == 0
     assert got.count() == n - 100
+
+
+def test_mor_isnull_delete_on_added_column(spark, docs, table):
+    """A mor DELETE WHERE added_col IS NULL must mark rows of parts that
+    PREDATE the column (they are all-null for it by construction) -- the
+    fillable evaluation path, not a silent no-match."""
+    from pyspark.sql import types as T
+
+    n = docs.count()
+    t = EncodedTable(table)
+    t.add_column("quality", T.DoubleType())
+    rep = delete_job(spark, table, ("quality", "isnull", None), mode="mor")
+    assert rep["rows_deleted"] == n
+    assert count_job(spark, table) == 0
+    assert decode_job(spark, table).count() == 0
+    assert read_table(table).num_rows == 0
