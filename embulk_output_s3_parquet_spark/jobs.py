@@ -2716,7 +2716,11 @@ def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
 
     zmin/zmax are exact for integer columns (every non-all-null chunk
     records a zone); NULL for types whose zones are absent or non-numeric.
-    The numbers a cost-based planner would want from a catalog."""
+    The numbers a cost-based planner would want from a catalog.
+
+    Rows/nulls are the PHYSICAL stored counts -- like Parquet footer
+    statistics, they include rows masked by merge-on-read delete vectors
+    until compaction materializes them (exact live counts: count_job)."""
     table = EncodedTable(table_path)
     enc = table.read_encoded(spark).select("col", "n", "meta")
     aliases = table.stored_aliases()
