@@ -1744,20 +1744,42 @@ def _delete_mor(
     them into any existing vectors, and commit via one partial generation
     flip (zero payload bytes written; crash-before-flip leaves the old
     table intact)."""
+    report = {**report, "mode": "mor", "dv_parts": 0}
+    amended, fresh = _mor_mark(spark, table, conjuncts, affected)
+    report["rows_deleted"] = fresh
+    report["dv_parts"] = len(amended)
+    if amended:
+        table._update_parts(set(), amended)
+    table.log_op("delete_mor", dict(report))
+    return report
+
+
+def _mor_mark(
+    spark: SparkSession,
+    table: EncodedTable,
+    conjuncts: list[tuple],
+    affected: set[int],
+) -> tuple[dict[int, dict], int]:
+    """The shared marking job behind every merge-on-read mutation
+    (delete_job/update_job mode="mor"): evaluate ``conjuncts`` exactly
+    over the admitted parts' predicate columns on the executors, OR fresh
+    matches into any existing delete vector, and return ({pid: full
+    lineage row carrying the merged "dv"}, fresh-bit count) WITHOUT
+    committing -- the caller folds the amended rows into its own single
+    generation flip, so a mutation that also appends (UPDATE) stays
+    atomic."""
     import base64
     import glob as _glob
     import json as _json
     import os
 
-    report = {**report, "mode": "mor", "dv_parts": 0}
     if table._core_manifest().get("parts"):
         raise ConfigException(
-            "merge-on-read delete needs sharded lineage; this table uses "
+            "merge-on-read mutations need sharded lineage; this table uses "
             "legacy inline lineage -- compact_job it first"
         )
     if not affected:
-        table.log_op("delete_mor", dict(report))
-        return report
+        return {}, 0
     pred_cols = sorted({c for c, _, _ in conjuncts})
     fillable = frozenset(table.added_columns()) & set(pred_cols)
     aliases = table.stored_aliases()
@@ -1859,18 +1881,15 @@ def _delete_mor(
 
     got = src.mapInPandas(mark, schema="part_id long, fresh long, dv string").collect()
     if not got:
-        table.log_op("delete_mor", dict(report))
-        return report
+        return {}, 0
     full = table.lineage_full()
     amended: dict[int, dict] = {}
+    fresh_total = 0
     for r in got:
         pid = int(r["part_id"])
         amended[pid] = {**full[pid], "dv": _json.loads(r["dv"])}
-        report["rows_deleted"] += int(r["fresh"])
-    report["dv_parts"] = len(amended)
-    table._update_parts(set(), amended)
-    table.log_op("delete_mor", dict(report))
-    return report
+        fresh_total += int(r["fresh"])
+    return amended, fresh_total
 
 
 def _swap_in_rewrite(
@@ -1879,6 +1898,8 @@ def _swap_in_rewrite(
     affected: set[int],
     new_rows: DataFrame,
     policy: CodecPolicy | None,
+    keep_affected: bool = False,
+    extra_rows: dict | None = None,
 ) -> dict[int, dict]:
     """Shared tail of every copy-on-write rewrite (delete/update/merge):
     encode ``new_rows`` into fresh part ids minted above the persisted
@@ -1937,11 +1958,17 @@ def _swap_in_rewrite(
             os.rename(os.path.join(staging, name), dst)
         _annotate_buckets(raw, plan_out.bucket_ranges)
         new_lineage = {pid + offset: row for pid, row in raw.items()}
-    table._update_parts(remove=affected, add=new_lineage)
+    # keep_affected (merge-on-read UPDATE): the affected parts STAY live
+    # (their delete vectors in ``extra_rows`` mask the superseded rows) and
+    # the appended parts join them -- still ONE atomic flip
+    table._update_parts(
+        remove=set() if keep_affected else affected,
+        add={**(extra_rows or {}), **new_lineage},
+    )
     # old affected dirs only AFTER the atomic flip (kill-safe); with
     # snapshot retention on they stay readable via decode_job(at_gen=...)
     # until vacuum expires the superseded generation
-    if table.snapshot_retention() == 0:
+    if table.snapshot_retention() == 0 and not keep_affected:
         for p in affected:
             shutil.rmtree(
                 os.path.join(table.data_dir, f"part_id={p}"), ignore_errors=True
@@ -1957,6 +1984,7 @@ def update_job(
     where,
     set_exprs: dict,
     policy: CodecPolicy | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Row-level UPDATE: ``UPDATE t SET col = expr, ... WHERE pred`` as a
     copy-on-write rewrite scoped by zone/bloom part pruning -- the Iceberg/
@@ -1971,13 +1999,22 @@ def update_job(
     100 TB a keyed update touches a handful of parts and every provably
     clean part keeps its files and lineage untouched.
 
+    ``mode="mor"`` (merge-on-read UPDATE, Iceberg v2 semantics): matched
+    rows are delete-vectored in place and their updated images append as
+    NEW parts, all in ONE atomic generation flip -- the affected 64 MB
+    parts are never rewritten, so a narrow UPDATE costs O(matched rows)
+    writes. The appended parts carry normal zones/blooms; readers see
+    exactly one image of every row (the vector masks the old one).
+
     Returns {"parts_total", "parts_affected", "parts_rewritten",
-    "rows_updated"}."""
+    "rows_updated"} (+"mode"/"dv_parts"/"parts_appended" for mor)."""
     from pyspark.sql import Column
 
     from .operators.decode import decode_table_scan
     from .sources.chunkscan import normalize_where
 
+    if mode not in ("cow", "mor"):
+        raise ConfigException(f"update mode must be 'cow' or 'mor': {mode!r}")
     table = EncodedTable(table_path)
     schema = table.schema()
     names = [f.name for f in schema.fields]
@@ -2017,6 +2054,22 @@ def update_job(
             )
         else:
             cols.append(F.col(c))
+    if mode == "mor":
+        # the updated images of MATCHED rows only; unmatched rows stay in
+        # their (vector-masked-where-needed) original parts untouched
+        updated = df.filter(cond).select(*cols)
+        amended, _fresh = _mor_mark(spark, table, conjuncts, affected)
+        new_lineage = _swap_in_rewrite(
+            spark, table, affected, updated, policy,
+            keep_affected=True, extra_rows=amended,
+        )
+        df.unpersist()
+        report.update(
+            mode="mor", dv_parts=len(amended),
+            parts_appended=len(new_lineage),
+        )
+        table.log_op("update_mor", dict(report))
+        return report
     updated = df.select(*cols)
     new_lineage = _swap_in_rewrite(spark, table, affected, updated, policy)
     df.unpersist()

@@ -74,10 +74,17 @@ def main() -> int:
         "mask and the next rewrite/compaction materializes",
     )
 
-    p = sub.add_parser("update", help="row-level copy-on-write UPDATE")
+    p = sub.add_parser(
+        "update", help="row-level UPDATE (copy-on-write or merge-on-read)"
+    )
     p.add_argument("--table", required=True)
     p.add_argument("--where", action="append", required=True)
     p.add_argument("--set", action="append", required=True, dest="set_exprs")
+    p.add_argument(
+        "--mode", choices=("cow", "mor"), default="cow",
+        help="cow rewrites affected parts; mor delete-vectors the matched "
+        "rows and appends their updated images as new parts in one flip",
+    )
 
     p = sub.add_parser("merge", help="MERGE/upsert a parquet source by key")
     p.add_argument("--table", required=True)
@@ -231,7 +238,7 @@ def main() -> int:
 
             rep = update_job(
                 spark, args.table, _parse_where(args.where),
-                _parse_set(args.set_exprs),
+                _parse_set(args.set_exprs), mode=args.mode,
             )
         elif args.cmd == "merge":
             from embulk_output_s3_parquet_spark.jobs import merge_job

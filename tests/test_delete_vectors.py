@@ -227,3 +227,62 @@ def test_mor_isnull_delete_on_added_column(spark, docs, table):
     assert count_job(spark, table) == 0
     assert decode_job(spark, table).count() == 0
     assert read_table(table).num_rows == 0
+
+
+def test_mor_update_vectors_plus_append_one_flip(spark, docs, table):
+    """update_job(mode="mor"): matched rows delete-vectored in place,
+    updated images appended as new parts, one atomic generation flip --
+    the affected 64 MB parts are never rewritten."""
+    n = docs.count()
+    t = EncodedTable(table)
+    parts_before = set(t.completed_parts())
+    before = {
+        f: os.path.getmtime(f)
+        for d in t.committed_part_dirs()
+        for f in [os.path.join(d, x) for x in os.listdir(d)]
+    }
+    rep = update_job(
+        spark, table, ("doc_id", "<", 100), {"lang": "'xx'"}, mode="mor"
+    )
+    assert rep["mode"] == "mor" and rep["rows_updated"] == 100
+    assert rep["parts_rewritten"] == 0 and rep["parts_appended"] >= 1
+
+    # original part files byte-untouched; new parts appended
+    t2 = EncodedTable(table)
+    assert parts_before < set(t2.completed_parts())
+    after = {
+        f: os.path.getmtime(f)
+        for d in t2.committed_part_dirs()
+        if os.path.basename(d) in {os.path.basename(x) for x in t.committed_part_dirs()}
+        and int(os.path.basename(d).split("=")[1]) in parts_before
+        for f in [os.path.join(d, x) for x in os.listdir(d)]
+    }
+    assert all(after[f] == m for f, m in before.items())
+
+    # exactly one image of every row, values updated
+    got = decode_job(spark, table)
+    assert got.count() == n
+    assert got.where(F.col("lang") == "xx").count() == 100
+    assert got.where((F.col("doc_id") < 100) & (F.col("lang") != "xx")).count() == 0
+    assert sorted(
+        r["doc_id"] for r in got.select("doc_id").collect()
+    ) == list(range(n))
+    # Spark-free reader agrees; metadata count stays exact
+    assert read_table(table).num_rows == n
+    assert count_job(spark, table) == n
+    assert verify_table(spark, table) == []
+
+    # a second mor update composes (touches rows the first one moved)
+    rep2 = update_job(
+        spark, table, ("lang", "==", "xx"), {"lang": "'yy'"}, mode="mor"
+    )
+    assert rep2["rows_updated"] == 100
+    got2 = decode_job(spark, table)
+    assert got2.count() == n
+    assert got2.where(F.col("lang") == "yy").count() == 100
+    assert got2.where(F.col("lang") == "xx").count() == 0
+    # compaction materializes everything back to a vector-free table
+    compact_job(spark, table)
+    assert EncodedTable(table).part_dv() == {}
+    assert decode_job(spark, table).count() == n
+    assert verify_table(spark, table) == []
