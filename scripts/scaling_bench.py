@@ -204,6 +204,12 @@ def main() -> int:
             f"appended the failing attempt to BASELINE.md and wrote {attempt}\n"
         )
         return 1
+    # a PASS supersedes any stale FAIL artifact: the failing attempt's data
+    # lives on as a history line in BASELINE.md, so the JSON is redundant
+    # once a newer run passes (leaving it invites reading it as current)
+    stale = os.path.join(ROOT, "BENCH", "SCALING_ATTEMPT.json")
+    if os.path.exists(stale):
+        os.remove(stale)
     preserved = ""
     if os.path.exists(baseline):
         with open(baseline) as f:
