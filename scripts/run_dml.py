@@ -22,9 +22,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import sys
 import time
+
+# plain `python scripts/run_dml.py` (no spark-submit --py-files) works for
+# the Spark-free metadata subcommands (snapshots, verify, vacuum --dry-run):
+# resolve the repo root like run_decode.py does
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _WHERE_RE = re.compile(r"^(\w+)\s*(==|>=|<=|>|<)\s*(.+)$")
 _SET_RE = re.compile(r"^(\w+)\s*=\s*(.+)$")
