@@ -2556,16 +2556,36 @@ def diff_summary(table_path: str, from_gen: int, to_gen: int | None = None) -> d
     new = table.lineage_at(to_gen)
     removed = sorted(set(old) - set(new))
     added = sorted(set(new) - set(old))
-    rows = lambda lin, pids: sum(int(lin[p].get("rows", 0)) for p in pids)  # noqa: E731
+    # merge-on-read deletes amend a part's delete vector WITHOUT minting a
+    # new part id, so the id-set diff alone would miss them: a part common
+    # to both generations changed iff its vector differs between them
+    old_dv = table.part_dv(gen=int(from_gen))
+    new_dv = table.part_dv(gen=to_gen)
+    dv_changed = sorted(
+        p for p in set(old) & set(new) if old_dv.get(p) != new_dv.get(p)
+    )
+    eff = lambda lin, dv, pids: sum(  # noqa: E731
+        int(lin[p].get("rows", 0)) - int((dv.get(p) or {}).get("n", 0))
+        for p in pids
+    )
     byts = lambda lin, pids: sum(int(lin[p].get("enc_bytes", 0)) for p in pids)  # noqa: E731
     return {
         "from_gen": int(from_gen),
         "to_gen": to_gen,
         "parts_added": added,
         "parts_removed": removed,
-        "parts_unchanged": len(set(old) & set(new)),
-        "rows_delta": rows(new, added) - rows(old, removed),
-        "rows_in_changed_parts": rows(new, added) + rows(old, removed),
+        "parts_dv_changed": dv_changed,
+        "parts_unchanged": len(set(old) & set(new)) - len(dv_changed),
+        "rows_delta": (
+            eff(new, new_dv, added)
+            - eff(old, old_dv, removed)
+            + eff(new, new_dv, dv_changed)
+            - eff(old, old_dv, dv_changed)
+        ),
+        "rows_in_changed_parts": (
+            eff(new, new_dv, added + dv_changed)
+            + eff(old, old_dv, removed + dv_changed)
+        ),
         "enc_bytes_delta": byts(new, added) - byts(old, removed),
     }
 
@@ -2588,8 +2608,12 @@ def diff_job(
 
     Scale shape: parts are immutable and every rewrite mints fresh part
     ids above the high-water mark, so a part id common to both
-    generations is byte-identical and never decoded -- the scan touches
-    ONLY parts the rewrite added or removed, and the single shuffle is
+    generations with an unchanged delete vector is byte-identical and
+    never decoded -- the scan touches ONLY parts the rewrite added or
+    removed plus parts whose merge-on-read vector changed (a MoR
+    delete/update amends the vector without minting a new id; each side
+    decodes such a part under ITS generation's vector, so only the newly
+    masked rows survive the cancellation), and the single shuffle is
     the ``exceptAll`` over those changed-part rows (rewrites copy
     surviving rows into fresh parts, so the copies must cancel). Both
     snapshots read with the CURRENT schema, like every at_gen read.
@@ -2630,16 +2654,31 @@ def diff_job(
         )
     removed = set(old_lineage) - set(new_lineage)
     added = set(new_lineage) - set(old_lineage)
+    # merge-on-read mutations change a part's delete vector in place (same
+    # part id, same bytes): decode those parts on BOTH sides, each under
+    # its own generation's vector -- unchanged rows cancel in exceptAll,
+    # newly vectored rows surface as deletes. Each side also applies its
+    # generation's vector to its exclusive parts (a part removed by a
+    # rewrite may have carried a vector at from_gen; re-reporting rows it
+    # had already deleted would be wrong).
+    old_dv = table.part_dv(gen=from_gen)
+    new_dv = table.part_dv(gen=to_gen)
+    dv_changed = {
+        p
+        for p in set(old_lineage) & set(new_lineage)
+        if old_dv.get(p) != new_dv.get(p)
+    }
 
-    def _rows(parts: set[int]) -> DataFrame:
+    def _rows(parts: set[int], dv: dict) -> DataFrame:
         if not parts:
             return spark.createDataFrame([], _prune(schema, sel))
-        return decode_table_scan(spark, table, columns=sel, parts=parts)
+        return decode_table_scan(spark, table, columns=sel, parts=parts, dv=dv)
 
     def _prune(s: T.StructType, cols: list[str]) -> T.StructType:
         return T.StructType([f for f in s.fields if f.name in cols])
 
-    old_rows, new_rows = _rows(removed), _rows(added)
+    old_rows = _rows(removed | dv_changed, old_dv)
+    new_rows = _rows(added | dv_changed, new_dv)
     return new_rows.exceptAll(old_rows).withColumn(
         change_col, F.lit("insert")
     ).unionAll(

@@ -286,3 +286,68 @@ def test_mor_update_vectors_plus_append_one_flip(spark, docs, table):
     assert EncodedTable(table).part_dv() == {}
     assert decode_job(spark, table).count() == n
     assert verify_table(spark, table) == []
+
+
+def test_mor_diff_changelog_sees_vector_changes(spark, docs, table):
+    """diff_job/diff_summary must see merge-on-read mutations: a MoR
+    delete amends a part's vector WITHOUT minting a new part id, so the
+    id-set diff alone reports nothing. Parts whose vector differs between
+    the generations decode on both sides under their own generation's
+    vector; newly masked rows surface as deletes. Also pins the converse:
+    a later copy-on-write rewrite of vectored parts must NOT re-report
+    rows their vectors had already deleted (the old side applies the
+    from_gen vector to removed parts too)."""
+    from embulk_output_s3_parquet_spark.jobs import diff_job, diff_summary
+
+    t = EncodedTable(table)
+    t.set_snapshot_retention(4)
+    g0 = t.generations()[-1]
+
+    killed = docs.where(F.col("doc_id") < 20).count()
+    delete_job(spark, table, ("doc_id", "<", 20), mode="mor")
+    g1 = EncodedTable(table).generations()[-1]
+
+    # row-level: exactly the vectored rows, as deletes
+    d01 = diff_job(spark, table, g0, g1).collect()
+    assert len(d01) == killed
+    assert all(r["_change"] == "delete" and r["doc_id"] < 20 for r in d01)
+
+    # metadata-only summary: no parts added/removed, vectors did change,
+    # and the exact row delta is negative the deleted count
+    s01 = diff_summary(table, g0, g1)
+    assert s01["parts_added"] == [] and s01["parts_removed"] == []
+    assert len(s01["parts_dv_changed"]) >= 1
+    assert s01["rows_delta"] == -killed
+
+    # MoR UPDATE: vector + append in one flip -> pre-image deletes and
+    # post-image inserts of the same keys
+    upd = docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 25)).count()
+    update_job(
+        spark,
+        table,
+        [("doc_id", ">=", 20), ("doc_id", "<", 25)],
+        {"lang": "'zz'"},
+        mode="mor",
+    )
+    g2 = EncodedTable(table).generations()[-1]
+    d12 = diff_job(spark, table, g1, g2).collect()
+    ins = [r for r in d12 if r["_change"] == "insert"]
+    dels = [r for r in d12 if r["_change"] == "delete"]
+    assert len(ins) == upd and all(r["lang"] == "zz" for r in ins)
+    assert len(dels) == upd and all(r["lang"] != "zz" for r in dels)
+    assert {r["doc_id"] for r in ins} == {r["doc_id"] for r in dels}
+
+    # compound diff across both MoR mutations
+    d02 = diff_job(spark, table, g0, g2).collect()
+    assert sum(1 for r in d02 if r["_change"] == "delete") == killed + upd
+    assert sum(1 for r in d02 if r["_change"] == "insert") == upd
+
+    # COW rewrite of vectored parts: already-deleted rows stay deleted in
+    # the from_gen image, so the changelog shows ONLY the new victim
+    delete_job(spark, table, ("doc_id", "==", 30))  # cow materializes
+    g3 = EncodedTable(table).generations()[-1]
+    d23 = diff_job(spark, table, g2, g3).collect()
+    assert len(d23) == 1
+    assert d23[0]["_change"] == "delete" and d23[0]["doc_id"] == 30
+    s23 = diff_summary(table, g2, g3)
+    assert s23["rows_delta"] == -1
