@@ -804,6 +804,160 @@ def sum_job(
     return out
 
 
+def _rebuild_part_ndv(
+    data_dir: str,
+    pid: int,
+    fields: list,
+    dv_json: str,
+    p_by_col: dict,
+    fillable: frozenset,
+    aliases: dict,
+) -> dict:
+    """Re-sketch ONE merge-on-read-vectored part: decode only the wanted
+    columns under the part's delete vector (the same chunkscan path every
+    reader uses) and build a fresh HLL per column at the STORED sketch's
+    precision, so the result merges register-wise with the untouched
+    parts' encode-time sketches. Runs driver-side for a handful of parts
+    or as one executor task per part (``distinct_job(spark=...)``).
+    Returns {col: sketch-or-None} (None = no live non-null values)."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codecs import hll as _hll
+    from .sources.chunkscan import iter_part_tables
+
+    files = sorted(
+        _glob.glob(os.path.join(data_dir, f"part_id={pid}", "*.parquet"))
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"committed part missing on disk: part_id={pid}"
+        )
+    tabs = list(
+        iter_part_tables(
+            files, fields, [], None,
+            fillable=fillable, aliases=aliases, dv=_json.loads(dv_json),
+        )
+    )
+    out: dict = {}
+    for name, _typ in fields:
+        arrs = []
+        for t in tabs:
+            col = t.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                arrs.extend(col.chunks)
+            else:
+                arrs.append(col)
+        vals = (
+            pc.drop_null(pa.concat_arrays(arrs))
+            if arrs
+            else pa.array([], type=_typ)
+        )
+        out[name] = _hll.build(vals, p=int(p_by_col[name]))
+    return out
+
+
+def _vectored_ndv_rebuild(
+    table: "EncodedTable",
+    columns: list[str],
+    dv_all: dict,
+    at_gen: int | None,
+    fillable: frozenset,
+    spark: SparkSession | None,
+) -> dict[int, dict]:
+    """Plan + run the per-part NDV re-sketch for every vectored part that
+    carries values of a requested column. Planning reads ONLY the lineage
+    shards holding vectored pids (O(vectored parts) metadata, never the
+    whole manifest); the payload cost is one single-column-projected
+    decode per vectored part -- O(changed parts), the merge-on-read
+    invariant every other consumer (count/minmax/sum/diff) already keeps.
+    Returns {pid: {col: sketch-or-None}}."""
+    import json as _json
+    import os
+
+    from .sources.pyreader import _arrow_type
+    from .sources.tables import SHARD_SIZE
+
+    aliases = table.stored_aliases()
+    sids = sorted({int(p) // SHARD_SIZE for p in dv_all})
+    if table._core_manifest().get("parts"):
+        # legacy inline-lineage table: rows live in the core manifest
+        rows_all = (
+            table.lineage_at(at_gen) if at_gen is not None else table.lineage()
+        )
+        rows = {int(p): rows_all[int(p)] for p in dv_all if int(p) in rows_all}
+    else:
+        d = (
+            table.parts_dir
+            if at_gen is None
+            else os.path.join(table.path, f"parts-{at_gen}")
+        )
+        rows = {}
+        for sid in sids:
+            fp = os.path.join(d, f"shard-{sid}.json")
+            if os.path.exists(fp):
+                with open(fp) as f:
+                    rows.update(
+                        {int(k): v for k, v in _json.load(f).items()}
+                    )
+    arrow_by_col = {
+        f.name: _arrow_type(f.dataType.jsonValue())
+        for f in table.schema().fields
+    }
+    hls_cache: dict[int, dict[int, dict]] = {}
+    work: list[tuple[int, str, dict]] = []  # (pid, dv_json, {col: p})
+    for pid in sorted(int(p) for p in dv_all):
+        row = rows.get(pid)
+        if row is None:
+            continue  # vector for a part not in this generation's lineage
+        zones = row.get("zones") or {}
+        p_by_col: dict = {}
+        for c in columns:
+            e = zones.get(c)
+            if e is None:
+                if c in fillable:
+                    continue  # added column: all-null in this part
+                raise ConfigException(
+                    f"part {pid} of {table.path} has no lineage entry for "
+                    f"column {c!r}"
+                )
+            if int(e.get("z", 0)) >= int(e.get("n", 0)):
+                continue  # all-null part for this column
+            sid = pid // SHARD_SIZE
+            if sid not in hls_cache:
+                hls_cache[sid] = table.shard_hlls(sid, gen=at_gen)
+            hl = e.get("hl") or hls_cache[sid].get(pid, {}).get(c)
+            if hl is None:
+                raise ConfigException(
+                    f"part {pid} of {table.path} has no NDV sketch for "
+                    f"column {c!r}: encode with ndv_columns=({c!r},) or run "
+                    "compact_job after adding it to the policy"
+                )
+            p_by_col[c] = int(hl["p"])
+        if p_by_col:
+            work.append((pid, _json.dumps(dv_all[pid]), p_by_col))
+    if not work:
+        return {}
+    data_dir = table.data_dir
+
+    def _run(item: tuple[int, str, dict]) -> tuple[int, dict]:
+        pid, dv_json, p_by = item
+        fields = [(c, arrow_by_col[c]) for c in sorted(p_by)]
+        return pid, _rebuild_part_ndv(
+            data_dir, pid, fields, dv_json, p_by, fillable, aliases
+        )
+
+    if spark is not None and len(work) > 4:
+        sc = spark.sparkContext
+        n_tasks = min(len(work), max(sc.defaultParallelism * 2, 1))
+        return dict(sc.parallelize(work, n_tasks).map(_run).collect())
+    return dict(_run(w) for w in work)
+
+
 def distinct_job(
     table_path: str,
     columns: list[str],
@@ -831,7 +985,17 @@ def distinct_job(
     ``surviving_parts``): one task per shard parses the shard JSON +
     sidecar and returns ONE merged sketch per column, so the driver's
     work is O(shards) -- at 10^6 parts the shard parses are the cost,
-    and they scale out."""
+    and they scale out.
+
+    Merge-on-read delete vectors: HLL registers are a set-union and
+    cannot subtract deleted values, so vectored parts' stored sketches
+    would count ghosts. Instead of refusing, every vectored part is
+    RE-SKETCHED from its live rows -- a single-column-projected decode
+    under the vector (one executor task per part with ``spark``, driver
+    loop without) -- and the fresh sketches merge with the untouched
+    parts' stored ones: O(changed parts) payload, the same invariant the
+    other metadata-first aggregates keep, and the estimate reflects
+    exactly the live table."""
     from .codecs import hll as _hll
     from .sources.tables import SHARD_SIZE
 
@@ -840,21 +1004,30 @@ def distinct_job(
     missing = [c for c in columns if c not in names]
     if missing:
         raise ConfigException(f"ndv columns not in table schema: {missing}")
-    if table.part_dv(gen=at_gen) if at_gen is not None else table.part_dv():
-        # HLL registers are a set-union: merge-on-read-deleted values
-        # cannot be subtracted, so the estimate would count ghosts
-        raise ConfigException(
-            "distinct_job: table has merge-on-read delete vectors pending; "
-            "compact_job materializes them (and re-sketches) first"
-        )
     fillable = frozenset(table.added_columns())
+    dv_all = table.part_dv(gen=at_gen) if at_gen is not None else table.part_dv()
+    rebuilt: dict[int, dict] = {}
+    if dv_all:
+        # HLL registers are a set-union: merge-on-read-deleted values
+        # cannot be subtracted -- so every vectored part is RE-SKETCHED
+        # from its live rows (single-column-projected decode under the
+        # vector, O(changed parts) payload, fanned to executors when
+        # ``spark`` is given) and the fresh sketches merge with the
+        # untouched parts' encode-time sketches
+        rebuilt = _vectored_ndv_rebuild(
+            table, list(columns), dv_all, at_gen, fillable, spark
+        )
     if (
         spark is not None
         and at_gen is None
         and not table._core_manifest().get("parts")
         and table._shard_count() >= EncodedTable.DIST_PRUNE_MIN_SHARDS
     ):
-        return _distinct_distributed(spark, table, list(columns), fillable)
+        return _distinct_distributed(
+            spark, table, list(columns), fillable,
+            exclude=frozenset(str(int(p)) for p in dv_all),
+            extra=rebuilt,
+        )
     lineage = (
         table.lineage_at(at_gen) if at_gen is not None else table.lineage()
     )
@@ -886,6 +1059,13 @@ def distinct_job(
                 )
             if int(e.get("z", 0)) >= int(e.get("n", 0)):
                 continue  # all-null part: no values, no sketch needed
+            if pid in dv_all:
+                hl = rebuilt.get(pid, {}).get(c)
+                if hl is None:
+                    continue  # every value of this column vectored/null
+                sketches.append(hl)
+                covered += 1
+                continue
             hl = e.get("hl") or _hl_of(pid, c)
             if hl is None:
                 raise ConfigException(
@@ -935,7 +1115,15 @@ def quantile_job(
     cluster_by/zorder tables give near-exact answers (chunk zones are
     tight boxes), unsorted tables give honest wide intervals -- the
     bounds NEVER lie either way. Numeric/timestamp storage domains only
-    (string zones have no widths to bin)."""
+    (string zones have no widths to bin).
+
+    Merge-on-read delete vectors deflate the histogram weights by each
+    chunk's recorded deletion count and widen the rank thresholds to
+    cover the unknown overlap between deleted rows and nulls, so the
+    [lb, ub] guarantee holds for the LIVE quantile at zero extra IO;
+    trickle deletes barely move the interval. ``n`` is then a certain
+    LOWER bound on live non-null rows (exact when the column has no
+    nulls); ``deleted`` reports the vectored row count."""
     if not qs:
         raise ConfigException("quantile_job needs at least one q in [0, 1]")
     bad = [q for q in qs if not (0.0 <= q <= 1.0)]
@@ -950,15 +1138,17 @@ def quantile_job(
             f"quantile_job[{column}]: string/binary zones have no widths "
             "to bin (numeric/timestamp columns only)"
         )
-    if table.part_dv(gen=at_gen) if at_gen is not None else table.part_dv():
-        # chunk zones and row counts include merge-on-read-deleted rows:
-        # the [lb, ub] interval would still CONTAIN the live quantile
-        # (superset zones) but n and the histogram weights would count
-        # deleted rows -- refuse rather than return subtly-shifted answers
-        raise ConfigException(
-            f"quantile_job[{column}]: table has merge-on-read delete "
-            "vectors pending; compact_job materializes them first"
-        )
+    # merge-on-read delete vectors: chunk zones and row counts include
+    # vectored rows, so histogram weights are DEFLATED by each chunk's
+    # recorded deletion count and the rank thresholds widen to cover the
+    # unknown null-overlap (a deleted row may or may not have been null in
+    # this column). The [lb, ub] guarantee survives: per chunk the live
+    # non-null count sits in [max(0, c-d), min(c, n-d)], the histograms
+    # use the lower bound (so below/from_ stay lower bounds on LIVE
+    # counts), and the thresholds use the upper bound on live n (so the
+    # required counts cover every plausible live rank). With no vectors
+    # both collapse to the exact formulas below. Metadata-only either way.
+    dv_all = table.part_dv(gen=at_gen) if at_gen is not None else table.part_dv()
 
     if at_gen is not None:
         # snapshot read (Iceberg-style): the generation's explicit part set
@@ -977,39 +1167,67 @@ def quantile_job(
         s for s, logical in table.stored_aliases().items() if logical == column
     ]
     enc = enc.filter(F.col("col").isin(spellings))
+    if dv_all:
+        # one tiny row per vectored chunk -> broadcast join; the scan
+        # stays payload-free and the driver never sees per-chunk rows
+        dv_rows = [
+            (int(pid), int(seq), int(e["n"]))
+            for pid, rec in dv_all.items()
+            for seq, e in (rec.get("chunks") or {}).items()
+        ]
+        dvdf = spark.createDataFrame(
+            dv_rows, "part_id long, chunk_seq long, d long"
+        )
+        enc = enc.withColumn("part_id", F.col("part_id").cast("long")).join(
+            F.broadcast(dvdf), ["part_id", "chunk_seq"], "left"
+        )
+    else:
+        enc = enc.withColumn("d", F.lit(0).cast("long"))
     parsed = enc.select(
         F.col("n").cast("long").alias("n"),
         F.coalesce(
             F.get_json_object("meta", "$.z").cast("long"), F.lit(0)
         ).alias("z"),
+        F.coalesce(F.col("d"), F.lit(0)).alias("d"),
         F.get_json_object("meta", "$.mm[0]").try_cast("double").alias("lo"),
         F.get_json_object("meta", "$.mm[1]").try_cast("double").alias("hi"),
     ).filter(F.col("n") > F.col("z"))
-    gmin, gmax, total, unzoned = parsed.agg(
-        F.min("lo"),
-        F.max("hi"),
-        F.sum(F.when(F.col("lo").isNotNull(), F.col("n") - F.col("z"))),
-        F.sum(F.when(F.col("lo").isNull(), F.col("n") - F.col("z"))),
+    # per-chunk live non-null bounds: c_min certain, c_max plausible
+    c_min = F.greatest(F.lit(0), F.col("n") - F.col("z") - F.col("d"))
+    c_max = F.least(F.col("n") - F.col("z"), F.col("n") - F.col("d"))
+    gmin, gmax, live_min, live_max, unzoned = parsed.agg(
+        F.min(F.when(c_max > 0, F.col("lo"))),
+        F.max(F.when(c_max > 0, F.col("hi"))),
+        F.sum(F.when(F.col("lo").isNotNull(), c_min)),
+        F.sum(F.when(F.col("lo").isNotNull(), c_max)),
+        F.sum(F.when(F.col("lo").isNull(), c_max)),
     ).first()
     if unzoned:
-        # a chunk with values but no numeric zone would silently fall out
-        # of every histogram -- bounds that ignore rows are not bounds
+        # a chunk with (possibly) live values but no numeric zone would
+        # silently fall out of every histogram -- bounds that ignore rows
+        # are not bounds (a FULLY deleted unzoned chunk is harmless)
         raise ConfigException(
             f"quantile_job[{column}]: {int(unzoned)} non-null rows sit in "
             "chunks without numeric zone metadata; compact_job re-records "
             "zones"
         )
-    if total is None or not total:
-        return {"n": 0, "quantiles": {q: None for q in qs}}
+    deleted = (
+        sum(int(rec.get("n", 0)) for rec in dv_all.values()) if dv_all else 0
+    )
+    if live_max is None or not live_max:
+        return {"n": 0, "quantiles": {q: None for q in qs}, "deleted": deleted}
+    live_min = int(live_min or 0)
+    live_max = int(live_max)
     parsed = parsed.filter(F.col("lo").isNotNull())
     if gmin == gmax:
         v = gmin
         return {
-            "n": int(total),
+            "n": live_min,
             "quantiles": {q: {"lb": v, "ub": v, "est": v} for q in qs},
+            "deleted": deleted,
         }
     width = (gmax - gmin) / bins
-    cnt = (F.col("n") - F.col("z")).alias("c")
+    cnt = c_min.alias("c")  # live lower bound; == n - z when no vectors
     # three fixed-size histograms over the bin index space [0, bins]:
     #   below: chunk counts that are CERTAIN to lie at-or-below edge i
     #          (zmax rounds UP to the next edge)
@@ -1066,31 +1284,52 @@ def quantile_job(
         return gmin + min(i, bins) * width
 
     out: dict = {}
-    n = int(total)
+    # rank thresholds use the LARGEST plausible live count (live_max) so
+    # the requirement covers the true rank wherever the unknown
+    # null-overlap puts it; histogram weights are live LOWER bounds, so a
+    # threshold the deflated histogram can't reach falls back to the
+    # global extreme edge -- always sound, never a lie. Without vectors
+    # live_min == live_max == n and this is the exact classic formula.
+    n_hi = live_max
+    n_est = max(live_min, 1)
     for q in qs:
-        rank = q * (n - 1)  # 0-based target rank
+        rank = q * (n_hi - 1)  # 0-based target rank, widest plausible
         # ub: smallest edge with at least rank+1 values certainly <= it
-        ub_i = next(i for i in range(bins + 1) if below[i] >= rank + 1)
+        ub_i = next(
+            (i for i in range(bins + 1) if below[i] >= rank + 1), bins
+        )
         # lb: largest edge where at least n-rank values are certainly >= it
-        lb_i = max(i for i in range(bins + 1) if from_[i] >= n - rank)
-        # estimate: linear interpolation on the midpoint histogram,
-        # clamped into the provable interval
+        lb_i = max(
+            (i for i in range(bins + 1) if from_[i] >= n_hi - rank),
+            default=0,
+        )
+        # estimate: linear interpolation on the midpoint histogram at the
+        # best-estimate live rank, clamped into the provable interval
+        erank = q * (n_est - 1)
         ei = next(
-            (i for i in range(bins) if cum_mid[i + 1] >= rank + 1), bins - 1
+            (i for i in range(bins) if cum_mid[i + 1] >= erank + 1), bins - 1
         )
         span = mid[ei] or 1
-        frac = (rank + 1 - cum_mid[ei]) / span
+        frac = (erank + 1 - cum_mid[ei]) / span
         est = min(max(edge(ei) + frac * width, edge(lb_i)), edge(ub_i))
         out[q] = {"lb": edge(lb_i), "ub": edge(ub_i), "est": est}
-    return {"n": n, "quantiles": out}
+    return {"n": live_min, "quantiles": out, "deleted": deleted}
 
 
 def _distinct_distributed(
-    spark: SparkSession, table: EncodedTable, columns: list[str], fillable: frozenset
+    spark: SparkSession,
+    table: EncodedTable,
+    columns: list[str],
+    fillable: frozenset,
+    exclude: frozenset = frozenset(),
+    extra: dict | None = None,
 ) -> dict[str, dict]:
     """Executor-side shard-sketch merge for :func:`distinct_job`: identical
     results to the driver path (tests assert equality), same concurrent-flip
-    retry contract as ``surviving_parts_distributed``."""
+    retry contract as ``surviving_parts_distributed``. ``exclude`` (pid
+    strings) drops parts whose stored sketches are stale -- merge-on-read
+    vectored parts -- and ``extra`` ({pid: {col: sketch-or-None}}) supplies
+    their freshly rebuilt replacements to merge on top."""
     import os
 
     from .codecs import hll as _hll
@@ -1114,9 +1353,10 @@ def _distinct_distributed(
         n_tasks = min(len(shard_files), max(sc.defaultParallelism * 2, 1))
         cols = list(columns)
         fill = fillable
+        excl = exclude
         results = (
             sc.parallelize(shard_files, n_tasks)
-            .map(lambda t: _ndv_shard_task(t[0], t[1], t[2], cols, fill))
+            .map(lambda t: _ndv_shard_task(t[0], t[1], t[2], cols, fill, excl))
             .collect()
         )
         if any(r is None for r in results):
@@ -1134,6 +1374,11 @@ def _distinct_distributed(
                 if r["cols"][c]["hl"] is not None
             ]
             covered = sum(r["cols"][c]["covered"] for r in results)
+            for per_col in (extra or {}).values():
+                hl = per_col.get(c)
+                if hl is not None:
+                    shard_sketches.append(hl)
+                    covered += 1
             if not shard_sketches:
                 out[c] = {"ndv": 0, "rel_std_error": 0.0, "parts": 0}
                 continue

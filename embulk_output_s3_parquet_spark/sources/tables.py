@@ -429,6 +429,7 @@ def _ndv_shard_task(
     sid: int,
     columns: list,
     fillable: frozenset,
+    exclude: frozenset = frozenset(),
 ) -> dict | None:
     """Per-shard NDV-sketch merge for ``jobs.distinct_job(spark=...)``:
     runs ON AN EXECUTOR, reads its own shard JSON + ``.hll.json`` sidecar,
@@ -451,6 +452,10 @@ def _ndv_shard_task(
         sketches = []
         covered = 0
         for pid, row in rows.items():
+            if pid in exclude:
+                # merge-on-read vectored part: its stored sketch counts
+                # deleted values; the caller merges a rebuilt one instead
+                continue
             zones = row.get("zones") or {}
             e = zones.get(c)
             if e is None:

@@ -6,8 +6,9 @@ shard sidecars and flips the generation with ZERO payload writes --
 O(matched rows) bitmap bytes instead of O(matched parts) 64 MB rewrites.
 Every reader masks deleted positions; metadata-first COUNT subtracts the
 recorded per-chunk deleted counts; MIN/MAX/SUM decode affected chunks (a
-deleted row may be the extremum); sketch consumers (quantile/NDV) refuse
-until compaction materializes the vectors.
+deleted row may be the extremum); NDV re-sketches vectored parts from
+their live rows; quantile deflates its zone histograms by the recorded
+per-chunk deletion counts, keeping the [lb, ub] guarantee.
 """
 
 from __future__ import annotations
@@ -163,19 +164,116 @@ def test_mor_snapshot_reads_respect_their_generation(spark, docs, table):
     assert count_job(spark, table, at_gen=g1) == n - 100
 
 
-def test_mor_sketch_consumers_refuse_until_compaction(spark, docs, tmp_path):
+def test_mor_sketch_consumers_see_live_rows(spark, docs, tmp_path):
+    """quantile_job / distinct_job answer on vectored tables instead of
+    refusing: NDV re-sketches each vectored part from its live rows
+    (O(changed parts) payload, merged with untouched parts' stored
+    sketches); quantile deflates histogram weights by the per-chunk
+    deletion counts and widens rank thresholds, so [lb, ub] provably
+    contains the LIVE percentile. Snapshot reads answer under the
+    generation's own vectors; compaction agrees with pre-compaction."""
     path = str(tmp_path / "sk")
-    encode_job(spark, docs, path, _pol(ndv_columns=("doc_id",)), if_exists="error")
+    encode_job(
+        spark, docs, path,
+        _pol(ndv_columns=("doc_id", "lang")), if_exists="error",
+    )
+    EncodedTable(path).set_snapshot_retention(3)
+    n = docs.count()
     delete_job(spark, path, ("doc_id", "<", 10), mode="mor")
-    with pytest.raises(ConfigException, match="merge-on-read"):
-        quantile_job(spark, path, "doc_id", [0.5])
-    with pytest.raises(ConfigException, match="merge-on-read"):
-        distinct_job(path, ["doc_id"])
+    assert EncodedTable(path).part_dv() != {}  # vectors live, no rewrite
+    live = docs.where(F.col("doc_id") >= 10)
+    live_n = n - 10
+
+    q = quantile_job(spark, path, "doc_id", [0.1, 0.5, 0.9])
+    assert q["n"] == live_n and q["deleted"] == 10  # doc_id has no nulls
+    for qq in (0.1, 0.5, 0.9):
+        true = live.selectExpr(f"percentile(doc_id, {qq}) AS p").first()["p"]
+        b = q["quantiles"][qq]
+        assert b["lb"] <= float(true) <= b["ub"], (qq, b, true)
+        assert b["lb"] <= b["est"] <= b["ub"]
+    # pre-delete snapshot: no vectors at gen 0, full-table answer
+    q0 = quantile_job(spark, path, "doc_id", [0.5], at_gen=0)
+    assert q0["n"] == n and q0["deleted"] == 0
+
+    exact = {
+        c: live.where(F.col(c).isNotNull()).select(c).distinct().count()
+        for c in ("doc_id", "lang")
+    }
+    for sp in (None, spark):  # Spark-free and executor-fanned rebuilds
+        r = distinct_job(path, ["doc_id", "lang"], spark=sp)
+        for c, e in exact.items():
+            tol = max(4 * r[c]["rel_std_error"] * e, 2)
+            assert abs(r[c]["ndv"] - e) <= tol, (c, r[c], e)
+    r0 = distinct_job(path, ["doc_id"], at_gen=0)
+    assert abs(r0["doc_id"]["ndv"] - n) <= 4 * r0["doc_id"]["rel_std_error"] * n
+
+    # compaction materializes the vectors; answers must agree
+    pre = distinct_job(path, ["doc_id"])["doc_id"]["ndv"]
     compact_job(spark, path)
-    assert quantile_job(spark, path, "doc_id", [0.5])["n"] == docs.count() - 10
+    qc = quantile_job(spark, path, "doc_id", [0.5])
+    assert qc["n"] == live_n and qc["deleted"] == 0
+    rc = distinct_job(path, ["doc_id"])["doc_id"]
+    tol = max(4 * rc["rel_std_error"] * exact["doc_id"], 2)
+    assert abs(rc["ndv"] - exact["doc_id"]) <= tol
+    assert abs(rc["ndv"] - pre) <= tol  # rebuild ≈ materialized re-sketch
+
+
+def test_mor_ndv_fully_vectored_part_and_exact_deltas(spark, docs, tmp_path):
+    """Edge: a part whose every row is vectored contributes NOTHING to the
+    rebuilt NDV merge (its rebuilt sketch is None), and the estimate drops
+    accordingly; quantile's n tracks exactly on a null-free column."""
+    path = str(tmp_path / "full")
+    encode_job(
+        spark, docs, path, _pol(ndv_columns=("doc_id",)), if_exists="error",
+    )
+    t = EncodedTable(path)
+    # vector EVERY row of one whole part via its doc_id zone range
+    lin = t.lineage()
+    pid = sorted(lin)[0]
+    zones = lin[pid]["zones"]["doc_id"]
+    lo, hi = zones["mm"]
+    delete_job(
+        spark, path,
+        [("doc_id", ">=", lo), ("doc_id", "<=", hi)], mode="mor",
+    )
+    dv = EncodedTable(path).part_dv()
+    assert pid in dv  # the whole-part vector exists, part not rewritten
+    killed = docs.where(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+    ).count()
+    live_n = docs.count() - killed
     r = distinct_job(path, ["doc_id"])
-    exact = docs.count() - 10
-    assert abs(r["doc_id"]["ndv"] - exact) <= 4 * r["doc_id"]["rel_std_error"] * exact
+    tol = max(4 * r["doc_id"]["rel_std_error"] * live_n, 2)
+    assert abs(r["doc_id"]["ndv"] - live_n) <= tol  # doc_id unique per row
+    q = quantile_job(spark, path, "doc_id", [0.5])
+    assert q["n"] == live_n and q["deleted"] == killed
+
+
+def test_mor_ndv_distributed_and_fanout_match_driver(
+    spark, docs, tmp_path, monkeypatch
+):
+    """The three rebuild topologies must agree bit-for-bit: Spark-free
+    driver loop, executor-fanned rebuild (>4 vectored parts) with driver
+    merge, and the shard-distributed merge with exclude+extra (vectored
+    parts dropped from the stored-sketch merge, rebuilt ones merged on
+    top). Register-wise HLL merge is associative, so any split of the
+    same sketch set must give the same estimate."""
+    path = str(tmp_path / "dist")
+    encode_job(
+        spark, docs, path, _pol(ndv_columns=("doc_id",)), if_exists="error",
+    )
+    half = int(docs.selectExpr("percentile(doc_id, 0.5) AS p").first()["p"])
+    delete_job(spark, path, ("doc_id", "<", half), mode="mor")
+    assert len(EncodedTable(path).part_dv()) > 4  # fan-out branch fires
+    want = distinct_job(path, ["doc_id"])  # Spark-free rebuild + merge
+    got_fan = distinct_job(path, ["doc_id"], spark=spark)
+    assert got_fan == want
+    monkeypatch.setattr(EncodedTable, "DIST_PRUNE_MIN_SHARDS", 1)
+    got_dist = distinct_job(path, ["doc_id"], spark=spark)
+    assert got_dist == want
+    live = docs.where(F.col("doc_id") >= half).count()
+    tol = max(4 * want["doc_id"]["rel_std_error"] * live, 2)
+    assert abs(want["doc_id"]["ndv"] - live) <= tol
 
 
 def test_mor_stream_refuses_fresh_start(spark, docs, table):
