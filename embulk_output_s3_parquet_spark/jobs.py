@@ -1156,7 +1156,7 @@ def quantile_job(
 
         snap = sorted(table.lineage_at(at_gen))
         if not snap:
-            return {"n": 0, "quantiles": {q: None for q in qs}}
+            return {"n": 0, "quantiles": {q: None for q in qs}, "deleted": 0}
         enc = spark.read.option("basePath", table.data_dir).parquet(
             *[_os.path.join(table.data_dir, f"part_id={p}") for p in snap]
         )

