@@ -253,9 +253,28 @@ class EncodedTableStreamReader(DataSourceStreamReader):
     (verify_table audits that). A compaction rewrite bumps ``parts_gen``;
     the reader detects the generation change and fails the stream loudly
     instead of replaying rewritten data.
+
+    ``.option("ignoreDeletes", "true")`` (Delta Lake semantics): opt out
+    of the merge-on-read refusals. A fresh start on a vectored table
+    streams each part's LIVE rows under the vectors as of stream start
+    (snapshotted at init so batch replay stays deterministic; vectors
+    recorded later are ignored -- already-shipped rows are never
+    retracted). Generation flips survive IFF every known part id is
+    still committed: ids are never reused, so id survival proves the
+    payload bytes survived (vector-only mor deletes pass; mor-update
+    image parts stream as ordinary appends -- Delta's documented
+    ignoreChanges-style duplicate caveat). A copy-on-write rewrite or
+    compaction retires ids and still fails loudly, because its
+    replacement parts would re-ship rows this stream already delivered.
     """
 
-    def __init__(self, path: str, schema: StructType, columns: list[str] | None):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        columns: list[str] | None,
+        ignore_deletes: bool = False,
+    ):
         from .tables import EncodedTable
 
         self._path = path
@@ -266,15 +285,28 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         t = EncodedTable(path)
         self._fillable = frozenset(t.added_columns()) & names
         self._aliases = t.stored_aliases()
+        self._ignore_deletes = bool(ignore_deletes)
+        self._known: set[int] = set(t.completed_parts())
+        self._dv: dict = {}
         if t.part_dv():
-            # part-granular offsets promise exactly-once APPEND tailing; a
-            # delete vector is a retroactive mutation of an already-shipped
-            # part, which no offset range can express
-            raise RuntimeError(
-                "enctable stream: table has merge-on-read delete vectors; "
-                "compact_job materializes them, then restart the stream "
-                "from a fresh checkpoint"
-            )
+            if not self._ignore_deletes:
+                # part-granular offsets promise exactly-once APPEND
+                # tailing; a delete vector is a retroactive mutation of an
+                # already-shipped part, which no offset range can express
+                raise RuntimeError(
+                    "enctable stream: table has merge-on-read delete "
+                    "vectors; compact_job materializes them, then restart "
+                    "the stream from a fresh checkpoint -- or opt in with "
+                    ".option('ignoreDeletes', 'true') (Delta semantics: "
+                    "already-shipped rows are never retracted)"
+                )
+            # snapshot ONCE so batch replay is deterministic: parts not
+            # yet shipped stream their live rows under the vectors as of
+            # stream start; vectors recorded later are ignored (that is
+            # what the option opts into)
+            self._dv = {
+                f"part_id={pid}": dv for pid, dv in t.part_dv().items()
+            }
 
     def _table(self):
         from .tables import EncodedTable
@@ -282,10 +314,26 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         t = EncodedTable(self._path)
         gen = t.manifest().get("parts_gen", 0)
         if gen != self._gen:
+            if self._ignore_deletes:
+                # a flip is tolerable IFF every part id we know is still
+                # committed: ids are NEVER reused (monotone high-water +
+                # retired-part tombstones), so id survival proves the
+                # payload bytes survived -- the flip was vector-only
+                # (mor delete) and/or pure appends (mor update images).
+                # A copy-on-write rewrite/compaction retires ids and
+                # still fails loudly: its replacement parts would re-ship
+                # rows this stream already delivered.
+                now = set(t.completed_parts())
+                if self._known <= now:
+                    self._gen = gen
+                    self._known = now
+                    return t
             raise RuntimeError(
-                f"enctable stream: table was compacted (parts_gen {self._gen} "
-                f"-> {gen}); restart the stream from a fresh checkpoint"
+                f"enctable stream: table was rewritten (parts_gen "
+                f"{self._gen} -> {gen}); restart the stream from a fresh "
+                "checkpoint"
             )
+        self._known |= set(t.completed_parts())
         return t
 
     def initialOffset(self) -> dict:
@@ -298,13 +346,28 @@ class EncodedTableStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         if start.get("gen", 0) != self._gen:
             # a restarted stream re-inits the reader at the CURRENT gen; the
-            # checkpointed offset still carries the gen it was reading --
-            # a mismatch means compaction rewrote parts under the checkpoint
-            raise RuntimeError(
-                f"enctable stream: checkpoint is from parts_gen "
-                f"{start.get('gen', 0)} but the table was compacted to "
-                f"parts_gen {self._gen}; restart from a fresh checkpoint"
-            )
+            # checkpointed offset still carries the gen it was reading. With
+            # ignoreDeletes the flip is adoptable when the checkpointed
+            # generation's snapshot is still retained AND its every part id
+            # survives (same never-reused-id argument as _table); otherwise
+            # a mismatch means a rewrite happened under the checkpoint.
+            adopted = False
+            if self._ignore_deletes:
+                from .tables import EncodedTable
+
+                t = EncodedTable(self._path)
+                try:
+                    old = set(t.lineage_at(int(start.get("gen", 0))))
+                except Exception:
+                    old = None  # snapshot expired: cannot verify, refuse
+                if old is not None and old <= set(t.completed_parts()):
+                    adopted = True
+            if not adopted:
+                raise RuntimeError(
+                    f"enctable stream: checkpoint is from parts_gen "
+                    f"{start.get('gen', 0)} but the table was rewritten to "
+                    f"parts_gen {self._gen}; restart from a fresh checkpoint"
+                )
         ids = sorted(
             p for p in self._table().completed_parts() if start["next"] <= p < end["next"]
         )
@@ -322,6 +385,9 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         for tbl in iter_part_tables(
             files, self._fields, [], fillable=self._fillable,
             aliases=self._aliases,
+            dv=self._dv.get(
+                os.path.basename(partition.value.rstrip("/"))
+            ),
         ):
             yield from tbl.to_batches()
 
@@ -599,7 +665,14 @@ class EncodedTableDataSource(DataSource):
     def streamReader(self, schema: StructType) -> EncodedTableStreamReader:
         columns = self.options.get("columns")
         want = [c.strip() for c in columns.split(",")] if columns else None
-        return EncodedTableStreamReader(self._path(), schema, want)
+        ignore = str(
+            self.options.get(
+                "ignoredeletes", self.options.get("ignoreDeletes", "")
+            )
+        ).lower() == "true"
+        return EncodedTableStreamReader(
+            self._path(), schema, want, ignore_deletes=ignore
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> EncodedTableArrowWriter:
         return EncodedTableArrowWriter(self._path(), schema, self.options, overwrite)

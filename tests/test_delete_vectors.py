@@ -353,6 +353,58 @@ def test_mor_stream_refuses_fresh_start(spark, docs, table):
         q.stop()
 
 
+def test_mor_stream_ignore_deletes_fresh_start_and_flip_tolerance(
+    spark, docs, table, tmp_path
+):
+    """.option('ignoreDeletes', 'true') (Delta semantics): a fresh start
+    on a vectored table streams each part's LIVE rows (vectors as of
+    stream start), a vector-only generation flip mid-stream is tolerated
+    (part ids all survive), and new appended parts keep flowing. A
+    copy-on-write rewrite retires ids and must still fail the stream."""
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    EncodedTable(table).set_snapshot_retention(4)
+    n = docs.count()
+    delete_job(spark, table, ("doc_id", "<", 10), mode="mor")
+    spark.dataSource.register(EncodedTableDataSource)
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    def _drain():
+        q = (
+            spark.readStream.format("enctable")
+            .option("ignoreDeletes", "true").load(table)
+            .writeStream.format("parquet")
+            .option("path", out_dir).option("checkpointLocation", chk)
+            .trigger(availableNow=True).start()
+        )
+        q.processAllAvailable()
+        exc = q.exception()
+        q.stop()
+        if exc is not None:
+            raise exc
+        return spark.read.parquet(out_dir)
+
+    got = _drain()
+    assert got.count() == n - 10  # live rows only
+    assert got.where(F.col("doc_id") < 10).count() == 0
+
+    # vector-only flip after the checkpointed batch: the SAME checkpoint
+    # resumes across the generation change (id survival verified via the
+    # retained snapshot); already-shipped rows are neither re-shipped nor
+    # retracted, so the sink is byte-for-byte what it was
+    delete_job(spark, table, ("doc_id", "==", 42), mode="mor")
+    got2 = _drain()
+    assert got2.count() == n - 10
+
+    # copy-on-write rewrite retires part ids: even with ignoreDeletes the
+    # resumed stream must fail loudly rather than re-ship rewritten rows
+    delete_job(spark, table, ("doc_id", "==", 77))  # cow materializes
+    with pytest.raises(Exception, match="rewritten|fresh checkpoint"):
+        _drain()
+
+
 def test_mor_export_and_sample_mask(spark, docs, table, tmp_path):
     from embulk_output_s3_parquet_spark.jobs import sample_job
 
