@@ -279,6 +279,34 @@ def main() -> int:
     extra["catalyst_join_sec"] = round(best_c, 3)
     extra["bucketed_join_rows"] = int(nb)
 
+    # --- merge-on-read vs copy-on-write trickle delete (r5) -----------------
+    # the 100 TB DML claim as recorded numbers: a random-key trickle delete
+    # (sha1 commit prefix, ~1/256 of rows) admits every part because the
+    # commit column is unclustered, so copy-on-write pays O(admitted parts)
+    # 64 MB-class rewrites while merge-on-read pays O(matched rows) bitmap
+    # sidecars. Hard-link clone of the committed bench table: the engine
+    # never mutates a file in place (atomic os.replace mints new inodes),
+    # so the source table's bytes are untouchable through the clone.
+    from embulk_output_s3_parquet_spark.jobs import delete_job
+
+    dml_table = f"/tmp/bench_dml_{corpus_rows}_{pol_key}"
+    shutil.rmtree(dml_table, ignore_errors=True)
+    shutil.copytree(enc_table, dml_table, copy_function=os.link)
+    os.sync()
+    t0 = time.time()
+    rep_m = delete_job(
+        spark, dml_table, ("commit", "startswith", "00"), mode="mor"
+    )
+    extra["mor_delete_sec"] = round(time.time() - t0, 3)
+    os.sync()
+    t0 = time.time()
+    rep_c = delete_job(spark, dml_table, ("commit", "startswith", "01"))
+    extra["cow_delete_sec"] = round(time.time() - t0, 3)
+    extra["mor_delete_rows"] = int(rep_m["rows_deleted"])
+    extra["cow_delete_rows"] = int(rep_c["rows_deleted"])
+    extra["mor_parts_rewritten"] = int(rep_m["parts_rewritten"])
+    extra["cow_parts_rewritten"] = int(rep_c["parts_rewritten"])
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -804,6 +804,38 @@ def sum_job(
     return out
 
 
+class _VectorSetMoved(Exception):
+    """Internal: a merge-on-read mutation vectored parts between NDV
+    planning and the distributed shard merge; the caller re-plans."""
+
+
+def _ndv_part_entry(zones, pid, c, table_path, fillable, hl_of):
+    """Shared per-(part, column) NDV resolution for the driver merge loop
+    and the vectored-part rebuild planner (one policy, one copy): returns
+    the STORED sketch, or None when the part provably holds no values of
+    the column (added column predating the part / all-null), raising the
+    canonical ConfigExceptions for a missing lineage entry or a part
+    encoded without the sketch."""
+    e = zones.get(c)
+    if e is None:
+        if c in fillable:
+            return None  # added column: all-null in this part
+        raise ConfigException(
+            f"part {pid} of {table_path} has no lineage entry for "
+            f"column {c!r}"
+        )
+    if int(e.get("z", 0)) >= int(e.get("n", 0)):
+        return None  # all-null part: no values, no sketch needed
+    hl = e.get("hl") or hl_of(pid, c)
+    if hl is None:
+        raise ConfigException(
+            f"part {pid} of {table_path} has no NDV sketch for "
+            f"column {c!r}: encode with ndv_columns=({c!r},) or run "
+            "compact_job after adding it to the policy"
+        )
+    return hl
+
+
 def _rebuild_part_ndv(
     data_dir: str,
     pid: int,
@@ -909,6 +941,13 @@ def _vectored_ndv_rebuild(
         for f in table.schema().fields
     }
     hls_cache: dict[int, dict[int, dict]] = {}
+
+    def _hl_of(pid: int, c: str):
+        sid = pid // SHARD_SIZE
+        if sid not in hls_cache:
+            hls_cache[sid] = table.shard_hlls(sid, gen=at_gen)
+        return hls_cache[sid].get(pid, {}).get(c)
+
     work: list[tuple[int, str, dict]] = []  # (pid, dv_json, {col: p})
     for pid in sorted(int(p) for p in dv_all):
         row = rows.get(pid)
@@ -917,27 +956,9 @@ def _vectored_ndv_rebuild(
         zones = row.get("zones") or {}
         p_by_col: dict = {}
         for c in columns:
-            e = zones.get(c)
-            if e is None:
-                if c in fillable:
-                    continue  # added column: all-null in this part
-                raise ConfigException(
-                    f"part {pid} of {table.path} has no lineage entry for "
-                    f"column {c!r}"
-                )
-            if int(e.get("z", 0)) >= int(e.get("n", 0)):
-                continue  # all-null part for this column
-            sid = pid // SHARD_SIZE
-            if sid not in hls_cache:
-                hls_cache[sid] = table.shard_hlls(sid, gen=at_gen)
-            hl = e.get("hl") or hls_cache[sid].get(pid, {}).get(c)
-            if hl is None:
-                raise ConfigException(
-                    f"part {pid} of {table.path} has no NDV sketch for "
-                    f"column {c!r}: encode with ndv_columns=({c!r},) or run "
-                    "compact_job after adding it to the policy"
-                )
-            p_by_col[c] = int(hl["p"])
+            hl = _ndv_part_entry(zones, pid, c, table.path, fillable, _hl_of)
+            if hl is not None:
+                p_by_col[c] = int(hl["p"])
         if p_by_col:
             work.append((pid, _json.dumps(dv_all[pid]), p_by_col))
     if not work:
@@ -1005,34 +1026,53 @@ def distinct_job(
     if missing:
         raise ConfigException(f"ndv columns not in table schema: {missing}")
     fillable = frozenset(table.added_columns())
-    dv_all = table.part_dv(gen=at_gen) if at_gen is not None else table.part_dv()
-    rebuilt: dict[int, dict] = {}
-    if dv_all:
+
+    def _plan_vectors() -> tuple[dict, dict]:
         # HLL registers are a set-union: merge-on-read-deleted values
         # cannot be subtracted -- so every vectored part is RE-SKETCHED
         # from its live rows (single-column-projected decode under the
         # vector, O(changed parts) payload, fanned to executors when
         # ``spark`` is given) and the fresh sketches merge with the
         # untouched parts' encode-time sketches
-        rebuilt = _vectored_ndv_rebuild(
-            table, list(columns), dv_all, at_gen, fillable, spark
+        dv = table.part_dv(gen=at_gen) if at_gen is not None else table.part_dv()
+        reb = (
+            _vectored_ndv_rebuild(
+                table, list(columns), dv, at_gen, fillable, spark
+            )
+            if dv
+            else {}
         )
+        return dv, reb
+
     if (
         spark is not None
         and at_gen is None
         and not table._core_manifest().get("parts")
         and table._shard_count() >= EncodedTable.DIST_PRUNE_MIN_SHARDS
     ):
-        return _distinct_distributed(
-            spark, table, list(columns), fillable,
-            exclude=frozenset(str(int(p)) for p in dv_all),
-            extra=rebuilt,
+        for _attempt in range(3):
+            dv_all, rebuilt = _plan_vectors()
+            try:
+                return _distinct_distributed(
+                    spark, table, list(columns), fillable,
+                    exclude=frozenset(str(int(p)) for p in dv_all),
+                    extra=rebuilt,
+                )
+            except _VectorSetMoved:
+                continue  # concurrent MoR mutation: re-plan vectors
+        raise ConfigException(
+            f"distinct_job over {table_path} raced concurrent merge-on-read "
+            "mutations 3 times; retry"
         )
     lineage = (
         table.lineage_at(at_gen) if at_gen is not None else table.lineage()
     )
     if not lineage:
         raise ConfigException(f"table {table_path} has no committed partitions")
+    # vectors read AFTER lineage: any vector recorded before this point is
+    # rebuilt; one recorded after is indistinguishable from having run the
+    # whole job a moment earlier
+    dv_all, rebuilt = _plan_vectors()
     # sketches load shard by shard (streaming: peak memory is one shard's
     # sidecar), only for shards holding a non-all-null part
     hls_cache: dict[int, dict[int, dict]] = {}
@@ -1049,30 +1089,17 @@ def distinct_job(
         covered = 0
         for pid in sorted(lineage):
             zones = lineage[pid].get("zones", {})
-            e = zones.get(c)
-            if e is None:
-                if c in fillable:
-                    continue  # added column: all-null in this part
-                raise ConfigException(
-                    f"part {pid} of {table_path} has no lineage entry for "
-                    f"column {c!r}"
-                )
-            if int(e.get("z", 0)) >= int(e.get("n", 0)):
-                continue  # all-null part: no values, no sketch needed
             if pid in dv_all:
+                # rebuild planner already validated this part's entries
+                # with the same _ndv_part_entry policy; None here means
+                # the column has no live non-null values left
                 hl = rebuilt.get(pid, {}).get(c)
-                if hl is None:
-                    continue  # every value of this column vectored/null
-                sketches.append(hl)
-                covered += 1
-                continue
-            hl = e.get("hl") or _hl_of(pid, c)
-            if hl is None:
-                raise ConfigException(
-                    f"part {pid} of {table_path} has no NDV sketch for "
-                    f"column {c!r}: encode with ndv_columns=({c!r},) or run "
-                    "compact_job after adding it to the policy"
+            else:
+                hl = _ndv_part_entry(
+                    zones, pid, c, table_path, fillable, _hl_of
                 )
+            if hl is None:
+                continue
             sketches.append(hl)
             covered += 1
         if not sketches:
@@ -1366,6 +1393,15 @@ def _distinct_distributed(
             raise ConfigException(
                 f"distinct_job over {table.path}: " + "; ".join(errors[:5])
             )
+        stray = {
+            p for r in results for p in r.get("dv_pids", ())
+        } - set(exclude)
+        if stray:
+            # a merge-on-read mutation vectored parts AFTER the caller
+            # planned its exclude/rebuilt set; the shard tasks already
+            # refused to merge those ghost-counting stored sketches --
+            # tell the caller to re-plan with the fresh vector set
+            raise _VectorSetMoved(sorted(stray))
         out: dict[str, dict] = {}
         for c in cols:
             shard_sketches = [
@@ -1924,9 +1960,10 @@ def delete_job(
     copy-on-write rewrite (delete/update/merge/compact) of a part
     materializes its vector and drops it. Metadata-first shortcuts stay
     exact: COUNT subtracts recorded per-chunk deleted counts, MIN/MAX/SUM
-    decode the affected chunks (a deleted row may be the extremum);
-    quantile_job / distinct_job refuse on tables with live vectors
-    (their sketches cannot subtract) until compaction.
+    decode the affected chunks (a deleted row may be the extremum),
+    distinct_job re-sketches vectored parts from their live rows, and
+    quantile_job deflates its zone histograms by the recorded deletion
+    counts (bounds stay live-valid).
 
     Returns {"parts_total", "parts_affected", "parts_rewritten",
     "rows_deleted"} (+"mode"/"dv_parts" for mor)."""

@@ -256,16 +256,20 @@ class EncodedTableStreamReader(DataSourceStreamReader):
 
     ``.option("ignoreDeletes", "true")`` (Delta Lake semantics): opt out
     of the merge-on-read refusals. A fresh start on a vectored table
-    streams each part's LIVE rows under the vectors as of stream start
-    (snapshotted at init so batch replay stays deterministic; vectors
-    recorded later are ignored -- already-shipped rows are never
-    retracted). Generation flips survive IFF every known part id is
-    still committed: ids are never reused, so id survival proves the
-    payload bytes survived (vector-only mor deletes pass; mor-update
-    image parts stream as ordinary appends -- Delta's documented
-    ignoreChanges-style duplicate caveat). A copy-on-write rewrite or
-    compaction retires ids and still fails loudly, because its
-    replacement parts would re-ship rows this stream already delivered.
+    streams each part's LIVE rows; each batch's masks are pinned to the
+    START offset's generation, so a replayed batch masks the same rows
+    the original delivery did (if that generation's sidecars were
+    retention-expired, replay degrades to NO mask: at-least-once, rows
+    are never silently lost). Already-shipped rows are never retracted.
+    Generation flips survive IFF every known part id is still committed:
+    ids are never reused, so id survival proves the payload bytes
+    survived (vector-only mor deletes pass; mor-update image parts
+    stream as ordinary appends -- Delta's documented ignoreChanges-style
+    duplicate caveat); flips witnessed in-run need no retained snapshot,
+    restarts across a flip verify against the retained snapshot's
+    lineage. A copy-on-write rewrite or compaction retires ids and still
+    fails loudly, because its replacement parts would re-ship rows this
+    stream already delivered.
     """
 
     def __init__(
@@ -287,26 +291,21 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         self._aliases = t.stored_aliases()
         self._ignore_deletes = bool(ignore_deletes)
         self._known: set[int] = set(t.completed_parts())
-        self._dv: dict = {}
-        if t.part_dv():
-            if not self._ignore_deletes:
-                # part-granular offsets promise exactly-once APPEND
-                # tailing; a delete vector is a retroactive mutation of an
-                # already-shipped part, which no offset range can express
-                raise RuntimeError(
-                    "enctable stream: table has merge-on-read delete "
-                    "vectors; compact_job materializes them, then restart "
-                    "the stream from a fresh checkpoint -- or opt in with "
-                    ".option('ignoreDeletes', 'true') (Delta semantics: "
-                    "already-shipped rows are never retracted)"
-                )
-            # snapshot ONCE so batch replay is deterministic: parts not
-            # yet shipped stream their live rows under the vectors as of
-            # stream start; vectors recorded later are ignored (that is
-            # what the option opts into)
-            self._dv = {
-                f"part_id={pid}": dv for pid, dv in t.part_dv().items()
-            }
+        # every generation this reader has VERIFIED id-survival through
+        # (at init trivially; later via _table adoption / partitions'
+        # snapshot check) -- offsets carrying any of these gens are safe
+        self._adopted: set[int] = {self._gen}
+        if t.part_dv() and not self._ignore_deletes:
+            # part-granular offsets promise exactly-once APPEND tailing;
+            # a delete vector is a retroactive mutation of an
+            # already-shipped part, which no offset range can express
+            raise RuntimeError(
+                "enctable stream: table has merge-on-read delete "
+                "vectors; compact_job materializes them, then restart "
+                "the stream from a fresh checkpoint -- or opt in with "
+                ".option('ignoreDeletes', 'true') (Delta semantics: "
+                "already-shipped rows are never retracted)"
+            )
 
     def _table(self):
         from .tables import EncodedTable
@@ -326,6 +325,7 @@ class EncodedTableStreamReader(DataSourceStreamReader):
                 now = set(t.completed_parts())
                 if self._known <= now:
                     self._gen = gen
+                    self._adopted.add(gen)
                     self._known = now
                     return t
             raise RuntimeError(
@@ -344,50 +344,72 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         return {"gen": self._gen, "next": (max(parts) + 1) if parts else 0}
 
     def partitions(self, start: dict, end: dict):
-        if start.get("gen", 0) != self._gen:
+        start_gen = int(start.get("gen", 0))
+        if start_gen != self._gen and start_gen not in self._adopted:
             # a restarted stream re-inits the reader at the CURRENT gen; the
-            # checkpointed offset still carries the gen it was reading. With
-            # ignoreDeletes the flip is adoptable when the checkpointed
-            # generation's snapshot is still retained AND its every part id
-            # survives (same never-reused-id argument as _table); otherwise
-            # a mismatch means a rewrite happened under the checkpoint.
+            # checkpointed offset still carries the gen it was reading
+            # (an in-run flip this reader witnessed is already in
+            # self._adopted -- id survival was verified live, no snapshot
+            # needed). With ignoreDeletes a restart flip is adoptable when
+            # the checkpointed generation's snapshot is still retained AND
+            # its every part id survives (same never-reused-id argument as
+            # _table); otherwise a mismatch means a rewrite happened under
+            # the checkpoint.
             adopted = False
             if self._ignore_deletes:
                 from .tables import EncodedTable
 
                 t = EncodedTable(self._path)
                 try:
-                    old = set(t.lineage_at(int(start.get("gen", 0))))
+                    old = set(t.lineage_at(start_gen))
                 except Exception:
                     old = None  # snapshot expired: cannot verify, refuse
                 if old is not None and old <= set(t.completed_parts()):
+                    self._adopted.add(start_gen)
                     adopted = True
             if not adopted:
                 raise RuntimeError(
                     f"enctable stream: checkpoint is from parts_gen "
-                    f"{start.get('gen', 0)} but the table was rewritten to "
+                    f"{start_gen} but the table was rewritten to "
                     f"parts_gen {self._gen}; restart from a fresh checkpoint"
                 )
+        table = self._table()
         ids = sorted(
-            p for p in self._table().completed_parts() if start["next"] <= p < end["next"]
+            p for p in table.completed_parts() if start["next"] <= p < end["next"]
         )
+        # vectors are pinned to the START offset's generation so a replayed
+        # batch masks the same rows the original delivery did; if that
+        # generation's sidecars have been retention-expired, degrade to NO
+        # mask (replay may deliver MORE rows -- at-least-once -- but never
+        # silently lose rows that were live at original delivery)
+        dv_all: dict = {}
+        if self._ignore_deletes:
+            try:
+                dv_all = table.part_dv(gen=start_gen)
+            except Exception:
+                dv_all = {}
+        import json as _json
+
         return [
-            InputPartition(os.path.join(self._path, "data", f"part_id={p}"))
+            InputPartition(_json.dumps([
+                os.path.join(self._path, "data", f"part_id={p}"),
+                dv_all.get(p),
+            ]))
             for p in ids
         ]
 
     def read(self, partition):
+        import json as _json
+
         from .chunkscan import iter_part_tables
 
-        files = sorted(glob.glob(os.path.join(partition.value, "*.parquet")))
+        part_dir, dv = _json.loads(partition.value)
+        files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
         if not files:
-            raise FileNotFoundError(f"committed part missing: {partition.value}")
+            raise FileNotFoundError(f"committed part missing: {part_dir}")
         for tbl in iter_part_tables(
             files, self._fields, [], fillable=self._fillable,
-            aliases=self._aliases,
-            dv=self._dv.get(
-                os.path.basename(partition.value.rstrip("/"))
-            ),
+            aliases=self._aliases, dv=dv,
         ):
             yield from tbl.to_batches()
 

@@ -447,12 +447,18 @@ def _ndv_shard_task(
     except FileNotFoundError:
         return None
     hls = _read_hll_sidecar(parts_dir, sid)
-    out: dict = {"cols": {}, "errors": []}
+    # self-detect merge-on-read vectors: a vector recorded AFTER the
+    # caller planned its exclude set must never merge a ghost-counting
+    # stored sketch -- skip it here and report it so the driver can
+    # re-plan with a fresh vector set
+    dv_pids = set(_read_dv_sidecar(parts_dir, sid))
+    out: dict = {"cols": {}, "errors": [], "dv_pids": sorted(dv_pids)}
+    skip = exclude | dv_pids
     for c in columns:
         sketches = []
         covered = 0
         for pid, row in rows.items():
-            if pid in exclude:
+            if pid in skip:
                 # merge-on-read vectored part: its stored sketch counts
                 # deleted values; the caller merges a rebuilt one instead
                 continue

@@ -332,6 +332,29 @@ def test_mor_ndv_distributed_and_fanout_match_driver(
     assert abs(want["doc_id"]["ndv"] - live) <= tol
 
 
+def test_mor_ndv_distributed_detects_vector_drift(spark, docs, tmp_path):
+    """A shard whose dv sidecar names a part NOT in the caller's exclude
+    set (a merge-on-read mutation landed after NDV planning) must raise
+    the internal re-plan signal instead of silently merging that part's
+    ghost-counting stored sketch; distinct_job's retry loop then re-plans
+    with the fresh vector set (the equality test above pins the result)."""
+    from embulk_output_s3_parquet_spark.jobs import (
+        _distinct_distributed,
+        _VectorSetMoved,
+    )
+
+    path = str(tmp_path / "drift")
+    encode_job(
+        spark, docs, path, _pol(ndv_columns=("doc_id",)), if_exists="error",
+    )
+    delete_job(spark, path, ("doc_id", "<", 10), mode="mor")
+    with pytest.raises(_VectorSetMoved):
+        _distinct_distributed(
+            spark, EncodedTable(path), ["doc_id"], frozenset(),
+            exclude=frozenset(), extra={},
+        )
+
+
 def test_mor_stream_refuses_fresh_start(spark, docs, table):
     delete_job(spark, table, ("doc_id", "<", 10), mode="mor")
     from embulk_output_s3_parquet_spark.sources.datasource import (
@@ -403,6 +426,48 @@ def test_mor_stream_ignore_deletes_fresh_start_and_flip_tolerance(
     delete_job(spark, table, ("doc_id", "==", 77))  # cow materializes
     with pytest.raises(Exception, match="rewritten|fresh checkpoint"):
         _drain()
+
+
+def test_mor_stream_ignore_deletes_witnessed_flip_needs_no_snapshot(
+    spark, docs, table,
+):
+    """A RUNNING ignoreDeletes stream must survive a merge-on-read flip
+    on a table with the DEFAULT snapshot retention (0: the old parts-<g>
+    dir is removed at the flip). In-run adoption relies on live id
+    survival (self._adopted), never on a retained snapshot; the batch
+    vector lookup degrades to no-mask when the offset generation's
+    sidecars are gone instead of killing the stream."""
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    assert EncodedTable(table).properties().get("snapshot-retention") is None
+    n = docs.count()
+    spark.dataSource.register(EncodedTableDataSource)
+    q = (
+        spark.readStream.format("enctable")
+        .option("ignoreDeletes", "true").load(table)
+        .writeStream.format("memory").queryName("dvflip").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("dvflip").count() == n
+        # flip happens WHILE the stream runs; old gen dir is rmtree'd
+        g_before = EncodedTable(table).generations()[-1]
+        delete_job(spark, table, ("doc_id", "<", 10), mode="mor")
+        assert EncodedTable(table).generations() == [g_before + 1]
+        # new data after the flip: the stream must adopt and keep tailing
+        extra = docs.where(F.col("doc_id") < 5).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+        encode_job(spark, extra, table, _pol(), if_exists="skip",
+                   part_base=1 << 20)
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+        # shipped rows are never retracted; the appended wave arrived
+        assert spark.table("dvflip").count() == n + 5
+    finally:
+        q.stop()
 
 
 def test_mor_export_and_sample_mask(spark, docs, table, tmp_path):
