@@ -168,6 +168,7 @@ def main() -> int:
         print(json.dumps({
             "n": rep["n"],
             "quantiles": {str(q): v for q, v in rep["quantiles"].items()},
+            "deleted": rep.get("deleted", 0),
             "wall_s": round(time.time() - t0, 2),
         }))
         return 0
