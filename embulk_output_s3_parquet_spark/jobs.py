@@ -2041,15 +2041,22 @@ def _mor_mark(
     table: EncodedTable,
     conjuncts: list[tuple],
     affected: set[int],
+    refine: tuple[list[str], list[tuple]] | None = None,
 ) -> tuple[dict[int, dict], int]:
     """The shared marking job behind every merge-on-read mutation
-    (delete_job/update_job mode="mor"): evaluate ``conjuncts`` exactly
-    over the admitted parts' predicate columns on the executors, OR fresh
-    matches into any existing delete vector, and return ({pid: full
-    lineage row carrying the merged "dv"}, fresh-bit count) WITHOUT
+    (delete_job/update_job/merge_job mode="mor"): evaluate ``conjuncts``
+    exactly over the admitted parts' predicate columns on the executors,
+    OR fresh matches into any existing delete vector, and return ({pid:
+    full lineage row carrying the merged "dv"}, fresh-bit count) WITHOUT
     committing -- the caller folds the amended rows into its own single
-    generation flip, so a mutation that also appends (UPDATE) stays
-    atomic."""
+    generation flip, so a mutation that also appends (UPDATE/MERGE) stays
+    atomic.
+
+    ``refine=(key_cols, key_tuples)`` narrows the conjunct mask to rows
+    whose COMPOSITE key tuple is in ``key_tuples`` -- merge_job's
+    multi-column keys can't be expressed as per-column conjuncts alone
+    (per-column IN lists admit the cross product); the refine mask is the
+    exact tuple-membership check, evaluated vectorized per chunk."""
     import base64
     import glob as _glob
     import json as _json
@@ -2062,7 +2069,10 @@ def _mor_mark(
         )
     if not affected:
         return {}, 0
-    pred_cols = sorted({c for c, _, _ in conjuncts})
+    refine_cols, refine_keys = refine if refine else (None, None)
+    pred_cols = sorted(
+        {c for c, _, _ in conjuncts} | set(refine_cols or ())
+    )
     fillable = frozenset(table.added_columns()) & set(pred_cols)
     aliases = table.stored_aliases()
     existing = table.part_dv()
@@ -2130,6 +2140,18 @@ def _mor_mark(
                         matched = pc.fill_null(mask, False).to_numpy(
                             zero_copy_only=False
                         ).astype(bool)
+                        if refine_cols and matched.any():
+                            # exact composite-key membership: per-column
+                            # conjuncts admitted the cross product; keep
+                            # only rows whose key TUPLE is in the source
+                            key_arrs = []
+                            for c in refine_cols:
+                                a = decoded.get(c, {}).get(seq)
+                                if a is None:  # added col, pre-addition part
+                                    a = pa.nulls(chunk_n[seq])
+                                key_arrs.append(a.to_pandas())
+                            mi = pd.MultiIndex.from_arrays(key_arrs)
+                            matched &= np.asarray(mi.isin(refine_keys))
                         prior_keep = old_keep.get(seq)
                         prior_del = (
                             ~prior_keep[: len(matched)]
@@ -2372,6 +2394,7 @@ def merge_job(
     source: DataFrame,
     on: list[str],
     policy: CodecPolicy | None = None,
+    mode: str = "cow",
 ) -> dict:
     """MERGE (upsert): rows of ``source`` whose ``on`` key matches an
     existing row REPLACE it (every non-key column taken from the source);
@@ -2393,11 +2416,24 @@ def merge_job(
     ``source`` must have exactly the table's columns; duplicate keys in the
     source are refused (ambiguous, like Iceberg's cardinality check).
 
+    ``mode="mor"`` (merge-on-read MERGE, completing the MoR DML matrix
+    with delete_job/update_job): matched TARGET rows are delete-vectored
+    in place and the source's updated images + inserts append as NEW
+    parts, all in ONE atomic generation flip -- a trickle upsert into a
+    100 TB table writes O(source rows), never O(matched parts) 64 MB
+    rewrites. Composite keys stay exact: the marking job refines the
+    per-column IN admission with a vectorized key-TUPLE membership check.
+    Bulk merges (> _MERGE_KEY_PROBE_CAP source rows) are refused in mor
+    mode -- at that size the rewrite IS the cheap path; use cow.
+
     Returns {"parts_total", "parts_affected", "parts_rewritten",
-    "rows_updated", "rows_inserted"}."""
+    "rows_updated", "rows_inserted"} (+"mode"/"dv_parts"/"parts_appended"
+    for mor)."""
     from .operators.decode import decode_table_scan
     from .sources.chunkscan import normalize_where
 
+    if mode not in ("cow", "mor"):
+        raise ConfigException(f"merge mode must be 'cow' or 'mor': {mode!r}")
     table = EncodedTable(table_path)
     schema = table.schema()
     names = [f.name for f in schema.fields]
@@ -2413,6 +2449,12 @@ def merge_job(
         )
     source = source.select(*names).persist()  # table column order
     n_src = source.count()
+    if mode == "mor" and n_src > _MERGE_KEY_PROBE_CAP:
+        raise ConfigException(
+            f"merge mode='mor' is the trickle-upsert path (<= "
+            f"{_MERGE_KEY_PROBE_CAP} source rows); a {n_src}-row bulk "
+            "merge should rewrite parts -- use mode='cow'"
+        )
     # cardinality check (Iceberg's): each TARGET row may match at most one
     # source row. Rows with any NULL key match nothing (SQL join
     # semantics) -- they are pure inserts and must not trip the check
@@ -2459,6 +2501,64 @@ def merge_job(
         return report
 
     non_key = [c for c in names if c not in on]
+    if mode == "mor":
+        # exact marking predicate: per-column IN lists (the zone/bloom
+        # admission) refined -- for composite keys -- by a vectorized
+        # tuple-membership check inside _mor_mark. NULL-key source rows
+        # match nothing (SQL join semantics): pure inserts.
+        key_rows = [tuple(r) for r in keyed.select(*on).distinct().collect()]
+        mark_conjuncts = (
+            normalize_where(
+                [
+                    (k, "in", sorted({t[i] for t in key_rows}))
+                    for i, k in enumerate(on)
+                ],
+                names,
+            )
+            if key_rows
+            else []
+        )
+        refine = (list(on), key_rows) if len(on) > 1 else None
+        if affected:
+            target = decode_table_scan(spark, table, parts=affected).persist()
+            src = F.broadcast(source)  # mor is capped small: always broadcast
+            src_renamed = src.select(
+                *on, *[F.col(c).alias(f"__src_{c}") for c in non_key]
+            )
+            updates = target.join(src_renamed, on, "inner").select(
+                *[
+                    F.col(f"__src_{c}").alias(c) if c in set(non_key) else F.col(c)
+                    for c in names
+                ]
+            )
+            inserts = source.join(target.select(*on), on, "left_anti").persist()
+            report["rows_updated"] = updates.count()
+            report["rows_inserted"] = inserts.count()
+            appended = updates.unionByName(inserts)
+        else:
+            appended = source
+            report["rows_inserted"] = n_src
+        # vector the superseded images IN PLACE, append the new images:
+        # one atomic flip (keep_affected -- the vectored parts stay live)
+        amended, _fresh = (
+            _mor_mark(spark, table, mark_conjuncts, affected, refine=refine)
+            if affected and mark_conjuncts
+            else ({}, 0)
+        )
+        new_lineage = _swap_in_rewrite(
+            spark, table, affected, appended, policy,
+            keep_affected=True, extra_rows=amended,
+        )
+        if affected:
+            target.unpersist()
+            inserts.unpersist()
+        source.unpersist()
+        report.update(
+            mode="mor", dv_parts=len(amended),
+            parts_appended=len(new_lineage),
+        )
+        table.log_op("merge_mor", dict(report))
+        return report
     if affected:
         target = decode_table_scan(spark, table, parts=affected).persist()
         # broadcast the source side only while it is provably small; a

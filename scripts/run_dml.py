@@ -96,6 +96,11 @@ def main() -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--source", required=True, help="parquet path, table columns")
     p.add_argument("--on", required=True, help="comma-separated key columns")
+    p.add_argument(
+        "--mode", choices=("cow", "mor"), default="cow",
+        help="cow rewrites matched parts; mor vectors matched rows in "
+        "place and appends the new images (trickle upserts)",
+    )
 
     p = sub.add_parser("compact", help="rewrite into byte-balanced parts")
     p.add_argument("--table", required=True)
@@ -250,7 +255,9 @@ def main() -> int:
             from embulk_output_s3_parquet_spark.jobs import merge_job
 
             src = spark.read.parquet(args.source)
-            rep = merge_job(spark, args.table, src, on=args.on.split(","))
+            rep = merge_job(
+                spark, args.table, src, on=args.on.split(","), mode=args.mode
+            )
         elif args.cmd == "compact":
             from embulk_output_s3_parquet_spark.jobs import compact_job
 
