@@ -398,7 +398,7 @@ def decode_job(
     columns: list[str] | None = None,
     where=None,
     counters: dict | None = None,
-    at_gen: int | None = None,
+    at_gen: int | str | None = None,
 ) -> DataFrame:
     """Decode a committed table. Default: the shuffle-free part-aligned scan
     (decode_table_scan) with optional zone-map predicate skipping (``where``
@@ -415,6 +415,7 @@ def decode_job(
     from .operators.decode import decode_table_scan
 
     table = EncodedTable(table_path)
+    at_gen = table.resolve_ref(at_gen)  # tag name | gen | None
     if at_gen is not None:
         snap = table.lineage_at(at_gen)
         if not snap:
@@ -452,6 +453,7 @@ def count_job(
     from .sources.chunkscan import conjunct_state_of
 
     table = EncodedTable(table_path)
+    at_gen = table.resolve_ref(at_gen)  # tag name | gen | None
     names = [f.name for f in table.schema().fields]
     conjuncts = normalize_where(where, names)  # fail fast on the driver
     lineage = (
@@ -545,7 +547,7 @@ def _stats_scan(
     table_path: str,
     columns: list[str],
     where,
-    at_gen: int | None,
+    at_gen: int | str | None,
     sums: bool,
 ) -> dict[str, dict]:
     """Shared metadata-first column-stats scan behind :func:`minmax_job`
@@ -569,6 +571,7 @@ def _stats_scan(
     )
 
     table = EncodedTable(table_path)
+    at_gen = table.resolve_ref(at_gen)  # tag name | gen | None
     names = [f.name for f in table.schema().fields]
     missing = [c for c in columns if c not in names]
     if missing:
@@ -736,7 +739,7 @@ def minmax_job(
     table_path: str,
     columns: list[str],
     where=None,
-    at_gen: int | None = None,
+    at_gen: int | str | None = None,
 ) -> dict[str, tuple]:
     """Exact MIN/MAX per column with metadata-only pruning -- the MIN/MAX
     twin of :func:`count_job`. Returns ``{col: (min, max)}`` in logical
@@ -760,7 +763,7 @@ def sum_job(
     table_path: str,
     columns: list[str],
     where=None,
-    at_gen: int | None = None,
+    at_gen: int | str | None = None,
 ) -> dict[str, dict]:
     """Exact SUM/AVG per numeric column with metadata-only pruning:
     ``{col: {"sum", "avg", "count_nonnull"}}`` (sum/avg None when no
@@ -897,7 +900,7 @@ def _vectored_ndv_rebuild(
     table: "EncodedTable",
     columns: list[str],
     dv_all: dict,
-    at_gen: int | None,
+    at_gen: int | str | None,
     fillable: frozenset,
     spark: SparkSession | None,
 ) -> dict[int, dict]:
@@ -982,7 +985,7 @@ def _vectored_ndv_rebuild(
 def distinct_job(
     table_path: str,
     columns: list[str],
-    at_gen: int | None = None,
+    at_gen: int | str | None = None,
     spark: SparkSession | None = None,
 ) -> dict[str, dict]:
     """Approximate COUNT(DISTINCT col) from the per-part HyperLogLog
@@ -1021,6 +1024,7 @@ def distinct_job(
     from .sources.tables import SHARD_SIZE
 
     table = EncodedTable(table_path)
+    at_gen = table.resolve_ref(at_gen)  # tag name | gen | None
     names = [f.name for f in table.schema().fields]
     missing = [c for c in columns if c not in names]
     if missing:
@@ -1125,7 +1129,7 @@ def quantile_job(
     column: str,
     qs: list[float],
     bins: int = 1024,
-    at_gen: int | None = None,
+    at_gen: int | str | None = None,
 ) -> dict:
     """Approximate quantiles with PROVABLE bounds from chunk zone maps
     alone -- the percentile member of the metadata-first aggregate family
@@ -1157,6 +1161,7 @@ def quantile_job(
     if bad:
         raise ConfigException(f"quantiles must be in [0, 1]: {bad}")
     table = EncodedTable(table_path)
+    at_gen = table.resolve_ref(at_gen)  # tag name | gen | None
     fields = {f.name: f.dataType for f in table.schema().fields}
     if column not in fields:
         raise ConfigException(f"quantile column not in table schema: {column!r}")
@@ -1601,9 +1606,10 @@ def compact_job(
         table.set_property("write-order", None)
         table.set_property("write-order-zorder", False)
     shutil.rmtree(staging, ignore_errors=True)
-    # with snapshot retention on, the pre-compaction generation stays
+    # with snapshot retention on -- or a tag pinning a snapshot that may
+    # reference the old parts -- the pre-compaction generation stays
     # readable via decode_job(at_gen=...); vacuum expires it later
-    if table.snapshot_retention() == 0:
+    if table.snapshot_retention() == 0 and not table.tagged_generations():
         for pid in old_parts:
             shutil.rmtree(
                 os.path.join(table.data_dir, f"part_id={pid}"), ignore_errors=True
@@ -2270,9 +2276,14 @@ def _swap_in_rewrite(
         add={**(extra_rows or {}), **new_lineage},
     )
     # old affected dirs only AFTER the atomic flip (kill-safe); with
-    # snapshot retention on they stay readable via decode_job(at_gen=...)
+    # snapshot retention on -- or any tag pinning a snapshot that may
+    # still reference them -- they stay readable via decode_job(at_gen=...)
     # until vacuum expires the superseded generation
-    if table.snapshot_retention() == 0 and not keep_affected:
+    if (
+        table.snapshot_retention() == 0
+        and not table.tagged_generations()
+        and not keep_affected
+    ):
         for p in affected:
             shutil.rmtree(
                 os.path.join(table.data_dir, f"part_id={p}"), ignore_errors=True
@@ -2607,7 +2618,7 @@ def export_job(
     columns: list[str] | None = None,
     where=None,
     compression: str = "snappy",
-    at_gen: int | None = None,
+    at_gen: int | str | None = None,
     since_part: int | None = None,
     expect_gen: int | None = None,
 ) -> dict:
@@ -2650,6 +2661,7 @@ def export_job(
 
     t0 = time.time()
     table = EncodedTable(table_path)
+    at_gen = table.resolve_ref(at_gen)  # tag name | gen | None
     out_schema = _prune_schema(table.schema(), columns)
     arrow_schema = to_arrow_schema(out_schema)
     names = [f.name for f in out_schema.fields]
@@ -2838,7 +2850,7 @@ def rollback_job(table_path: str, to_gen: int) -> dict:
     table = EncodedTable(table_path)
     m = table._core_manifest()
     cur = int(m.get("parts_gen", 0))
-    to_gen = int(to_gen)
+    to_gen = int(table.resolve_ref(to_gen))  # tag names resolve
     if to_gen == cur:
         return {"rolled_back": False, "parts_gen": cur, "reason": "already current"}
     if to_gen > cur:
@@ -2933,6 +2945,8 @@ def diff_summary(table_path: str, from_gen: int, to_gen: int | None = None) -> d
     the changed parts."""
     table = EncodedTable(table_path)
     cur = int(table._core_manifest().get("parts_gen", 0))
+    from_gen = table.resolve_ref(from_gen)  # tag names resolve
+    to_gen = table.resolve_ref(to_gen)
     to_gen = cur if to_gen is None else int(to_gen)
     old = table.lineage_at(int(from_gen))
     new = table.lineage_at(to_gen)
@@ -3007,6 +3021,8 @@ def diff_job(
 
     table = EncodedTable(table_path)
     cur = int(table._core_manifest().get("parts_gen", 0))
+    from_gen = table.resolve_ref(from_gen)  # tag names resolve
+    to_gen = table.resolve_ref(to_gen)
     to_gen = cur if to_gen is None else int(to_gen)
     from_gen = int(from_gen)
     if from_gen > to_gen:

@@ -30,6 +30,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import re
 import shutil
 import struct
 import tempfile
@@ -892,17 +893,22 @@ class EncodedTable:
             self._write_shard_file(new_dir, shard, rows=rows)
         m["parts"] = {}  # clears any legacy inline parts too
         m["parts_gen"] = old_gen + 1
+        self._stamp_gen_ts(m)
         self._write_manifest(m)
         try:
             os.remove(os.path.join(new_dir, STAGING_LOCK))
         except OSError:
             pass  # committed either way; a leftover lock is ignored
-        if not int(m.get("properties", {}).get("snapshot-retention", 0) or 0):
+        props = m.get("properties", {})
+        if not int(props.get("snapshot-retention", 0) or 0) and old_gen not in {
+            int(g) for g in (props.get("refs") or {}).values()
+        }:
             shutil.rmtree(
                 os.path.join(self.path, f"parts-{old_gen}"), ignore_errors=True
             )
-        # with retention on, the superseded shard dir stays readable
-        # (time travel); vacuum_job expires generations past the window
+        # with retention on -- or a tag pinning the superseded generation --
+        # the shard dir stays readable (time travel); vacuum_job expires
+        # generations past the window once untagged
 
     def _update_parts(self, remove: set[int], add: dict[int, dict]) -> None:
         """Atomic PARTIAL part-set update (row-level delete / targeted
@@ -984,6 +990,7 @@ class EncodedTable:
             if rows:
                 self._write_shard_file(new_dir, sid, rows)
         m["parts_gen"] = old_gen + 1
+        self._stamp_gen_ts(m)
         if remove:
             # tombstone the removed ids: a replayed streaming micro-batch or
             # resumed encode wave must NOT re-encode them (their original
@@ -995,10 +1002,14 @@ class EncodedTable:
             os.remove(os.path.join(new_dir, STAGING_LOCK))
         except OSError:
             pass  # committed either way; a leftover lock is ignored
-        if not int(m.get("properties", {}).get("snapshot-retention", 0) or 0):
+        props = m.get("properties", {})
+        if not int(props.get("snapshot-retention", 0) or 0) and old_gen not in {
+            int(g) for g in (props.get("refs") or {}).values()
+        }:
             shutil.rmtree(old_dir, ignore_errors=True)
-        # retention on: superseded shards stay for time travel (see
-        # _replace_parts); vacuum_job expires past the window
+        # retention on -- or a tag pinning the superseded generation: shards
+        # stay for time travel (see _replace_parts); vacuum_job expires past
+        # the window once untagged
 
     def retired_parts(self) -> set[int]:
         """Part ids removed by delete_job: resume/replay must never
@@ -1042,12 +1053,160 @@ class EncodedTable:
         return sorted(gens)
 
     def retained_generations(self) -> list[int]:
-        """Generations a reader may target: the current one plus up to
-        ``snapshot_retention()`` most recent superseded ones. Anchored on
-        the manifest pointer (see generations()), never on directory
-        names."""
+        """Generations a reader may target: the current one, up to
+        ``snapshot_retention()`` most recent superseded ones, plus every
+        TAGGED generation still on disk (a tag pins its snapshot outside
+        the retention window -- Iceberg tag semantics). Anchored on the
+        manifest pointer (see generations()), never on directory names."""
         gens = self.generations()
-        return gens[-(self.snapshot_retention() + 1):]
+        keep = set(gens[-(self.snapshot_retention() + 1):])
+        keep |= self.tagged_generations() & set(gens)
+        return sorted(keep)
+
+    # -- named refs (Iceberg tags) ------------------------------------------
+
+    _REF_NAME = re.compile(r"[A-Za-z][A-Za-z0-9._-]*")
+    _GEN_TS_KEEP = 4096  # flip-timestamp entries kept (beyond tagged gens)
+
+    def _stamp_gen_ts(self, m: dict) -> None:
+        """Record the flip wall-clock for the generation ``m`` is about to
+        commit (timestamp time travel: resolve_at_ts). Entries for
+        long-expired, untagged generations are pruned so the map stays
+        O(window), never O(table lifetime)."""
+        props = m.setdefault("properties", {})
+        ts = props.setdefault("gen-ts", {})
+        gen = int(m.get("parts_gen", 0))
+        ts[str(gen)] = round(time.time(), 3)
+        if len(ts) > self._GEN_TS_KEEP:
+            tagged = {int(g) for g in (props.get("refs") or {}).values()}
+            for g in sorted(int(k) for k in ts):
+                if len(ts) <= self._GEN_TS_KEEP:
+                    break
+                if g not in tagged and g != gen:
+                    del ts[str(g)]
+
+    def refs(self) -> dict[str, int]:
+        """Named refs (Iceberg tags): {name: generation}."""
+        return {
+            str(k): int(v)
+            for k, v in (self.properties().get("refs") or {}).items()
+        }
+
+    def tagged_generations(self) -> set[int]:
+        """Generations pinned by a tag (dangling refs above the current
+        pointer -- possible after rollback_job -- don't protect)."""
+        cur = self._core_manifest().get("parts_gen", 0)
+        return {g for g in self.refs().values() if g <= cur}
+
+    def create_tag(self, name: str, gen: int | None = None) -> int:
+        """Pin a generation under a NAME (Iceberg's create_tag): the tagged
+        snapshot stays readable -- ``decode_job(at_gen="name")`` -- and its
+        shard dir + part files survive rewrites and vacuum even with
+        snapshot-retention 0, until drop_tag.
+
+        Tagging the CURRENT generation first freezes it with an empty
+        partial flip (O(shards) hard links, zero payload IO): appends
+        land in the successor generation, so the tag is a true immutable
+        snapshot -- not a moving head."""
+        if not isinstance(name, str) or not self._REF_NAME.fullmatch(name):
+            raise ConfigException(
+                f"tag name must match {self._REF_NAME.pattern!r}: {name!r}"
+            )
+        m = self._core_manifest()
+        if m.get("parts"):
+            raise ConfigException(
+                "tags need sharded lineage; this table uses legacy inline "
+                "lineage -- compact_job it first"
+            )
+        cur = m.get("parts_gen", 0)
+        gen = cur if gen is None else int(gen)
+        if gen > cur:
+            raise ConfigException(
+                f"generation {gen} was never committed (current is {cur})"
+            )
+        if gen < cur and not os.path.isdir(
+            os.path.join(self.path, f"parts-{gen}")
+        ):
+            raise ConfigException(
+                f"generation {gen} is not on disk (available: "
+                f"{self.generations()}); tags pin only readable snapshots"
+            )
+        existing = self.refs()
+        if name in existing and existing[name] != gen:
+            raise ConfigException(
+                f"tag {name!r} already points at generation {existing[name]}"
+                "; drop_tag it first"
+            )
+        # record the ref BEFORE freezing: the flip's cleanup consults refs
+        # to decide whether the superseded (now tagged) dir survives
+        existing[name] = gen
+        self.set_property("refs", existing)
+        if gen == cur:
+            self._update_parts(set(), {})  # freeze-flip: links only
+        self.log_op("tag", {"name": name, "gen": gen})
+        return gen
+
+    def drop_tag(self, name: str) -> int:
+        """Remove a named ref; the generation it pinned becomes expirable
+        by the next vacuum (unless still inside the retention window)."""
+        existing = self.refs()
+        if name not in existing:
+            raise ConfigException(
+                f"unknown tag {name!r} (have: {sorted(existing)})"
+            )
+        gen = existing.pop(name)
+        self.set_property("refs", existing)
+        self.log_op("drop_tag", {"name": name, "gen": gen})
+        return gen
+
+    def resolve_ref(self, ref) -> int | None:
+        """Resolve an ``at_gen`` argument: ints (and None) pass through;
+        a string resolves as a tag name first, else a numeric literal."""
+        if ref is None or isinstance(ref, int):
+            return ref
+        refs = self.refs()
+        if ref in refs:
+            gen = refs[ref]
+            if gen > self._core_manifest().get("parts_gen", 0):
+                raise ConfigException(
+                    f"tag {ref!r} points at generation {gen}, beyond the "
+                    "current pointer (rolled back?); drop_tag it"
+                )
+            return gen
+        if isinstance(ref, str) and ref.isdigit():
+            return int(ref)
+        raise ConfigException(f"unknown tag {ref!r} (have: {sorted(refs)})")
+
+    def resolve_at_ts(self, ts) -> int:
+        """Timestamp time travel (Iceberg's ``FOR SYSTEM_TIME AS OF``):
+        the latest generation committed at or before ``ts`` (epoch float
+        or ISO-8601 string). Generation 0 falls back to the manifest's
+        ``created_at``; generations flipped before this engine recorded
+        timestamps are skipped (they cannot be dated)."""
+        if isinstance(ts, str):
+            try:
+                ts = float(ts)  # epoch seconds arrive as strings from CLIs
+            except ValueError:
+                from datetime import datetime
+
+                ts = datetime.fromisoformat(ts).timestamp()
+        ts = float(ts)
+        m = self._core_manifest()
+        recorded = {
+            int(g): float(v)
+            for g, v in (m.get("properties", {}).get("gen-ts") or {}).items()
+        }
+        if 0 not in recorded and "created_at" in m:
+            recorded[0] = float(m["created_at"])
+        cands = [
+            g for g in self.generations() if g in recorded and recorded[g] <= ts
+        ]
+        if not cands:
+            raise ConfigException(
+                f"no generation committed at or before {ts} (earliest "
+                f"recorded: {min(recorded.values()) if recorded else None})"
+            )
+        return max(cands)
 
     def lineage_at(self, gen: int) -> dict[int, dict]:
         """The part set as of generation ``gen`` (time travel). Raises for

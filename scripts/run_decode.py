@@ -86,9 +86,15 @@ def main() -> int:
         "(default 0.5)",
     )
     ap.add_argument(
-        "--at-gen", type=int,
-        help="time travel: read a retained part-set generation (requires "
-        "snapshot-retention > 0 on the table; see run_dml.py snapshots)",
+        "--at-gen",
+        help="time travel: read a retained part-set generation by number "
+        "OR tag name (requires snapshot-retention > 0 or a tag; see "
+        "run_dml.py snapshots/tag)",
+    )
+    ap.add_argument(
+        "--at-ts",
+        help="time travel by wall clock: latest generation committed at "
+        "or before this epoch-seconds float or ISO-8601 timestamp",
     )
     ap.add_argument(
         "--since-part", type=int, default=None,
@@ -129,6 +135,13 @@ def main() -> int:
         "exact filter is applied after decode)",
     )
     args = ap.parse_args()
+
+    if args.at_ts:
+        if args.at_gen is not None:
+            raise SystemExit("--at-ts and --at-gen are mutually exclusive")
+        from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+        args.at_gen = EncodedTable(args.table).resolve_at_ts(args.at_ts)
 
     if args.ndv_cols:
         # Spark-free driver manifest pass: answer BEFORE paying JVM startup

@@ -115,17 +115,37 @@ def main() -> int:
     p.add_argument("--retain", type=int, help="set snapshot-retention to N")
 
     p = sub.add_parser(
+        "tag", help="named refs: pin / unpin / list snapshot tags"
+    )
+    p.add_argument("--table", required=True)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--create", metavar="NAME", help="pin a generation")
+    g.add_argument("--drop", metavar="NAME", help="unpin (vacuum reclaims)")
+    g.add_argument("--list", action="store_true", dest="list_refs")
+    p.add_argument(
+        "--gen", type=int,
+        help="with --create: pin this retained generation (default: "
+        "freeze and pin the current one)",
+    )
+
+    p = sub.add_parser(
         "rollback", help="roll back to a retained snapshot generation"
     )
     p.add_argument("--table", required=True)
-    p.add_argument("--to-gen", type=int, required=True, dest="to_gen")
+    p.add_argument(
+        "--to-gen", required=True, dest="to_gen",
+        help="generation number or tag name",
+    )
 
     p = sub.add_parser(
         "diff", help="row-level changelog between two retained generations"
     )
     p.add_argument("--table", required=True)
-    p.add_argument("--from-gen", type=int, required=True, dest="from_gen")
-    p.add_argument("--to-gen", type=int, dest="to_gen")
+    p.add_argument(
+        "--from-gen", required=True, dest="from_gen",
+        help="generation number or tag name",
+    )
+    p.add_argument("--to-gen", dest="to_gen", help="number or tag name")
     p.add_argument("--out", help="write changelog rows to this parquet path")
 
     p = sub.add_parser("verify", help="sha256 lineage audit")
@@ -232,7 +252,20 @@ def main() -> int:
             "generations": t.generations(),
             "retained": t.retained_generations(),
             "snapshot_retention": t.snapshot_retention(),
+            "refs": t.refs(),
         }
+    elif args.cmd == "tag":
+        from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+        t = EncodedTable(args.table)
+        if args.create:
+            gen = t.create_tag(args.create, gen=args.gen)
+            rep = {"created": args.create, "gen": gen, "refs": t.refs()}
+        elif args.drop:
+            gen = t.drop_tag(args.drop)
+            rep = {"dropped": args.drop, "gen": gen, "refs": t.refs()}
+        else:
+            rep = {"refs": t.refs(), "retained": t.retained_generations()}
     else:
         from pyspark.sql import SparkSession
 

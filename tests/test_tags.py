@@ -1,0 +1,171 @@
+"""Named refs (Iceberg tags) + timestamp time travel.
+
+A tag pins a snapshot generation OUTSIDE the retention window: its shard
+dir and part files survive rewrites and vacuum even at snapshot-retention
+0, until drop_tag. Tagging the CURRENT generation first freezes it with an
+empty partial flip (hard links only), so later appends/mutations never
+leak into the tag -- a tag is an immutable snapshot, not a moving head.
+``resolve_at_ts`` maps a wall-clock instant to the latest generation
+committed at or before it (generation flips are stamped in ``gen-ts``;
+generation 0 falls back to the manifest's ``created_at``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_s3_parquet_spark.jobs import (
+    count_job,
+    decode_job,
+    delete_job,
+    diff_summary,
+    encode_job,
+    merge_job,
+    rollback_job,
+    vacuum_job,
+    verify_table,
+)
+from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy, ConfigException
+from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+
+def _pol(**kw):
+    kw.setdefault("target_partition_bytes", 64 * 1024)
+    kw.setdefault("chunk_rows", 64)
+    return CodecPolicy(**kw)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture()
+def table(spark, docs, tmp_path):
+    path = str(tmp_path / "tags")
+    encode_job(spark, docs, path, _pol(), if_exists="error")
+    return path
+
+
+def test_tag_pins_snapshot_through_cow_rewrite_without_retention(
+    spark, docs, table
+):
+    """snapshot-retention stays 0: the tag ALONE must keep the pinned
+    generation's shards and part files alive through a rewrite."""
+    n = docs.count()
+    t = EncodedTable(table)
+    assert t.snapshot_retention() == 0
+    gen = t.create_tag("v1")  # freeze-flip: tag never moves with appends
+    assert t.refs() == {"v1": gen}
+    assert t.generations()[-1] == gen + 1  # frozen; successor is current
+
+    killed = docs.where(F.col("doc_id") < 200).count()
+    delete_job(spark, table, ("doc_id", "<", 200))  # cow rewrite
+    assert decode_job(spark, table).count() == n - killed
+
+    # the tagged snapshot still reads in full, by name and by number
+    assert decode_job(spark, table, at_gen="v1").count() == n
+    assert decode_job(spark, table, at_gen=gen).count() == n
+    assert count_job(spark, table, at_gen="v1") == n
+    assert verify_table(spark, table) == []
+
+
+def test_tag_is_immutable_appends_go_to_successor(spark, docs, table):
+    n = docs.count()
+    t = EncodedTable(table)
+    t.create_tag("baseline")
+    # append 7 brand-new rows (merge-on-read insert path = pure append)
+    src = docs.limit(7).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    merge_job(spark, table, src, on=["doc_id"], mode="mor")
+    assert decode_job(spark, table).count() == n + 7
+    assert decode_job(spark, table, at_gen="baseline").count() == n
+
+
+def test_vacuum_protects_tag_then_reclaims_after_drop(spark, docs, table):
+    n = docs.count()
+    t = EncodedTable(table)
+    gen = t.create_tag("keepme")
+    delete_job(spark, table, ("doc_id", "<", 300))  # cow: supersedes parts
+
+    rep = vacuum_job(table)
+    assert rep["stale_shard_dirs"] == 0  # tagged gen not expired
+    assert decode_job(spark, table, at_gen="keepme").count() == n
+
+    t.drop_tag("keepme")
+    with pytest.raises(ConfigException, match="unknown tag"):
+        decode_job(spark, table, at_gen="keepme")
+    rep2 = vacuum_job(table)
+    assert rep2["stale_shard_dirs"] >= 1  # the pinned gen is now expirable
+    assert rep2["orphan_parts"]  # its exclusive (pre-delete) parts swept
+    assert not os.path.isdir(os.path.join(table, f"parts-{gen}"))
+    # the live table is untouched
+    assert decode_job(spark, table).count() == n - 300
+    assert verify_table(spark, table) == []
+
+
+def test_tag_validation_and_ref_resolution(spark, docs, table):
+    t = EncodedTable(table)
+    with pytest.raises(ConfigException, match="tag name"):
+        t.create_tag("9lives")  # must start with a letter
+    with pytest.raises(ConfigException, match="tag name"):
+        t.create_tag("a/b")
+    with pytest.raises(ConfigException, match="never committed"):
+        t.create_tag("future", gen=99)
+    gen = t.create_tag("v1")
+    t.create_tag("v1", gen=gen)  # same target: idempotent no-op
+    with pytest.raises(ConfigException, match="already points"):
+        t.create_tag("v1", gen=gen + 1)
+    with pytest.raises(ConfigException, match="unknown tag"):
+        t.drop_tag("nope")
+    with pytest.raises(ConfigException, match="unknown tag"):
+        t.resolve_ref("nope")
+    assert t.resolve_ref("v1") == gen
+    assert t.resolve_ref(str(gen + 1)) == gen + 1  # numeric strings pass
+    assert t.resolve_ref(None) is None
+
+
+def test_timestamp_time_travel(spark, docs, table):
+    n = docs.count()
+    t = EncodedTable(table)
+    t.set_snapshot_retention(4)
+    t0 = time.time()  # after initial encode: generation 0 (created_at)
+    time.sleep(0.05)
+    delete_job(spark, table, ("doc_id", "<", 100))
+    t1 = time.time()
+    time.sleep(0.05)
+    delete_job(spark, table, [("doc_id", ">=", 100), ("doc_id", "<", 150)])
+    t2 = time.time()
+
+    assert t.resolve_at_ts(t0) == 0
+    g1, g2 = t.resolve_at_ts(t1), t.resolve_at_ts(t2)
+    assert 0 < g1 < g2 == t.generations()[-1]
+    assert decode_job(spark, table, at_gen=t.resolve_at_ts(t0)).count() == n
+    assert decode_job(spark, table, at_gen=g1).count() == n - 100
+    assert decode_job(spark, table, at_gen=g2).count() == n - 150
+
+    # ISO-8601 string input resolves the same instant
+    from datetime import datetime
+
+    assert t.resolve_at_ts(datetime.fromtimestamp(t1).isoformat()) == g1
+    with pytest.raises(ConfigException, match="no generation"):
+        t.resolve_at_ts(t0 - 10_000)
+
+
+def test_rollback_and_diff_by_tag(spark, docs, table):
+    n = docs.count()
+    t = EncodedTable(table)
+    t.set_snapshot_retention(4)
+    gen = t.create_tag("stable")
+    delete_job(spark, table, ("doc_id", "<", 50))
+
+    s = diff_summary(table, "stable")  # from a tag to current
+    assert s["from_gen"] == gen and s["rows_delta"] == -50
+
+    rep = rollback_job(table, "stable")
+    assert rep["rolled_back"] and rep["to_gen"] == gen
+    assert decode_job(spark, table).count() == n
+    assert verify_table(spark, table) == []
