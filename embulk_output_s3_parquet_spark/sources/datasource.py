@@ -157,7 +157,13 @@ class EncodedTablePlainReader(DataSourceReader):
     Spark gets when python filter pushdown is disabled. Identical results --
     part/zone pruning just never fires (Spark applies all filters itself)."""
 
-    def __init__(self, path: str, schema: StructType, columns: list[str] | None):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        columns: list[str] | None,
+        at_gen: int | None = None,
+    ):
         self._fields, self._names = _prepare_fields(schema, columns)
         self._table_path = path
         self._conjuncts: list[tuple] = []
@@ -166,13 +172,21 @@ class EncodedTablePlainReader(DataSourceReader):
         # schema-evolution columns (add_column) read as nulls in parts
         # predating their addition; resolved once, ships with the reader
         t = EncodedTable(path)
+        # time travel (.option("at_gen"/"at_ts")): pin a retained snapshot
+        # generation; like decode_job(at_gen=...) the snapshot reads under
+        # the CURRENT schema (evolution translations below still apply).
+        # Validated here so a bad generation fails at plan time.
+        self._at_gen = at_gen
+        if at_gen is not None:
+            t.lineage_at(at_gen)
         self._fillable = frozenset(t.added_columns()) & self._names
         # pre-rename parts' stored chunk names -> current logical names
         self._aliases = t.stored_aliases()
         # merge-on-read delete vectors, keyed by part dir basename (what
-        # partitions() hands read()); resolved once on the driver
+        # partitions() hands read()); resolved once on the driver --
+        # pinned to the snapshot generation when time traveling
         self._dv = {
-            f"part_id={pid}": dv for pid, dv in t.part_dv().items()
+            f"part_id={pid}": dv for pid, dv in t.part_dv(at_gen).items()
         }
 
     def partitions(self):
@@ -180,7 +194,25 @@ class EncodedTablePlainReader(DataSourceReader):
         # parts driver-side, so excluded parts never become input partitions
         from .tables import EncodedTable
 
-        dirs = EncodedTable(self._table_path).pruned_part_dirs(self._conjuncts)
+        t = EncodedTable(self._table_path)
+        if self._at_gen is None:
+            dirs = t.pruned_part_dirs(self._conjuncts)
+        else:
+            # snapshot read: the pinned generation's lineage rows carry the
+            # same zone summaries, so part-level zone pruning still fires;
+            # bloom sidecars are only probed for the live generation
+            from .chunkscan import _survives
+
+            snap = t.lineage_at(self._at_gen)
+            dirs = [
+                os.path.join(t.data_dir, f"part_id={p}")
+                for p in sorted(snap)
+                if _survives(
+                    snap[p].get("zones", {}),
+                    self._conjuncts,
+                    fillable=self._fillable,
+                )
+            ]
         # the API needs >=1 partition; a fully-pruned scan gets one no-op
         return [InputPartition(d) for d in dirs] or [InputPartition(None)]
 
@@ -663,6 +695,24 @@ class EncodedTableDataSource(DataSource):
             raise ValueError(f"unknown columns: {sorted(missing)}")
         return StructType([f for f in full.fields if f.name in want])
 
+    def _at_gen(self) -> int | None:
+        """Resolve the time-travel options (``at_gen``: generation number
+        or tag name; ``at_ts``: epoch seconds or ISO-8601) to a pinned
+        generation; None = the live table. DataSource options arrive
+        lower-cased, so only the snake_case spellings are documented."""
+        at = self.options.get("at_gen", self.options.get("atgen"))
+        at_ts = self.options.get("at_ts", self.options.get("atts"))
+        if at is not None and at_ts is not None:
+            raise ValueError("enctable: at_gen and at_ts are mutually exclusive")
+        if at is None and at_ts is None:
+            return None
+        from .tables import EncodedTable
+
+        t = EncodedTable(self._path())
+        return (
+            t.resolve_at_ts(at_ts) if at_ts is not None else t.resolve_ref(str(at))
+        )
+
     def reader(self, schema: StructType) -> DataSourceReader:
         columns = self.options.get("columns")
         want = [c.strip() for c in columns.split(",")] if columns else None
@@ -682,9 +732,13 @@ class EncodedTableDataSource(DataSource):
         else:
             enabled = _filter_pushdown_enabled()
         cls = EncodedTableReader if enabled else EncodedTablePlainReader
-        return cls(self._path(), schema, want)
+        return cls(self._path(), schema, want, at_gen=self._at_gen())
 
     def streamReader(self, schema: StructType) -> EncodedTableStreamReader:
+        if self._at_gen() is not None:
+            # a stream tails the live table; silently ignoring a pinned
+            # snapshot would read data the user asked to exclude
+            raise ValueError("enctable: at_gen/at_ts apply to batch reads only")
         columns = self.options.get("columns")
         want = [c.strip() for c in columns.split(",")] if columns else None
         ignore = str(

@@ -155,6 +155,62 @@ def test_timestamp_time_travel(spark, docs, table):
         t.resolve_at_ts(t0 - 10_000)
 
 
+def test_catalyst_reader_time_travel(spark, docs, table):
+    """spark.read.format("enctable").option("at_gen"/"at_ts") -- the SQL
+    surface of snapshot reads (Iceberg's VERSION AS OF / TIMESTAMP AS OF):
+    tag names, generation numbers and wall-clock instants all pin the
+    snapshot; zone pruning still fires on the pinned lineage; streams
+    refuse the option instead of silently tailing the live table."""
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    spark.dataSource.register(EncodedTableDataSource)
+    n = docs.count()
+    t = EncodedTable(table)
+    gen = t.create_tag("v1")
+    ts_pre = time.time()
+    time.sleep(0.05)
+    delete_job(spark, table, ("doc_id", "<", 100))
+
+    def rd(**opts):
+        r = spark.read.format("enctable")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(table)
+
+    assert rd().count() == n - 100  # live
+    assert rd(at_gen="v1").count() == n  # tag name
+    assert rd(at_gen=str(gen)).count() == n  # generation number
+    assert rd(at_ts=str(ts_pre)).count() == n  # wall clock
+    # predicates answer against the SNAPSHOT (rows the live table deleted)
+    pinned = rd(at_gen="v1")
+    assert pinned.where(F.col("doc_id") < 100).count() == 100
+    assert rd(at_gen="v1", columns="doc_id").columns == ["doc_id"]
+
+    with pytest.raises(Exception, match="mutually exclusive"):
+        rd(at_gen="v1", at_ts=str(ts_pre)).count()
+    with pytest.raises(Exception, match="unknown tag"):
+        rd(at_gen="nope").count()
+    q = (
+        spark.readStream.format("enctable")
+        .option("at_gen", "v1")
+        .load(table)
+        .writeStream.format("noop")
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="batch reads only"):
+            q.processAllAvailable()  # init error surfaces asynchronously
+    finally:
+        q.stop()
+
+    # a merge-on-read delete masks live reads but never the pinned snapshot
+    delete_job(spark, table, ("doc_id", "<", 150), mode="mor")
+    assert rd().count() == n - 150
+    assert rd(at_gen="v1").count() == n
+
+
 def test_rollback_and_diff_by_tag(spark, docs, table):
     n = docs.count()
     t = EncodedTable(table)
