@@ -3085,7 +3085,10 @@ def diff_job(
 
 
 def vacuum_job(
-    table_path: str, dry_run: bool = False, stale_after_s: float | None = None
+    table_path: str,
+    dry_run: bool = False,
+    stale_after_s: float | None = None,
+    expire_older_than: float | str | None = None,
 ) -> dict:
     """Maintenance cleanup (the remove-orphan-files + expire-snapshots
     analogue of Iceberg's maintenance actions): delete part dirs no
@@ -3096,8 +3099,15 @@ def vacuum_job(
     retained generations is NEVER touched -- readers ignore everything
     vacuum removes, so this only reclaims space.
 
-    Returns {"orphan_parts": [...], "staging_dirs": n, "stale_shard_dirs": n};
-    ``dry_run`` reports without deleting."""
+    ``expire_older_than`` (epoch seconds or ISO-8601; Iceberg's
+    ``expire_snapshots(older_than=...)``) additionally expires retained
+    generations whose commit wall clock is BEFORE the cutoff -- the
+    current generation and tagged ones are always kept, and a generation
+    whose flip predates commit timestamps (no ``gen-ts`` entry) is kept
+    fail-safe: an undatable snapshot is never silently deleted.
+
+    Returns {"orphan_parts": [...], "staging_dirs": n, "stale_shard_dirs": n,
+    "expired_generations": [...]}; ``dry_run`` reports without deleting."""
     import glob as _glob
     import os
     import re
@@ -3112,12 +3122,34 @@ def vacuum_job(
     # be read must ABORT the sweep -- treating it as contributing zero
     # live ids would classify that generation's committed data as orphans
     # and delete it. One retry absorbs a rewrite flipping mid-computation.
+    expired_report: list[int] = []
+
     def _live_ids() -> tuple[set, set, int]:
+        expired_report.clear()  # the retry path recomputes from scratch
         gens = set(table.retained_generations())
+        cur = table._core_manifest().get("parts_gen", 0)
+        if expire_older_than is not None:
+            from .sources.tables import parse_ts
+
+            cutoff = parse_ts(expire_older_than)
+            rec = {
+                int(g): float(v)
+                for g, v in (table.properties().get("gen-ts") or {}).items()
+            }
+            created = table._core_manifest().get("created_at")
+            if 0 not in rec and created is not None:
+                rec[0] = float(created)
+            keep = {cur} | table.tagged_generations()
+            dropped = {
+                g for g in gens
+                if g not in keep and g in rec and rec[g] < cutoff
+            }
+            gens -= dropped
+            expired_report.extend(sorted(dropped))
         ids: set[int] = set()
         for g in sorted(gens):
             ids |= set(table.lineage_at(g))  # raises if a shard dir is gone
-        return gens, ids, table._core_manifest().get("parts_gen", 0)
+        return gens, ids, cur
 
     try:
         retained, live, cur_gen = _live_ids()
@@ -3139,7 +3171,12 @@ def vacuum_job(
             "its lineage dir is missing; refusing to treat committed parts "
             "as orphans"
         )
-    report = {"orphan_parts": [], "staging_dirs": 0, "stale_shard_dirs": 0}
+    report = {
+        "orphan_parts": [],
+        "staging_dirs": 0,
+        "stale_shard_dirs": 0,
+        "expired_generations": expired_report,
+    }
     if os.path.isdir(table.data_dir):
         for name in os.listdir(table.data_dir):
             if not name.startswith("part_id="):

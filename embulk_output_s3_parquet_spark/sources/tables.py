@@ -512,6 +512,20 @@ STAGING_STALE_S = 3600.0
 STAGING_LOCK = ".writer-lock"
 
 
+def parse_ts(ts) -> float:
+    """Wall-clock argument -> epoch seconds: floats/ints pass through;
+    strings parse as epoch seconds first (CLIs hand numbers over as
+    strings), else ISO-8601."""
+    if isinstance(ts, str):
+        try:
+            return float(ts)
+        except ValueError:
+            from datetime import datetime
+
+            return datetime.fromisoformat(ts).timestamp()
+    return float(ts)
+
+
 def write_staging_lock(d: str) -> None:
     import socket
 
@@ -1183,14 +1197,7 @@ class EncodedTable:
         or ISO-8601 string). Generation 0 falls back to the manifest's
         ``created_at``; generations flipped before this engine recorded
         timestamps are skipped (they cannot be dated)."""
-        if isinstance(ts, str):
-            try:
-                ts = float(ts)  # epoch seconds arrive as strings from CLIs
-            except ValueError:
-                from datetime import datetime
-
-                ts = datetime.fromisoformat(ts).timestamp()
-        ts = float(ts)
+        ts = parse_ts(ts)
         m = self._core_manifest()
         recorded = {
             int(g): float(v)

@@ -109,6 +109,11 @@ def main() -> int:
     p = sub.add_parser("vacuum", help="remove orphans + expired snapshots")
     p.add_argument("--table", required=True)
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument(
+        "--expire-older-than", dest="expire_older_than",
+        help="also expire retained generations committed before this "
+        "epoch-seconds or ISO-8601 instant (current + tagged always kept)",
+    )
 
     p = sub.add_parser("snapshots", help="list generations / set retention")
     p.add_argument("--table", required=True)
@@ -179,7 +184,11 @@ def main() -> int:
     if args.cmd == "vacuum":
         from embulk_output_s3_parquet_spark.jobs import vacuum_job
 
-        rep = vacuum_job(args.table, dry_run=args.dry_run)
+        rep = vacuum_job(
+            args.table,
+            dry_run=args.dry_run,
+            expire_older_than=args.expire_older_than,
+        )
     elif args.cmd == "history":
         from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
 
@@ -253,6 +262,13 @@ def main() -> int:
             "retained": t.retained_generations(),
             "snapshot_retention": t.snapshot_retention(),
             "refs": t.refs(),
+            "committed_at": {
+                g: (t.properties().get("gen-ts") or {}).get(
+                    str(g),
+                    t._core_manifest().get("created_at") if g == 0 else None,
+                )
+                for g in t.generations()
+            },
         }
     elif args.cmd == "tag":
         from embulk_output_s3_parquet_spark.sources.tables import EncodedTable

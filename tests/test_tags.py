@@ -211,6 +211,41 @@ def test_catalyst_reader_time_travel(spark, docs, table):
     assert rd(at_gen="v1").count() == n
 
 
+def test_vacuum_expire_older_than(spark, docs, table):
+    """Age-based snapshot expiry (Iceberg expire_snapshots(older_than)):
+    a cutoff expires retained generations committed before it; the
+    current generation and tagged ones always survive; undatable
+    generations are kept fail-safe."""
+    n = docs.count()
+    t = EncodedTable(table)
+    t.set_snapshot_retention(10)
+    t.create_tag("pinned")  # at gen 0; freeze-flips head to gen 1
+    delete_job(spark, table, ("doc_id", "<", 100))
+    cut1 = time.time()
+    time.sleep(0.05)
+    delete_job(spark, table, [("doc_id", ">=", 100), ("doc_id", "<", 150)])
+
+    # dry run reports, deletes nothing
+    rep = vacuum_job(table, dry_run=True, expire_older_than=cut1)
+    assert rep["expired_generations"] == [1, 2]  # not 0 (tagged), not cur
+    assert decode_job(spark, table, at_gen=2).count() == n - 100
+
+    rep = vacuum_job(table, expire_older_than=cut1)
+    assert rep["expired_generations"] == [1, 2]
+    assert t.retained_generations() == [0, t.generations()[-1]]
+    with pytest.raises(ConfigException, match="not on disk"):
+        decode_job(spark, table, at_gen=2)
+    # the tag, the live table, and lineage integrity all survive
+    assert decode_job(spark, table, at_gen="pinned").count() == n
+    assert decode_job(spark, table).count() == n - 150
+    assert verify_table(spark, table) == []
+
+    # a future cutoff may never expire the current generation
+    rep = vacuum_job(table, expire_older_than=time.time() + 60)
+    assert t.generations()[-1] not in rep["expired_generations"]
+    assert decode_job(spark, table).count() == n - 150
+
+
 def test_rollback_and_diff_by_tag(spark, docs, table):
     n = docs.count()
     t = EncodedTable(table)
