@@ -412,20 +412,35 @@ def decode_job(
     rewrites keep superseded generations on disk
     (``EncodedTable.set_snapshot_retention`` / ``generations()``). The
     snapshot is read with the CURRENT schema, like Iceberg's default."""
-    from .operators.decode import decode_table_scan
+    from .operators.decode import _prune_schema, decode_table_scan
 
     table = EncodedTable(table_path)
     at_gen = table.resolve_ref(at_gen)  # tag name | gen | None
     if at_gen is not None:
         snap = table.lineage_at(at_gen)
         if not snap:
-            return spark.createDataFrame([], table.schema())
-        # explicit part set: part-level zone pruning doesn't apply (the
-        # summaries live in the CURRENT lineage), chunk-level skipping still
-        # does inside the scanner
+            return spark.createDataFrame([], _prune_schema(table.schema(), columns))
+        # the pinned generation's lineage rows carry the same per-part zone
+        # summaries as the live one, so part-level pruning fires on the
+        # SNAPSHOT's own zones; chunk-level skipping follows in the scanner
+        parts = set(snap)
+        if where:
+            from .sources.chunkscan import _survives, normalize_where
+
+            names = [f.name for f in table.schema().fields]
+            conjuncts = normalize_where(where, names)
+            fillable = frozenset(table.added_columns())
+            parts = {
+                p for p in parts
+                if _survives(
+                    snap[p].get("zones", {}), conjuncts, fillable=fillable
+                )
+            }
+            if not parts:
+                return spark.createDataFrame([], _prune_schema(table.schema(), columns))
         return decode_table_scan(
             spark, table, columns=columns, where=where, counters=counters,
-            parts=set(snap), dv=table.part_dv(gen=at_gen),
+            parts=parts, dv=table.part_dv(gen=at_gen),
         )
     return decode_table_scan(
         spark, table, columns=columns, where=where, counters=counters
@@ -2907,6 +2922,7 @@ def rollback_job(table_path: str, to_gen: int) -> dict:
     props["retired-parts"] = sorted((retired | (live_now - live_target)) - live_target)
     m["parts"] = {}
     m["parts_gen"] = new_gen
+    table._stamp_gen_ts(m)  # every flip is dated (resolve_at_ts)
     table._write_manifest(m)
     try:
         os.remove(os.path.join(new_dir, STAGING_LOCK))
@@ -3123,28 +3139,37 @@ def vacuum_job(
     # live ids would classify that generation's committed data as orphans
     # and delete it. One retry absorbs a rewrite flipping mid-computation.
     expired_report: list[int] = []
+    cutoff = None
+    if expire_older_than is not None:
+        # parsed OUTSIDE the retry below: a malformed cutoff is user error
+        # and must fail with its own message, not the concurrent-rewrite one
+        from .sources.tables import parse_ts
+
+        cutoff = parse_ts(expire_older_than)
 
     def _live_ids() -> tuple[set, set, int]:
         expired_report.clear()  # the retry path recomputes from scratch
         gens = set(table.retained_generations())
         cur = table._core_manifest().get("parts_gen", 0)
-        if expire_older_than is not None:
-            from .sources.tables import parse_ts
-
-            cutoff = parse_ts(expire_older_than)
-            rec = {
-                int(g): float(v)
-                for g, v in (table.properties().get("gen-ts") or {}).items()
-            }
-            created = table._core_manifest().get("created_at")
-            if 0 not in rec and created is not None:
-                rec[0] = float(created)
+        if cur not in gens:
+            # a writer flipped between the two manifest reads above: the
+            # expiry filter below could otherwise drop EVERY generation
+            # (cur moved past the stale retained set), emptying `live`
+            # and classifying the whole table as orphans. Abort into the
+            # caller's retry instead.
+            raise ConfigException(
+                f"generation flipped mid-plan ({sorted(gens)} vs current "
+                f"{cur})"
+            )
+        if cutoff is not None:
+            rec = table.gen_timestamps()
             keep = {cur} | table.tagged_generations()
             dropped = {
                 g for g in gens
                 if g not in keep and g in rec and rec[g] < cutoff
             }
             gens -= dropped
+            gens.add(cur)  # belt and braces: the live table never expires
             expired_report.extend(sorted(dropped))
         ids: set[int] = set()
         for g in sorted(gens):

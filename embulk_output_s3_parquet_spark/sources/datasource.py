@@ -175,10 +175,11 @@ class EncodedTablePlainReader(DataSourceReader):
         # time travel (.option("at_gen"/"at_ts")): pin a retained snapshot
         # generation; like decode_job(at_gen=...) the snapshot reads under
         # the CURRENT schema (evolution translations below still apply).
-        # Validated here so a bad generation fails at plan time.
+        # Validated here so a bad generation fails at plan time (one stat,
+        # not a lineage parse -- partitions() reads the lineage once).
         self._at_gen = at_gen
         if at_gen is not None:
-            t.lineage_at(at_gen)
+            t.validate_gen(at_gen)
         self._fillable = frozenset(t.added_columns()) & self._names
         # pre-rename parts' stored chunk names -> current logical names
         self._aliases = t.stored_aliases()

@@ -514,16 +514,25 @@ STAGING_LOCK = ".writer-lock"
 
 def parse_ts(ts) -> float:
     """Wall-clock argument -> epoch seconds: floats/ints pass through;
-    strings parse as epoch seconds first (CLIs hand numbers over as
-    strings), else ISO-8601."""
+    strings parse as epoch SECONDS first (CLIs hand numbers over as
+    strings; a digit-only string is never treated as a basic-format ISO
+    date), else ISO-8601. Values that can only be epoch MILLISECONDS
+    (past year ~3100) are refused instead of silently landing millennia
+    away."""
     if isinstance(ts, str):
         try:
-            return float(ts)
+            ts = float(ts)
         except ValueError:
             from datetime import datetime
 
             return datetime.fromisoformat(ts).timestamp()
-    return float(ts)
+    ts = float(ts)
+    if ts >= 4e10:
+        raise ConfigException(
+            f"timestamp {ts} looks like epoch milliseconds; pass seconds "
+            "(or an ISO-8601 string)"
+        )
+    return ts
 
 
 def write_staging_lock(d: str) -> None:
@@ -1191,20 +1200,30 @@ class EncodedTable:
             return int(ref)
         raise ConfigException(f"unknown tag {ref!r} (have: {sorted(refs)})")
 
-    def resolve_at_ts(self, ts) -> int:
-        """Timestamp time travel (Iceberg's ``FOR SYSTEM_TIME AS OF``):
-        the latest generation committed at or before ``ts`` (epoch float
-        or ISO-8601 string). Generation 0 falls back to the manifest's
-        ``created_at``; generations flipped before this engine recorded
-        timestamps are skipped (they cannot be dated)."""
-        ts = parse_ts(ts)
+    def gen_timestamps(self) -> dict[int, float]:
+        """Commit wall clocks: {generation: epoch seconds}. Flip stamps
+        from ``gen-ts`` (see _stamp_gen_ts); generation 0 -- the initial
+        commit, which isn't a flip -- falls back to the manifest's
+        ``created_at``. Generations committed before this engine stamped
+        timestamps are absent (they cannot be dated)."""
         m = self._core_manifest()
-        recorded = {
+        rec = {
             int(g): float(v)
             for g, v in (m.get("properties", {}).get("gen-ts") or {}).items()
         }
-        if 0 not in recorded and "created_at" in m:
-            recorded[0] = float(m["created_at"])
+        if 0 not in rec and "created_at" in m:
+            rec[0] = float(m["created_at"])
+        return rec
+
+    def resolve_at_ts(self, ts) -> int:
+        """Timestamp time travel (Iceberg's ``FOR SYSTEM_TIME AS OF``):
+        the latest generation committed at or before ``ts`` (epoch float
+        or ISO-8601 string). Raises -- never silently answers from an
+        older snapshot -- when the generation actually current at ``ts``
+        has been expired from disk."""
+        ts = parse_ts(ts)
+        cur = self._core_manifest().get("parts_gen", 0)
+        recorded = {g: v for g, v in self.gen_timestamps().items() if g <= cur}
         cands = [
             g for g in self.generations() if g in recorded and recorded[g] <= ts
         ]
@@ -1213,11 +1232,20 @@ class EncodedTable:
                 f"no generation committed at or before {ts} (earliest "
                 f"recorded: {min(recorded.values()) if recorded else None})"
             )
-        return max(cands)
+        best = max(cands)
+        truth = max(g for g, v in recorded.items() if v <= ts)
+        if truth != best:
+            raise ConfigException(
+                f"the generation current at {ts} (gen {truth}) has been "
+                f"expired from disk (still readable: {self.generations()}); "
+                "answering from an older snapshot would be silently stale"
+            )
+        return best
 
-    def lineage_at(self, gen: int) -> dict[int, dict]:
-        """The part set as of generation ``gen`` (time travel). Raises for
-        a generation that was never written or has been expired."""
+    def validate_gen(self, gen: int) -> None:
+        """Raise unless ``gen`` is a committed, still-on-disk generation --
+        the plan-time fail-fast for snapshot readers, costing one stat
+        instead of a full lineage parse."""
         cur = self._core_manifest().get("parts_gen", 0)
         if gen > cur:
             # a parts-<g> dir beyond the manifest pointer is an uncommitted
@@ -1227,15 +1255,22 @@ class EncodedTable:
                 f"generation {gen} of {self.path} was never committed "
                 f"(current is {cur})"
             )
-        if gen == cur:
-            return self.lineage()
-        d = os.path.join(self.path, f"parts-{gen}")
-        if not os.path.isdir(d):
+        if gen < cur and not os.path.isdir(
+            os.path.join(self.path, f"parts-{gen}")
+        ):
             raise ConfigException(
                 f"generation {gen} of {self.path} is not on disk (available: "
                 f"{self.generations()}); raise snapshot-retention before the "
                 "rewrite, or vacuum expired it"
             )
+
+    def lineage_at(self, gen: int) -> dict[int, dict]:
+        """The part set as of generation ``gen`` (time travel). Raises for
+        a generation that was never written or has been expired."""
+        self.validate_gen(gen)
+        if gen == self._core_manifest().get("parts_gen", 0):
+            return self.lineage()
+        d = os.path.join(self.path, f"parts-{gen}")
         out: dict[str, dict] = {}
         for name in os.listdir(d):
             if _is_lineage_shard(name):

@@ -263,11 +263,7 @@ def main() -> int:
             "snapshot_retention": t.snapshot_retention(),
             "refs": t.refs(),
             "committed_at": {
-                g: (t.properties().get("gen-ts") or {}).get(
-                    str(g),
-                    t._core_manifest().get("created_at") if g == 0 else None,
-                )
-                for g in t.generations()
+                g: t.gen_timestamps().get(g) for g in t.generations()
             },
         }
     elif args.cmd == "tag":

@@ -71,6 +71,11 @@ def test_tag_pins_snapshot_through_cow_rewrite_without_retention(
     assert decode_job(spark, table, at_gen="v1").count() == n
     assert decode_job(spark, table, at_gen=gen).count() == n
     assert count_job(spark, table, at_gen="v1") == n
+    # predicates on the snapshot answer from ITS rows (live table lost
+    # them), through the snapshot-zone part-pruning path; decode_job's
+    # where is may-match skipping, so apply the exact filter on top
+    snap = decode_job(spark, table, at_gen="v1", where=("doc_id", "<", 10))
+    assert snap.where(F.col("doc_id") < 10).count() == 10
     assert verify_table(spark, table) == []
 
 
@@ -168,9 +173,9 @@ def test_catalyst_reader_time_travel(spark, docs, table):
     spark.dataSource.register(EncodedTableDataSource)
     n = docs.count()
     t = EncodedTable(table)
-    gen = t.create_tag("v1")
-    ts_pre = time.time()
+    ts_pre = time.time()  # generation 0 is current at this instant
     time.sleep(0.05)
+    gen = t.create_tag("v1")
     delete_job(spark, table, ("doc_id", "<", 100))
 
     def rd(**opts):
@@ -240,10 +245,19 @@ def test_vacuum_expire_older_than(spark, docs, table):
     assert decode_job(spark, table).count() == n - 150
     assert verify_table(spark, table) == []
 
+    # asking for an instant whose as-of generation was just expired must
+    # raise, never silently answer from an older surviving snapshot
+    with pytest.raises(ConfigException, match="expired"):
+        t.resolve_at_ts(cut1)
+
     # a future cutoff may never expire the current generation
     rep = vacuum_job(table, expire_older_than=time.time() + 60)
     assert t.generations()[-1] not in rep["expired_generations"]
     assert decode_job(spark, table).count() == n - 150
+
+    # epoch-milliseconds refused instead of landing millennia away
+    with pytest.raises(ConfigException, match="milliseconds"):
+        vacuum_job(table, dry_run=True, expire_older_than=time.time() * 1000)
 
 
 def test_rollback_and_diff_by_tag(spark, docs, table):
@@ -259,4 +273,7 @@ def test_rollback_and_diff_by_tag(spark, docs, table):
     rep = rollback_job(table, "stable")
     assert rep["rolled_back"] and rep["to_gen"] == gen
     assert decode_job(spark, table).count() == n
+    # the rollback flip is dated like every other: "as of now" must
+    # resolve to the post-rollback generation, not the rolled-back state
+    assert t.resolve_at_ts(time.time()) == t.generations()[-1]
     assert verify_table(spark, table) == []
