@@ -191,6 +191,21 @@ def main() -> int:
         )
         out["lineage_bytes_per_part"] = manifest_bytes // args.parts
 
+        # -- named tag: freeze-flip cost + snapshot read at full count ----
+        # create_tag on the CURRENT generation freezes it with a links-only
+        # shard flip: the 100 TB claim is that pinning a snapshot costs
+        # O(shards) hard links and zero payload IO, at ANY part count
+        t0 = time.time()
+        pinned = t.create_tag("bench")
+        out["tag_freeze_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        snap = t.lineage_at(pinned)
+        out["snapshot_lineage_load_s"] = round(time.time() - t0, 3)
+        assert len(snap) == args.parts
+        out["extrapolated_1e6_tag_freeze_s"] = round(
+            out["tag_freeze_s"] * 1e6 / args.parts, 1
+        )
+
         # selective id range: hits ~10 parts' disjoint zones
         lo = (args.parts // 2) * args.part_rows
         hi = lo + 10 * args.part_rows - 1
