@@ -277,3 +277,56 @@ def test_rollback_and_diff_by_tag(spark, docs, table):
     # resolve to the post-rollback generation, not the rolled-back state
     assert t.resolve_at_ts(time.time()) == t.generations()[-1]
     assert verify_table(spark, table) == []
+
+def test_snapshot_reads_under_schema_evolution(spark, docs, table):
+    """Time travel x schema evolution: a snapshot pinned BEFORE a
+    rename/add/drop is read with the CURRENT schema (decode_job's
+    documented semantic) -- renamed columns answer under their new
+    spelling via stored-alias translation, added columns fill NULL on
+    pre-addition parts, dropped columns disappear, and exact predicates
+    on the renamed column (count_job, or the exact filter queries apply
+    over decode_job's may-match scan) stay CORRECT at the old snapshot."""
+    from pyspark.sql import types as T
+
+    n = docs.count()
+    t = EncodedTable(table)
+    pinned = t.create_tag("pre-evolution")
+
+    t.rename_column("lang", "language")
+    t.add_column("score", T.DoubleType())
+    t.drop_column("source")
+    delete_job(spark, table, ("doc_id", "<", 50))  # moves the live head
+
+    snap = decode_job(spark, table, at_gen="pre-evolution")
+    assert snap.count() == n  # pre-delete row set
+    cols = set(snap.columns)
+    assert "language" in cols and "lang" not in cols
+    assert "source" not in cols
+    assert "score" in cols
+    # renamed column: values identical to the original spelling's
+    want = {(r["doc_id"], r["lang"]) for r in docs.select("doc_id", "lang").collect()}
+    got = {(r["doc_id"], r["language"])
+           for r in snap.select("doc_id", "language").collect()}
+    assert got == want
+    # added column: NULL on every pre-addition row
+    assert snap.where(F.col("score").isNotNull()).count() == 0
+
+    # exact predicates on the RENAMED column at the pinned snapshot:
+    # count_job is the exact surface; decode_job's where= is zone pruning
+    # (may-match), so queries apply the exact filter on the decoded frame
+    one = docs.select("lang").first()["lang"]
+    want_n = docs.where(F.col("lang") == one).count()
+    assert count_job(spark, table, ("language", "==", one), at_gen=pinned) == want_n
+    got_exact = (
+        decode_job(spark, table, at_gen=pinned, where=("language", "==", one))
+        .where(F.col("language") == one)
+        .count()
+    )
+    assert got_exact == want_n
+    # exact predicate on the ADDED column: IS NULL covers the whole snapshot
+    assert count_job(spark, table, ("score", "isnull", None), at_gen=pinned) == n
+
+    # live head reflects the delete AND the evolution
+    live = decode_job(spark, table)
+    assert live.count() == n - 50
+    assert "language" in live.columns and "source" not in live.columns
