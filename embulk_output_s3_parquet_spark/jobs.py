@@ -1532,7 +1532,27 @@ def decode_job_chunks(
     return decode_chunks(
         table.read_encoded(spark), table.schema(), columns=columns,
         aliases=table.stored_aliases(), dv=table.part_dv(),
+        fillable=table.added_columns(),
     )
+
+
+def _tag_referenced_parts(table: EncodedTable) -> set[int] | None:
+    """Part ids referenced by ANY tagged generation's lineage -- the pinned
+    snapshots a reader may still target at snapshot-retention 0. Part ids
+    are never reused (the persisted high-water mark), so a rewritten-away
+    part is safe to delete exactly when no tagged generation lists it.
+    Returns None when a pinned generation's lineage can't be read: the
+    caller must then delete NOTHING (fail-safe; vacuum reconciles later).
+    At very large part counts with many tags this is one O(shards) manifest
+    parse per tagged generation; rewrites already pay a lineage read, and
+    the sweep stays driver-metadata-only."""
+    ids: set[int] = set()
+    for g in sorted(table.tagged_generations()):
+        try:
+            ids |= set(table.lineage_at(g))
+        except Exception:
+            return None
+    return ids
 
 
 def compact_job(
@@ -1575,6 +1595,7 @@ def compact_job(
     df = decode_chunks(
         table.read_encoded(spark), table.schema(),
         aliases=table.stored_aliases(), dv=table.part_dv(),
+        fillable=table.added_columns(),
     )
 
     bucket = _resolve_bucket_by(table, None, table.schema())
@@ -1621,14 +1642,22 @@ def compact_job(
         table.set_property("write-order", None)
         table.set_property("write-order-zorder", False)
     shutil.rmtree(staging, ignore_errors=True)
-    # with snapshot retention on -- or a tag pinning a snapshot that may
-    # reference the old parts -- the pre-compaction generation stays
-    # readable via decode_job(at_gen=...); vacuum expires it later
-    if table.snapshot_retention() == 0 and not table.tagged_generations():
-        for pid in old_parts:
-            shutil.rmtree(
-                os.path.join(table.data_dir, f"part_id={pid}"), ignore_errors=True
-            )
+    # with snapshot retention on the pre-compaction generation stays
+    # readable via decode_job(at_gen=...) and vacuum expires it later; at
+    # retention 0 delete the old dirs EXCEPT those a tag's pinned lineage
+    # actually references -- deleting precisely (not "skip all when any tag
+    # exists") is what keeps a rewrite from stranding unreferenced dirs
+    # that verify_table would flag until the next vacuum
+    if table.snapshot_retention() == 0:
+        pinned = _tag_referenced_parts(table)
+        if pinned is not None:
+            for pid in old_parts:
+                if pid in pinned:
+                    continue
+                shutil.rmtree(
+                    os.path.join(table.data_dir, f"part_id={pid}"),
+                    ignore_errors=True,
+                )
     table.log_op(
         "compact", {"parts_before": len(old_parts), "parts_after": len(lineage)}
     )
@@ -2291,18 +2320,20 @@ def _swap_in_rewrite(
         add={**(extra_rows or {}), **new_lineage},
     )
     # old affected dirs only AFTER the atomic flip (kill-safe); with
-    # snapshot retention on -- or any tag pinning a snapshot that may
-    # still reference them -- they stay readable via decode_job(at_gen=...)
-    # until vacuum expires the superseded generation
-    if (
-        table.snapshot_retention() == 0
-        and not table.tagged_generations()
-        and not keep_affected
-    ):
-        for p in affected:
-            shutil.rmtree(
-                os.path.join(table.data_dir, f"part_id={p}"), ignore_errors=True
-            )
+    # snapshot retention on they stay readable via decode_job(at_gen=...)
+    # until vacuum expires the superseded generation. At retention 0 only
+    # the parts a tag's pinned lineage ACTUALLY references survive -- the
+    # rest are deleted here rather than stranded for vacuum
+    if table.snapshot_retention() == 0 and not keep_affected:
+        pinned = _tag_referenced_parts(table)
+        if pinned is not None:
+            for p in affected:
+                if p in pinned:
+                    continue
+                shutil.rmtree(
+                    os.path.join(table.data_dir, f"part_id={p}"),
+                    ignore_errors=True,
+                )
     shutil.rmtree(staging, ignore_errors=True)
     new_rows.unpersist()
     return new_lineage

@@ -24,6 +24,7 @@ def decode_chunks(
     columns: list[str] | None = None,
     aliases: dict[str, str] | None = None,
     dv: dict | None = None,
+    fillable: frozenset | set | None = None,
 ) -> DataFrame:
     """Group encoded rows by chunk and rebuild original rows.
 
@@ -34,9 +35,15 @@ def decode_chunks(
     chunk-column names to logical (EncodedTable.stored_aliases,
     rename_column): parts committed before a rename keep the old spelling
     on disk. ``dv`` is EncodedTable.part_dv(): merge-on-read-deleted
-    positions are filtered out of every rebuilt chunk."""
+    positions are filtered out of every rebuilt chunk. ``fillable``
+    (EncodedTable.added_columns) names columns that legitimately have no
+    stored chunks in parts committed before their ADD COLUMN -- they
+    rebuild as nulls; a chunk missing for any OTHER column still fails
+    loudly (that's corruption, not evolution)."""
     aliases = aliases or {}
     dv = dv or {}
+    fillable = frozenset(fillable or ())
+    full_fields = list(out_schema.fields)
     if columns is not None:
         missing = set(columns) - {f.name for f in out_schema.fields}
         if missing:
@@ -45,8 +52,19 @@ def decode_chunks(
         from pyspark.sql import functions as F
 
         want = set(columns)
-        spellings = list(want | {s for s, l in aliases.items() if l in want})
-        encoded = encoded.filter(F.col("col").isin(spellings))
+        spellings = want | {s for s, l in aliases.items() if l in want}
+        if want and want <= fillable:
+            # projection of ONLY post-ADD columns: pre-addition parts have
+            # no chunks for any requested column, so keep one stored anchor
+            # column in the scan purely to carry each chunk's row count
+            anchor = next(
+                (f.name for f in full_fields if f.name not in fillable), None
+            )
+            if anchor is not None:
+                spellings |= {anchor} | {
+                    s for s, l in aliases.items() if l == anchor
+                }
+        encoded = encoded.filter(F.col("col").isin(sorted(spellings)))
     arrow_schema = to_arrow_schema(out_schema)
     names = [f.name for f in out_schema.fields]
 
@@ -59,9 +77,15 @@ def decode_chunks(
         by_name = {}
         for c, m, p in zip(cols, metas, payloads):
             by_name[aliases.get(c, c)] = decode_array(p, meta_from_json(m))
+        n_rows = len(next(iter(by_name.values())))
         arrays = []
         for name, field in zip(names, arrow_schema):
-            arr = by_name[name]
+            arr = by_name.get(name)
+            if arr is None:
+                if name in fillable:  # part predates this column's ADD
+                    arrays.append(pa.nulls(n_rows, type=field.type))
+                    continue
+                raise KeyError(name)
             if arr.type != field.type:
                 arr = arr.cast(field.type)
             arrays.append(arr)

@@ -1,0 +1,174 @@
+"""Model-based lifecycle fuzz: a SEEDED random walk of DML, schema
+evolution, snapshot, and maintenance operations on one table, checked
+after every step against a pandas reference model.
+
+This is the interaction test the per-feature suites can't be: each op
+(CoW/MoR DELETE, CoW/MoR UPDATE, RENAME/ADD/DROP COLUMN, tag, rollback,
+compact, vacuum) is individually covered elsewhere; here a deterministic
+random sequence interleaves them on the SAME table and asserts, at every
+step, that (a) exact counts, (b) full decoded values, and (c) every live
+tag's pinned snapshot all still match the model. Tag snapshots are
+compared through an evolution-replay of the model (snapshot part sets are
+read with the CURRENT schema -- decode_job's documented semantic).
+
+The walk is bounded and seeded: failures reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from embulk_output_s3_parquet_spark.jobs import (
+    compact_job,
+    count_job,
+    decode_job,
+    delete_job,
+    encode_job,
+    rollback_job,
+    update_job,
+    vacuum_job,
+    verify_table,
+)
+from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+
+def _pol():
+    return CodecPolicy(target_partition_bytes=64 * 1024, chunk_rows=64)
+
+
+def _replay(frame: pd.DataFrame, log: list[tuple], from_idx: int) -> pd.DataFrame:
+    """Re-apply the schema-evolution suffix to a pinned model snapshot:
+    snapshot reads use the CURRENT schema, so the expected frame for a tag
+    is its pinned rows under today's column set."""
+    f = frame.copy()
+    for op in log[from_idx:]:
+        if op[0] == "rename":
+            f = f.rename(columns={op[1]: op[2]})
+        elif op[0] == "add":
+            f[op[1]] = np.nan
+        elif op[0] == "drop" and op[1] in f.columns:
+            f = f.drop(columns=[op[1]])
+    return f
+
+
+def _check(spark, path: str, model: pd.DataFrame) -> None:
+    assert count_job(spark, path) == len(model)
+    got = decode_job(spark, path).toPandas()
+    _frames_equal(got, model)
+
+
+def _frames_equal(got: pd.DataFrame, want: pd.DataFrame) -> None:
+    assert set(got.columns) == set(want.columns)
+    g = got.set_index("doc_id").sort_index()
+    w = want.set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(
+        g, w, check_like=True, check_dtype=False, check_column_type=False
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 7, 23, 42])
+def test_lifecycle_random_walk(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / f"walk{seed}")
+    encode_job(spark, docs, path, _pol(), if_exists="error")
+    t = EncodedTable(path)
+
+    model = docs.toPandas()
+    lo_id, hi_id = int(model.doc_id.min()), int(model.doc_id.max())
+    evolution: list[tuple] = []  # ("rename",old,new) | ("add",n) | ("drop",n)
+    # tag name -> (pinned model frame, evolution-log position)
+    tags: dict[str, tuple[pd.DataFrame, int]] = {}
+    lang_col = "lang"  # current spelling of the renameable column
+    n_renames = n_adds = 0
+    droppable = {"source"}
+
+    def rand_pred():
+        v = rng.randint(lo_id, hi_id)
+        kind = rng.choice(["eq", "range", "ge"])
+        if kind == "eq":
+            return [("doc_id", "==", v)], model.doc_id == v
+        if kind == "range":
+            return (
+                [("doc_id", ">=", v), ("doc_id", "<", v + 25)],
+                (model.doc_id >= v) & (model.doc_id < v + 25),
+            )
+        return [("doc_id", ">=", v)], model.doc_id >= v
+
+    ops = [
+        "delete_cow", "delete_mor", "delete_mor", "update_cow", "update_mor",
+        "rename", "add", "drop", "tag", "tag", "compact", "vacuum", "rollback",
+    ]
+    for step in range(14):
+        op = rng.choice(ops)
+        if op in ("delete_cow", "delete_mor"):
+            pred, mask = rand_pred()
+            if int(mask.sum()) >= len(model):  # never empty the table
+                continue
+            rep = delete_job(spark, path, pred, mode=op.split("_")[1])
+            assert rep["rows_deleted"] == int(mask.sum()), (step, op, pred)
+            model = model[~mask]
+        elif op in ("update_cow", "update_mor"):
+            pred, mask = rand_pred()
+            update_job(
+                spark, path, pred, {"n_chars": "n_chars + 1"},
+                mode=op.split("_")[1],
+            )
+            model = model.copy()
+            model.loc[mask, "n_chars"] += 1
+        elif op == "rename":
+            new = f"lang_{n_renames}"
+            n_renames += 1
+            t.rename_column(lang_col, new)
+            model = model.rename(columns={lang_col: new})
+            evolution.append(("rename", lang_col, new))
+            lang_col = new
+        elif op == "add":
+            name = f"extra_{n_adds}"
+            n_adds += 1
+            from pyspark.sql import types as T
+
+            t.add_column(name, T.DoubleType())
+            model = model.copy()
+            model[name] = np.nan
+            evolution.append(("add", name))
+            droppable.add(name)
+        elif op == "drop":
+            if not droppable:
+                continue
+            name = rng.choice(sorted(droppable))
+            droppable.discard(name)
+            t.drop_column(name)
+            model = model.drop(columns=[name])
+            evolution.append(("drop", name))
+        elif op == "tag":
+            name = f"t{step}"
+            t.create_tag(name)
+            tags[name] = (model.copy(), len(evolution))
+        elif op == "compact":
+            compact_job(spark, path, _pol())
+        elif op == "vacuum":
+            vacuum_job(path)
+        elif op == "rollback":
+            if not tags:
+                continue
+            name = rng.choice(sorted(tags))
+            rollback_job(path, name)
+            frame, idx = tags[name]
+            model = _replay(frame, evolution, idx)
+
+        _check(spark, path, model)
+        if tags:  # one pinned snapshot re-checked per step, full values
+            name = rng.choice(sorted(tags))
+            frame, idx = tags[name]
+            want = _replay(frame, evolution, idx)
+            assert count_job(spark, path, at_gen=name) == len(want), (step, op)
+            got = decode_job(spark, path, at_gen=name).toPandas()
+            _frames_equal(got, want)
+
+    assert verify_table(spark, path) == []
