@@ -2809,3 +2809,36 @@ def test_diff_job_changelog(spark, tmp_path):
         diff_job(spark, path, g0, change_col="lang")
     with pytest.raises(ConfigException, match="not in table schema"):
         diff_job(spark, path, g0, columns=["ghost"])
+
+
+def test_decode_chunks_fills_added_columns(spark, corpus, tmp_path):
+    """The groupBy-reassembly decode (decode_job_chunks, also compact_job's
+    scan) must null-fill columns added AFTER parts were committed -- and a
+    projection of ONLY post-ADD columns must still return every row (one
+    stored anchor column rides the scan for the chunk row counts)."""
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.jobs import compact_job, decode_job_chunks
+
+    path = str(tmp_path / "enc")
+    encode_job(spark, corpus, path, _policy(), if_exists="error")
+    t = EncodedTable(path)
+    t.add_column("note", T.StringType())
+
+    full = decode_job_chunks(spark, path)
+    assert full.count() == ROWS
+    assert full.where(F.col("note").isNotNull()).count() == 0
+
+    only_added = decode_job_chunks(spark, path, columns=["note"])
+    assert only_added.columns == ["note"]
+    assert only_added.count() == ROWS  # rows survive an all-fillable projection
+    assert only_added.where(F.col("note").isNotNull()).count() == 0
+
+    mixed = decode_job_chunks(spark, path, columns=["repo", "note"])
+    assert mixed.count() == ROWS
+    assert mixed.where(F.col("note").isNull()).count() == ROWS
+
+    # compaction decodes through the same path and must materialize the
+    # added column as stored nulls
+    compact_job(spark, path, _policy())
+    assert decode_job(spark, path).where(F.col("note").isNull()).count() == ROWS
