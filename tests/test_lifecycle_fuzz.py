@@ -28,6 +28,7 @@ from embulk_output_s3_parquet_spark.jobs import (
     decode_job,
     delete_job,
     encode_job,
+    merge_job,
     rollback_job,
     update_job,
     vacuum_job,
@@ -60,6 +61,10 @@ def _check(spark, path: str, model: pd.DataFrame) -> None:
     assert count_job(spark, path) == len(model)
     got = decode_job(spark, path).toPandas()
     _frames_equal(got, model)
+    # the Catalyst surface must agree with the job API on the same walk
+    # (evolution translation, MoR vector masking, part pruning)
+    via_reader = spark.read.format("enctable").load(path).toPandas()
+    _frames_equal(via_reader, model)
 
 
 def _frames_equal(got: pd.DataFrame, want: pd.DataFrame) -> None:
@@ -73,6 +78,11 @@ def _frames_equal(got: pd.DataFrame, want: pd.DataFrame) -> None:
 
 @pytest.mark.parametrize("seed", [3, 7, 23, 42])
 def test_lifecycle_random_walk(spark, tmp_path, seed):
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    spark.dataSource.register(EncodedTableDataSource)
     rng = random.Random(seed)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     path = str(tmp_path / f"walk{seed}")
@@ -100,9 +110,12 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
             )
         return [("doc_id", ">=", v)], model.doc_id >= v
 
+    next_id = hi_id + 1  # fresh keys for MERGE inserts (ids never collide)
+
     ops = [
         "delete_cow", "delete_mor", "delete_mor", "update_cow", "update_mor",
         "rename", "add", "drop", "tag", "tag", "compact", "vacuum", "rollback",
+        "merge_cow", "merge_mor", "drop_tag",
     ]
     for step in range(14):
         op = rng.choice(ops)
@@ -161,6 +174,44 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
             rollback_job(path, name)
             frame, idx = tags[name]
             model = _replay(frame, evolution, idx)
+        elif op in ("merge_cow", "merge_mor"):
+            # upsert: replace 2 random existing rows + insert 2 fresh keys,
+            # with real values in post-ADD columns (stored-vs-fill interplay)
+            k = min(2, len(model))
+            upd = model.sample(n=k, random_state=rng.randint(0, 10**6)).copy()
+            upd["n_chars"] = upd["n_chars"] + 100
+            if "text" in upd.columns:
+                upd["text"] = [f"merged-{i}" for i in upd["doc_id"]]
+            ins = upd.head(0).copy()
+            for _ in range(2):
+                row = {c: None for c in model.columns}
+                row.update(
+                    doc_id=next_id,
+                    text=f"inserted-{next_id}",
+                    n_chars=int(7 + next_id % 13),
+                )
+                for c in model.columns:  # added double columns get values
+                    if c.startswith("extra_"):
+                        row[c] = float(next_id % 5)
+                ins.loc[len(ins)] = row
+                next_id += 1
+            src_pd = pd.concat([upd, ins], ignore_index=True)
+            src_pd = src_pd[[f.name for f in t.schema().fields]]
+            source = spark.createDataFrame(src_pd, schema=t.schema())
+            rep = merge_job(
+                spark, path, source, on=["doc_id"], mode=op.split("_")[1]
+            )
+            assert rep["rows_updated"] == k and rep["rows_inserted"] == 2
+            model = pd.concat(
+                [model[~model.doc_id.isin(set(src_pd.doc_id))], src_pd],
+                ignore_index=True,
+            )
+        elif op == "drop_tag":
+            if not tags:
+                continue
+            name = rng.choice(sorted(tags))
+            t.drop_tag(name)
+            del tags[name]
 
         _check(spark, path, model)
         if tags:  # one pinned snapshot re-checked per step, full values
