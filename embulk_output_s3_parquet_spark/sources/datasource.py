@@ -469,9 +469,13 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
     encode_job table (decode_job, pyreader, verify_table, the enctable
     reader, and count_job all work on it).
 
-    Modes: default/append errors if the table exists (part_id collision
-    semantics are the job API's business -- use encode_job part_base for
-    append); overwrite recreates. Options: chunk_rows, codec,
+    Modes: mode("append") on an EXISTING table appends new parts -- the
+    incoming schema must match the table's current (evolved) schema
+    exactly, and fresh part ids are minted above the persisted high-water
+    mark at commit time (never colliding with committed ids, retired
+    tombstones, or an incomplete encode plan's reserved range); on a
+    missing path it creates the table, Delta/Iceberg-style. overwrite
+    recreates. Options: chunk_rows, codec,
     bloom_columns (comma-separated), ndv_columns (comma-separated:
     per-part HLL sketches for jobs.distinct_job),
     cluster_by (comma-separated),
@@ -506,11 +510,22 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
         from ..plans.policy import ConfigException
 
         exists = os.path.exists(os.path.join(path, "manifest.json"))
-        if exists and not overwrite:
-            raise ConfigException(
-                f"table {path} already exists (append semantics live with "
-                "encode_job part_base; use mode('overwrite') to replace)"
-            )
+        self._append = exists and not overwrite
+        if self._append:
+            # true append (Iceberg/Delta parity): new parts join the live
+            # set under ids minted at commit time. The incoming frame must
+            # match the table's CURRENT schema exactly -- evolved tables
+            # accept appends under their evolved names/types only (dropped
+            # spellings are gone, added columns are required)
+            have = EncodedTable(path).schema()
+            if [(f.name, f.dataType) for f in have.fields] != [
+                (f.name, f.dataType) for f in schema.fields
+            ]:
+                raise ConfigException(
+                    f"append schema mismatch for {path}: table has "
+                    f"{[f.name for f in have.fields]}, dataframe has "
+                    f"{[f.name for f in schema.fields]}"
+                )
         self._deferred_overwrite = exists and overwrite
         if not exists:
             EncodedTable.create(path, schema, policy, if_exists="error")
@@ -639,12 +654,28 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
             EncodedTable.create(
                 self._path, self._schema, self._policy, if_exists="delete"
             )
-        if self._cluster:
-            t = EncodedTable(self._path)
-            if t.properties().get("write-order") != self._cluster:
-                t.set_property("write-order", self._cluster)
+        table = EncodedTable(self._path)
+        if self._append:
+            # an append can only WEAKEN a recorded table-wide write order:
+            # unless the new parts were clustered the same way, the claim
+            # no longer holds (per-part zones keep pruning regardless)
+            recorded = table.properties().get("write-order")
+            if recorded and list(recorded) != list(self._cluster):
+                table.set_property("write-order", None)
+                table.set_property("write-order-zorder", False)
+        elif self._cluster:
+            if table.properties().get("write-order") != self._cluster:
+                table.set_property("write-order", self._cluster)
         good = [m for m in messages if m is not None and m.lineage]
-        lineage = {m.part_id: m.lineage for m in good}
+        base = 0
+        if self._append and good:
+            # mint fresh ids above the persisted high-water mark and
+            # reserve the range BEFORE any dir lands in data/ (the same
+            # contract as encode waves and rewrites: a concurrent or
+            # resumed writer can never claim these ids)
+            base = table.next_part_base()
+            table.note_part_extent(base + max(m.part_id for m in good))
+        lineage = {base + m.part_id: m.lineage for m in good}
         # task-retry / speculation safety: a failed or speculative attempt
         # may have left its own uuid-named file in a part dir; keep ONLY
         # the file named by each part's committed message, and drop part
@@ -661,7 +692,16 @@ class EncodedTableArrowWriter(DataSourceArrowWriter):
             for f in os.listdir(pdir):
                 if f != keep[pid]:
                     os.remove(os.path.join(pdir, f))
-        EncodedTable(self._path).commit_staging(self._staging, lineage)
+        if base:
+            # remap staged dirs to the minted ids, DESCENDING so a target
+            # never collides with a not-yet-renamed smaller staged pid
+            # (base >= 1 on any non-empty table, so pid+base > pid-1)
+            for pid in sorted(keep, reverse=True):
+                os.rename(
+                    os.path.join(self._staging, f"part_id={pid}"),
+                    os.path.join(self._staging, f"part_id={base + pid}"),
+                )
+        table.commit_staging(self._staging, lineage)
 
     def abort(self, messages) -> None:
         import shutil

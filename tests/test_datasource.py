@@ -227,10 +227,12 @@ def test_catalyst_write_path(spark, tmp_path):
     """df.write.format("enctable"): the writer produces a table
     indistinguishable from encode_job output -- decode_job, pyreader,
     verify_table (sha lineage audit), count_job, and the enctable reader
-    all work on it; overwrite recreates, append-to-existing errors."""
+    all work on it; overwrite recreates, append-to-existing appends under
+    freshly minted part ids."""
     from embulk_output_s3_parquet_spark.jobs import count_job, decode_job, verify_table
     from embulk_output_s3_parquet_spark.sources.pyreader import count_table, read_table
 
+    spark.dataSource.register(EncodedTableDataSource)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     path = str(tmp_path / "w")
     (
@@ -260,8 +262,15 @@ def test_catalyst_write_path(spark, tmp_path):
 
     docs.limit(10).write.format("enctable").mode("overwrite").save(path)
     assert decode_job(spark, path).count() == 10
-    with pytest.raises(Exception, match="already exists"):
-        docs.write.format("enctable").mode("append").save(path)
+    # true append: new parts join the live set, nothing rewritten
+    docs.limit(25).coalesce(2).write.format("enctable").mode("append").save(path)
+    assert decode_job(spark, path).count() == 35
+    assert verify_table(spark, path) == []
+    # appending a mismatched schema is refused before any data moves
+    with pytest.raises(Exception, match="append schema mismatch"):
+        docs.select("doc_id", "text").write.format("enctable").mode(
+            "append"
+        ).save(path)
 
 
 def test_writer_empty_dataframe_overwrite_safe(spark, tmp_path):
@@ -548,3 +557,57 @@ def test_writer_zorder_option(spark, tmp_path):
     ctr = scan_counters(spark)
     decode_job(spark, path, where=("y", ">=", 95000), counters=ctr).count()
     assert ctr["chunks_skipped"].value / max(ctr["chunks_total"].value, 1) >= 0.5
+
+
+def test_catalyst_append_to_evolved_table(spark, tmp_path):
+    """mode("append") on a renamed/added table: the writer demands the
+    CURRENT schema, minted part ids stay above retired tombstones, and a
+    mismatched (pre-evolution) frame is refused."""
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.jobs import (
+        count_job,
+        decode_job,
+        delete_job,
+        verify_table,
+    )
+    from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+    spark.dataSource.register(EncodedTableDataSource)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "appev")
+    docs.repartition(4).write.format("enctable").mode("append").option(
+        "chunk_rows", "64"
+    ).save(path)
+    t = EncodedTable(path)
+    t.rename_column("lang", "language")
+    t.add_column("score", T.DoubleType())
+    delete_job(spark, path, ("doc_id", "<", 10))  # retires part ids
+    n_live = decode_job(spark, path).count()
+
+    # the OLD spelling is refused; the current schema appends fine
+    with pytest.raises(Exception, match="append schema mismatch"):
+        docs.limit(3).write.format("enctable").mode("append").save(path)
+    extra = (
+        docs.limit(3)
+        .withColumnRenamed("lang", "language")
+        .withColumn("score", F.lit(1.5))
+        .select([f.name for f in t.schema().fields])
+    )
+    extra.coalesce(1).write.format("enctable").mode("append").save(path)
+
+    assert decode_job(spark, path).count() == n_live + 3
+    assert count_job(spark, path, ("score", "notnull", None)) == 3
+    assert verify_table(spark, path) == []
+    # minted ids live above every committed + retired id (never reused)
+    live = set(t.lineage())
+    assert max(live) > max(t.retired_parts() | set())
+    # a clustered table appended without that order drops the table-wide
+    # write-order claim (zones still prune per part)
+    path2 = str(tmp_path / "order")
+    docs.write.format("enctable").mode("append").option(
+        "cluster_by", "doc_id"
+    ).save(path2)
+    assert EncodedTable(path2).properties().get("write-order") == ["doc_id"]
+    docs.limit(5).write.format("enctable").mode("append").save(path2)
+    assert EncodedTable(path2).properties().get("write-order") is None

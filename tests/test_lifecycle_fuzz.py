@@ -115,7 +115,7 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
     ops = [
         "delete_cow", "delete_mor", "delete_mor", "update_cow", "update_mor",
         "rename", "add", "drop", "tag", "tag", "compact", "vacuum", "rollback",
-        "merge_cow", "merge_mor", "drop_tag",
+        "merge_cow", "merge_mor", "drop_tag", "append",
     ]
     for step in range(14):
         op = rng.choice(ops)
@@ -212,6 +212,26 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
             name = rng.choice(sorted(tags))
             t.drop_tag(name)
             del tags[name]
+        elif op == "append":
+            # the Catalyst WRITER against the evolved/tagged/vectored table
+            rows = []
+            for _ in range(3):
+                row = {c: None for c in model.columns}
+                row.update(
+                    doc_id=next_id,
+                    text=f"appended-{next_id}",
+                    n_chars=int(11 + next_id % 7),
+                )
+                for c in model.columns:
+                    if c.startswith("extra_"):
+                        row[c] = float(next_id % 3)
+                rows.append(row)
+                next_id += 1
+            app_pd = pd.DataFrame(rows)[[f.name for f in t.schema().fields]]
+            spark.createDataFrame(app_pd, schema=t.schema()).write.format(
+                "enctable"
+            ).mode("append").save(path)
+            model = pd.concat([model, app_pd], ignore_index=True)
 
         _check(spark, path, model)
         if tags:  # one pinned snapshot re-checked per step, full values
