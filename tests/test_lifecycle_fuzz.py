@@ -100,7 +100,7 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
 
     def rand_pred():
         v = rng.randint(lo_id, hi_id)
-        kind = rng.choice(["eq", "range", "ge"])
+        kind = rng.choice(["eq", "range", "ge", "lang"])
         if kind == "eq":
             return [("doc_id", "==", v)], model.doc_id == v
         if kind == "range":
@@ -108,6 +108,13 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
                 [("doc_id", ">=", v), ("doc_id", "<", v + 25)],
                 (model.doc_id >= v) & (model.doc_id < v + 25),
             )
+        if kind == "lang":
+            # string predicate on the (possibly renamed) column: exercises
+            # alias-translated zone/bloom pruning through the DML paths;
+            # None values (merge/append inserts) never match, both sides
+            langs = sorted(x for x in model[lang_col].dropna().unique())
+            lv = rng.choice(langs) if langs else "none-such"
+            return [(lang_col, "==", lv)], model[lang_col] == lv
         return [("doc_id", ">=", v)], model.doc_id >= v
 
     next_id = hi_id + 1  # fresh keys for MERGE inserts (ids never collide)
