@@ -39,7 +39,14 @@ from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
 
 
 def _pol():
-    return CodecPolicy(target_partition_bytes=64 * 1024, chunk_rows=64)
+    # bloom + NDV sidecars ride along so every walk also maintains them
+    # through rename re-keying, DML rewrites, compaction, and appends
+    return CodecPolicy(
+        target_partition_bytes=64 * 1024,
+        chunk_rows=64,
+        bloom_columns=("lang",),
+        ndv_columns=("doc_id",),
+    )
 
 
 def _replay(frame: pd.DataFrame, log: list[tuple], from_idx: int) -> pd.DataFrame:
@@ -88,6 +95,8 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
     path = str(tmp_path / f"walk{seed}")
     encode_job(spark, docs, path, _pol(), if_exists="error")
     t = EncodedTable(path)
+    if seed % 2:  # half the walks keep superseded snapshots readable
+        t.set_snapshot_retention(2)
 
     model = docs.toPandas()
     lo_id, hi_id = int(model.doc_id.min()), int(model.doc_id.max())
@@ -171,7 +180,9 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
             t.create_tag(name)
             tags[name] = (model.copy(), len(evolution))
         elif op == "compact":
-            compact_job(spark, path, _pol())
+            # no explicit policy: compaction inherits the table's recorded
+            # one, which rename_column must have re-keyed (bloom/ndv cols)
+            compact_job(spark, path)
         elif op == "vacuum":
             vacuum_job(path)
         elif op == "rollback":
