@@ -72,6 +72,26 @@ def _check(spark, path: str, model: pd.DataFrame) -> None:
     # (evolution translation, MoR vector masking, part pruning)
     via_reader = spark.read.format("enctable").load(path).toPandas()
     _frames_equal(via_reader, model)
+    # metadata-first consumers stay exact / in-bounds through every op
+    from embulk_output_s3_parquet_spark.jobs import (
+        distinct_job,
+        minmax_job,
+        quantile_job,
+        sum_job,
+    )
+
+    s = sum_job(spark, path, ["n_chars"])["n_chars"]
+    assert s["sum"] == int(model["n_chars"].sum()), "sum_job drifted"
+    mm = minmax_job(spark, path, ["doc_id"])["doc_id"]
+    assert mm == (int(model.doc_id.min()), int(model.doc_id.max()))
+    ndv = distinct_job(path, ["doc_id"], spark=spark)["doc_id"]
+    true_ndv = int(model.doc_id.nunique())
+    assert abs(ndv["ndv"] - true_ndv) <= max(
+        4 * ndv["rel_std_error"] * true_ndv, 2
+    ), (ndv, true_ndv)
+    q = quantile_job(spark, path, "n_chars", [0.5])["quantiles"][0.5]
+    true_med = float(model["n_chars"].quantile(0.5, interpolation="lower"))
+    assert q["lb"] <= true_med <= q["ub"], (q, true_med)
 
 
 def _frames_equal(got: pd.DataFrame, want: pd.DataFrame) -> None:
@@ -246,9 +266,13 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
                 rows.append(row)
                 next_id += 1
             app_pd = pd.DataFrame(rows)[[f.name for f in t.schema().fields]]
+            # sidecar options ride the append under the CURRENT spellings
+            # (distinct_job refuses tables with sketch-less parts by design)
             spark.createDataFrame(app_pd, schema=t.schema()).write.format(
                 "enctable"
-            ).mode("append").save(path)
+            ).mode("append").option("ndv_columns", "doc_id").option(
+                "bloom_columns", lang_col
+            ).save(path)
             model = pd.concat([model, app_pd], ignore_index=True)
 
         _check(spark, path, model)
