@@ -272,9 +272,15 @@ def scan_file(
     fillable: frozenset[str] = frozenset(),
     aliases: dict[str, str] | None = None,
     sample: tuple[float, int] | None = None,
+    only_chunks: frozenset[int] | None = None,
 ) -> tuple[list[int], dict, dict]:
     """Scan ONE chunk parquet file -> (surviving chunk_seqs in order,
     {seq: {col: meta}}, {col: {seq: decoded pa.Array}}).
+
+    ``only_chunks`` (optional) restricts the scan to an explicit chunk_seq
+    set BEFORE the payload pass -- callers that already know which chunks
+    they need (e.g. the change-feed reader decoding only chunks whose
+    delete vector grew) skip every other chunk's row groups entirely.
 
     ``slice_of=(i, n)`` keeps only the i-th of n contiguous slices of the
     surviving chunk list BEFORE the payload pass: n tasks can then decode
@@ -328,6 +334,8 @@ def scan_file(
         for seq in chunk_n
         if _survives(meta_by.get(seq, {}), conjuncts, fillable=fillable)
     )
+    if only_chunks is not None:
+        surviving = [s for s in surviving if s in only_chunks]
     if sample is not None:
         # cluster (block) sampling: keep a deterministic ``fraction`` of
         # the surviving chunks; sampled-out chunks' payload row groups are
@@ -1008,6 +1016,7 @@ def iter_part_tables(
     aliases: dict[str, str] | None = None,
     sample: tuple[float, int] | None = None,
     dv: dict | None = None,
+    only_chunks: frozenset[int] | None = None,
 ):
     """Decode a committed part's files -> one pa.Table per surviving chunk,
     columns in ``fields`` order. Every chunk's rows live in one file (one
@@ -1019,7 +1028,8 @@ def iter_part_tables(
     column stays a loud layout error. ``aliases``: historical stored
     column names -> logical (rename_column, see scan_file). ``dv``: the
     part's merge-on-read delete vector (EncodedTable.part_dv row); deleted
-    positions are filtered out of every yielded chunk."""
+    positions are filtered out of every yielded chunk. ``only_chunks``:
+    explicit chunk_seq allowlist (see scan_file)."""
     names = [n for n, _ in fields]
     keep_of = dv_masks(dv)
     for path in sorted(files):
@@ -1027,7 +1037,7 @@ def iter_part_tables(
         surviving, meta_by, decoded = scan_file(
             path, names, conjuncts, stats_out, slice_of=slice_of,
             chunk_n_out=chunk_n, fillable=fillable, aliases=aliases,
-            sample=sample,
+            sample=sample, only_chunks=only_chunks,
         )
         for seq in surviving:
             arrays = []

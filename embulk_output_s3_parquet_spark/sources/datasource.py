@@ -46,7 +46,7 @@ from pyspark.sql.datasource import (
     StringStartsWith,
     WriterCommitMessage,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _FILTER_OPS = {
     EqualTo: "==",
@@ -450,6 +450,335 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         pass  # nothing to clean up: parts are immutable once committed
 
 
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_GEN_COL = "_commit_gen"
+CDF_FIELDS = (
+    StructField(CHANGE_TYPE_COL, StringType(), False),
+    StructField(COMMIT_GEN_COL, LongType(), False),
+)
+
+
+def _dv_delta(before: dict | None, after: dict | None) -> tuple[dict, list[int]] | None:
+    """Row-level growth of one part's delete vector between two retained
+    generations -> (inverse-dv, changed chunk_seqs), or None when nothing
+    grew. The inverse dv marks every row EXCEPT the newly-deleted ones as
+    deleted, so feeding it to the ordinary masked decode
+    (chunkscan.iter_part_tables dv=) yields exactly the rows that were
+    deleted in the window -- the change feed's delete images -- while
+    ``only_chunks`` skips every untouched chunk's payload row groups.
+
+    Vectors only ever grow in place (second deletes union bitmaps;
+    copy-on-write rewrites retire the whole part id, which the caller
+    refuses separately). A SHRINKING bitmap therefore means the table was
+    rolled back under the feed -- raise, the checkpoint cannot express
+    rows coming back to life."""
+    import base64
+
+    import numpy as np
+
+    ca = (before or {}).get("chunks") or {}
+    cb = (after or {}).get("chunks") or {}
+    gone = set(ca) - set(cb)
+    if gone:
+        raise RuntimeError(
+            "enctable change feed: delete vector chunks disappeared "
+            "(table rolled back?); restart from a fresh checkpoint"
+        )
+    inv: dict[str, dict] = {}
+    seqs: list[int] = []
+    for seq_s, e in cb.items():
+        bb = np.frombuffer(base64.b64decode(e["bm"]), np.uint8)
+        ea = ca.get(seq_s)
+        if ea is not None:
+            ba = np.frombuffer(base64.b64decode(ea["bm"]), np.uint8)
+            if len(ba) < len(bb):
+                ba = np.concatenate([ba, np.zeros(len(bb) - len(ba), np.uint8)])
+            elif len(ba) > len(bb):
+                raise RuntimeError(
+                    "enctable change feed: delete vector shrank "
+                    "(table rolled back?); restart from a fresh checkpoint"
+                )
+            if np.any(ba & ~bb):
+                raise RuntimeError(
+                    "enctable change feed: delete vector bits were cleared "
+                    "(table rolled back?); restart from a fresh checkpoint"
+                )
+            new = bb & ~ba
+        else:
+            new = bb
+        n_new = int(np.unpackbits(new).sum())
+        if n_new == 0:
+            continue
+        inv[seq_s] = {
+            "n": n_new,
+            "bm": base64.b64encode((~new).astype(np.uint8).tobytes()).decode(),
+        }
+        seqs.append(int(seq_s))
+    if not seqs:
+        return None
+    return {"chunks": inv}, sorted(seqs)
+
+
+def _cdf_tasks(
+    path: str,
+    start: tuple[int, int, set[int], dict],
+    end: tuple[int, int, set[int], dict],
+) -> list[list]:
+    """Plan the row-level delta between two table states as independent
+    per-part decode tasks -- shared by the streaming change feed (offsets)
+    and the batch ``table_changes`` reader (generation bounds). Each state
+    is (gen, next_watermark, lineage part-id set, part delete-vectors).
+    Raises on any transition the delta cannot express row-exactly
+    (retired ids = copy-on-write rewrite; ids below the watermark =
+    rollback / out-of-order commit)."""
+    g0, n0, lin0, dv0 = start
+    g1, n1, lin1, dv1 = end
+    seen0 = {p for p in lin0 if p < n0}
+    retired = seen0 - lin1
+    if retired:
+        raise RuntimeError(
+            f"enctable change feed: parts {sorted(retired)[:8]} were "
+            f"rewritten away between parts_gen {g0} and {g1} "
+            "(copy-on-write rewrite / compaction / rollback); the feed "
+            "cannot attribute their rows -- use merge-on-read DML to "
+            "keep a feed alive, or restart from a fresh checkpoint"
+        )
+    resurrected = {p for p in lin1 if p < n0} - lin0
+    if resurrected:
+        raise RuntimeError(
+            f"enctable change feed: parts {sorted(resurrected)[:8]} "
+            f"appeared below the delivered watermark {n0} (rollback or "
+            "out-of-order commit); restart from a fresh checkpoint"
+        )
+    out: list[list] = []
+    for p in sorted(lin1):
+        d = os.path.join(path, "data", f"part_id={p}")
+        if n0 <= p < n1:
+            out.append(["insert", d, dv1.get(p), None, g1])
+        elif p in seen0:
+            delta = _dv_delta(dv0.get(p), dv1.get(p))
+            if delta is not None:
+                out.append(["delete", d, delta[0], delta[1], g1])
+    return out
+
+
+class EncodedTableChangeFeedReader(DataSourceStreamReader):
+    """Row-level change-data-feed over an encoded table (Delta Lake
+    ``readChangeFeed`` twin): ``spark.readStream.format("enctable")
+    .option("readChangeFeed", "true").load(path)`` emits every data column
+    plus ``_change_type`` ('insert' | 'delete') and ``_commit_gen`` (the
+    micro-batch's closing generation).
+
+    Offsets are ``{"gen": parts_gen, "next": max part_id + 1}`` -- the
+    delta between two offsets is computed entirely from metadata the
+    engine already maintains, with NO change journal and NO shuffle:
+
+    - parts committed in ``[start.next, end.next)`` decode (net of the end
+      generation's delete vector) as ``insert`` rows;
+    - parts common to both generations whose merge-on-read delete vector
+      GREW decode only the newly-masked rows (``bm_end & ~bm_start`` per
+      chunk, untouched chunks' payload never read) as ``delete`` rows --
+      exact per-part work, so every partition is independent.
+
+    A merge-on-read UPDATE therefore surfaces as delete(old image) +
+    insert(new image), matching Delta's CDF for non-CDC-enabled rewrites.
+    A copy-on-write rewrite/compaction retires part ids and fails the
+    stream loudly: its replacement parts would re-ship rows already
+    delivered as fresh inserts and the retired rows' delete images are no
+    longer row-attributable. Keep the feed alive by doing trickle DML in
+    merge-on-read mode (delete_job/update_job/merge_job mode='mor'),
+    which is the engine's recommended 100 TB DML path anyway.
+
+    Replay determinism: a batch's content is a pure function of its two
+    offsets -- vectors and lineage resolve AT the offsets' generations.
+    A RUNNING feed caches witnessed generations driver-side, so default
+    retention works in-run; RESTARTING across generations needs the
+    checkpointed generations' snapshots still on disk
+    (``EncodedTable.set_snapshot_retention(k)``) or the feed fails loudly
+    (never silently wrong). ``_commit_gen`` is the closing generation of
+    the delivering micro-batch: exact when the feed keeps pace with
+    commits (one flip per batch), batch-granular when several generations
+    land between polls.
+
+    First batch on a fresh checkpoint = the table's current LIVE rows as
+    inserts (initial snapshot), mirroring the append-stream's from-zero
+    semantics; start change-only consumption by letting batch 0 drain.
+    """
+
+    _CACHE_GENS = 8  # witnessed-generation LRU: (lineage, part_dv) pairs
+
+    def __init__(self, path: str, schema: StructType, columns: list[str] | None):
+        from .tables import EncodedTable
+
+        self._path = path
+        meta = {f.name for f in CDF_FIELDS}
+        data_schema = StructType([f for f in schema.fields if f.name not in meta])
+        want = [c for c in columns if c not in meta] if columns else None
+        self._fields, names = _prepare_fields(data_schema, want)
+        t = EncodedTable(path)
+        self._fillable = frozenset(t.added_columns()) & names
+        self._aliases = t.stored_aliases()
+        self._cache: dict[int, tuple[set[int], dict]] = {}
+        self._gen0 = self._observe(t)
+
+    def _observe(self, t) -> int:
+        """Cache (lineage ids, delete vectors) of the table's CURRENT
+        generation so a running feed never depends on snapshot retention
+        for generations it witnessed live."""
+        gen = int(t.manifest().get("parts_gen", 0))
+        if gen not in self._cache:
+            self._cache[gen] = (set(t.completed_parts()), t.part_dv())
+            while len(self._cache) > self._CACHE_GENS:
+                self._cache.pop(min(self._cache))
+        return gen
+
+    def _state(self, gen: int) -> tuple[set[int], dict]:
+        cached = self._cache.get(gen)
+        if cached is not None:
+            return cached
+        from .tables import EncodedTable
+
+        t = EncodedTable(self._path)
+        try:
+            state = (set(t.lineage_at(gen)), t.part_dv(gen=gen))
+        except Exception as e:
+            raise RuntimeError(
+                f"enctable change feed: generation {gen} from the "
+                f"checkpoint is no longer retained ({e}); raise "
+                "EncodedTable.set_snapshot_retention to cover restart "
+                "gaps, or restart from a fresh checkpoint"
+            ) from e
+        self._cache[gen] = state
+        return state
+
+    def initialOffset(self) -> dict:
+        return {"gen": self._gen0, "next": 0}
+
+    def latestOffset(self) -> dict:
+        from .tables import EncodedTable
+
+        t = EncodedTable(self._path)
+        gen = self._observe(t)
+        parts = self._cache[gen][0]
+        return {"gen": gen, "next": (max(parts) + 1) if parts else 0}
+
+    def partitions(self, start: dict, end: dict):
+        g0, n0 = int(start.get("gen", 0)), int(start.get("next", 0))
+        g1, n1 = int(end.get("gen", 0)), int(end.get("next", 0))
+        lin1, dv1 = self._state(g1)
+        lin0, dv0 = (lin1, dv1) if g0 == g1 else self._state(g0)
+        tasks = _cdf_tasks(
+            self._path, (g0, n0, lin0, dv0), (g1, n1, lin1, dv1)
+        )
+        return [InputPartition(json.dumps(task)) for task in tasks]
+
+    def read(self, partition):
+        yield from _cdf_read(
+            partition.value, self._fields, self._fillable, self._aliases
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # parts and dv sidecars are immutable per generation
+
+
+def _cdf_read(partition_value: str, fields, fillable, aliases):
+    """Executor-side decode of one change-feed task (stream and batch
+    share it): an ``insert`` task is the ordinary masked part decode, a
+    ``delete`` task decodes ONLY the chunks whose vector grew, inverted so
+    exactly the newly-deleted rows come back. Appends the two CDF metadata
+    columns to every Arrow batch."""
+    import pyarrow as pa
+
+    from .chunkscan import iter_part_tables
+
+    kind, part_dir, dv, seqs, gen = json.loads(partition_value)
+    files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"committed part missing: {part_dir}")
+    names = [n for n, _ in fields] + [CHANGE_TYPE_COL, COMMIT_GEN_COL]
+    for tbl in iter_part_tables(
+        files, fields, [], fillable=fillable, aliases=aliases, dv=dv,
+        only_chunks=frozenset(seqs) if seqs is not None else None,
+    ):
+        for batch in tbl.to_batches():
+            n = batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [
+                    pa.array([kind] * n, pa.string()),
+                    pa.array([gen] * n, pa.int64()),
+                ],
+                names=names,
+            )
+
+
+class EncodedTableChangesReader(DataSourceReader):
+    """Batch change feed (Delta ``table_changes`` twin): the row-level
+    delta between two retained generation snapshots,
+
+        spark.read.format("enctable").option("readChangeFeed", "true")
+             .option("starting_gen", <gen or tag>)       # required
+             .option("ending_gen", <gen or tag>)         # default: live
+             .load(path)
+
+    Exclusive of the starting generation's state, inclusive of the ending
+    one: appended parts surface as ``insert`` rows, merge-on-read vector
+    growth as row-exact ``delete`` rows (same planner as the streaming
+    feed; copy-on-write rewrites between the bounds raise). Both bounds
+    accept generation numbers or snapshot tag names, so
+    ``create_tag`` + batch CDF is an incremental-consumer protocol with
+    no running stream: tag after each drain, next drain reads
+    changes(tag_prev -> live)."""
+
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        columns: list[str] | None,
+        start_ref: str,
+        end_ref: str | None,
+    ):
+        from .tables import EncodedTable
+
+        meta = {f.name for f in CDF_FIELDS}
+        data_schema = StructType([f for f in schema.fields if f.name not in meta])
+        want = [c for c in columns if c not in meta] if columns else None
+        self._fields, names = _prepare_fields(data_schema, want)
+        t = EncodedTable(path)
+        self._fillable = frozenset(t.added_columns()) & names
+        self._aliases = t.stored_aliases()
+        g0 = t.resolve_ref(str(start_ref))
+        g1 = (
+            t.resolve_ref(str(end_ref))
+            if end_ref is not None
+            else int(t.manifest().get("parts_gen", 0))
+        )
+        if g0 > g1:
+            raise ValueError(
+                f"enctable change feed: starting_gen {g0} is newer than "
+                f"ending_gen {g1}"
+            )
+        lin1, dv1 = set(t.lineage_at(g1)), t.part_dv(gen=g1)
+        lin0, dv0 = (
+            (lin1, dv1)
+            if g0 == g1
+            else (set(t.lineage_at(g0)), t.part_dv(gen=g0))
+        )
+        n0 = (max(lin0) + 1) if lin0 else 0
+        n1 = (max(lin1) + 1) if lin1 else 0
+        self._tasks = _cdf_tasks(path, (g0, n0, lin0, dv0), (g1, n1, lin1, dv1))
+
+    def partitions(self):
+        return [InputPartition(json.dumps(t)) for t in self._tasks]
+
+    def read(self, partition):
+        if partition is None or getattr(partition, "value", None) is None:
+            return  # empty delta: pyspark plans one None partition
+        yield from _cdf_read(
+            partition.value, self._fields, self._fillable, self._aliases
+        )
+
+
 class _PartCommit(WriterCommitMessage):
     def __init__(self, part_id: int, lineage: dict, filename: str | None = None):
         self.part_id = part_id
@@ -723,18 +1052,29 @@ class EncodedTableDataSource(DataSource):
             raise ValueError("enctable: .load(<table path>) is required")
         return path
 
+    def _change_feed(self) -> bool:
+        return str(
+            self.options.get(
+                "readchangefeed", self.options.get("readChangeFeed", "")
+            )
+        ).lower() == "true"
+
     def schema(self) -> StructType:
         with open(os.path.join(self._path(), "manifest.json")) as f:
             manifest = json.load(f)
         full = StructType.fromJson(json.loads(manifest["schema"]))
         columns = self.options.get("columns")
         if not columns:
-            return full
-        want = [c.strip() for c in columns.split(",")]
-        missing = set(want) - {f.name for f in full.fields}
-        if missing:
-            raise ValueError(f"unknown columns: {sorted(missing)}")
-        return StructType([f for f in full.fields if f.name in want])
+            fields = list(full.fields)
+        else:
+            want = [c.strip() for c in columns.split(",")]
+            missing = set(want) - {f.name for f in full.fields}
+            if missing:
+                raise ValueError(f"unknown columns: {sorted(missing)}")
+            fields = [f for f in full.fields if f.name in want]
+        if self._change_feed():
+            fields += list(CDF_FIELDS)
+        return StructType(fields)
 
     def _at_gen(self) -> int | None:
         """Resolve the time-travel options (``at_gen``: generation number
@@ -757,6 +1097,24 @@ class EncodedTableDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         columns = self.options.get("columns")
         want = [c.strip() for c in columns.split(",")] if columns else None
+        if self._change_feed():
+            start = self.options.get(
+                "starting_gen", self.options.get("startinggen")
+            )
+            if start is None:
+                raise ValueError(
+                    "enctable: batch readChangeFeed requires "
+                    ".option('starting_gen', <generation or tag>)"
+                )
+            if self._at_gen() is not None:
+                raise ValueError(
+                    "enctable: use starting_gen/ending_gen (not at_gen) "
+                    "to bound a change-feed read"
+                )
+            return EncodedTableChangesReader(
+                self._path(), schema, want, start,
+                self.options.get("ending_gen", self.options.get("endinggen")),
+            )
         # availability over pruning: only expose pushFilters when the session
         # actually allows it (Spark hard-errors on the hook otherwise).
         # .option("pushdown", "false") force-disables for A/B comparison.
@@ -787,6 +1145,13 @@ class EncodedTableDataSource(DataSource):
                 "ignoredeletes", self.options.get("ignoreDeletes", "")
             )
         ).lower() == "true"
+        if self._change_feed():
+            if ignore:
+                raise ValueError(
+                    "enctable: readChangeFeed already surfaces deletes as "
+                    "rows; ignoreDeletes applies to the append stream only"
+                )
+            return EncodedTableChangeFeedReader(self._path(), schema, want)
         return EncodedTableStreamReader(
             self._path(), schema, want, ignore_deletes=ignore
         )

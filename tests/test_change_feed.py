@@ -1,0 +1,257 @@
+"""Change data feed (Delta Lake CDF parity) over encoded tables.
+
+Streaming: ``spark.readStream.format("enctable")
+.option("readChangeFeed", "true")`` emits every data column plus
+``_change_type`` ('insert' | 'delete') and ``_commit_gen``. The delta
+between two offsets is reconstructed entirely from metadata the engine
+already keeps -- appended part ids become inserts, merge-on-read
+delete-vector GROWTH becomes row-exact deletes (``bm_end & ~bm_start``
+per chunk, only changed chunks' payload decoded) -- so there is no
+change journal, no shuffle, and every partition is an independent part.
+
+Batch: ``spark.read`` with the same option plus ``starting_gen`` /
+``ending_gen`` (generation numbers or tag names) is the ``table_changes``
+twin: tag after each drain and the next drain reads changes(tag -> live)
+-- an incremental-consumer protocol with no running stream.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_s3_parquet_spark.jobs import (
+    delete_job,
+    encode_job,
+    update_job,
+)
+from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+
+def _pol(**kw):
+    kw.setdefault("target_partition_bytes", 64 * 1024)
+    kw.setdefault("chunk_rows", 64)
+    return CodecPolicy(**kw)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture()
+def table(spark, docs, tmp_path):
+    path = str(tmp_path / "cdf")
+    encode_job(spark, docs, path, _pol(), if_exists="error")
+    EncodedTable(path).set_snapshot_retention(6)
+    return path
+
+
+@pytest.fixture()
+def drain(spark, table, tmp_path):
+    """availableNow drain of the change feed into a parquet sink under a
+    persistent checkpoint; returns the full sink contents."""
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    spark.dataSource.register(EncodedTableDataSource)
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    def _drain():
+        q = (
+            spark.readStream.format("enctable")
+            .option("readChangeFeed", "true").load(table)
+            .writeStream.format("parquet")
+            .option("path", out_dir).option("checkpointLocation", chk)
+            .trigger(availableNow=True).start()
+        )
+        q.processAllAvailable()
+        exc = q.exception()
+        q.stop()
+        if exc is not None:
+            raise exc
+        return spark.read.parquet(out_dir)
+
+    return _drain
+
+
+def test_cdf_snapshot_then_appends(spark, docs, table, drain):
+    n = docs.count()
+    got = drain()
+    assert got.count() == n
+    assert got.select("_change_type").distinct().collect()[0][0] == "insert"
+    g0 = EncodedTable(table).manifest().get("parts_gen", 0)
+    assert got.select("_commit_gen").distinct().collect()[0][0] == g0
+
+    extra = docs.limit(7).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    encode_job(spark, extra, table, _pol(), if_exists="skip", part_base=1 << 20)
+    got2 = drain()
+    assert got2.count() == n + 7
+    fresh = got2.where(F.col("doc_id") >= 1_000_000)
+    assert fresh.count() == 7
+    assert fresh.select("_change_type").distinct().collect()[0][0] == "insert"
+
+
+def test_cdf_mor_delete_row_exact(spark, docs, table, drain):
+    n = docs.count()
+    drain()
+    delete_job(spark, table, ("doc_id", "<", 10), mode="mor")
+    got = drain()
+    dels = got.where(F.col("_change_type") == "delete")
+    assert dels.count() == 10
+    assert sorted(r.doc_id for r in dels.select("doc_id").collect()) == list(
+        range(10)
+    )
+    # delete images carry the full row payload, not just the key
+    assert dels.where(F.col("text").isNull()).count() == 0
+    assert got.count() == n + 10  # snapshot batch + the delete images
+    g = EncodedTable(table).manifest().get("parts_gen", 0)
+    assert dels.select("_commit_gen").distinct().collect()[0][0] == g
+
+    # a second mor delete ships ONLY the newly-masked rows
+    delete_job(spark, table, ("doc_id", "<", 13), mode="mor")
+    got2 = drain()
+    dels2 = got2.where(
+        (F.col("_change_type") == "delete") & (F.col("_commit_gen") == g + 1)
+    )
+    assert sorted(r.doc_id for r in dels2.select("doc_id").collect()) == [
+        10, 11, 12,
+    ]
+
+
+def test_cdf_mor_update_is_delete_plus_insert(spark, docs, table, drain):
+    drain()
+    update_job(
+        spark, table, ("doc_id", "==", 5), {"lang": "'xx'"}, mode="mor"
+    )
+    got = drain()
+    g = EncodedTable(table).manifest().get("parts_gen", 0)
+    changed = got.where(F.col("_commit_gen") == g)
+    rows = {
+        (r._change_type, r.lang)
+        for r in changed.select("_change_type", "lang", "doc_id").collect()
+        if r.doc_id == 5
+    }
+    old_lang = docs.where(F.col("doc_id") == 5).collect()[0].lang
+    assert rows == {("delete", old_lang), ("insert", "xx")}
+    assert changed.count() == 2
+
+
+def test_cdf_cow_rewrite_fails_loudly(spark, docs, table, drain):
+    drain()
+    delete_job(spark, table, ("doc_id", "==", 77))  # copy-on-write
+    with pytest.raises(Exception, match="rewritten away|fresh checkpoint"):
+        drain()
+
+
+def test_cdf_metadata_only_flip_is_an_empty_batch(spark, docs, table, drain):
+    import pyspark.sql.types as T
+
+    n = docs.count()
+    drain()
+    EncodedTable(table).add_column("note", T.StringType())
+    got = drain()  # gen flipped, zero row changes: must drain cleanly
+    assert got.count() == n  # nothing re-shipped, nothing lost
+
+
+def test_cdf_replay_is_deterministic_across_restart(spark, docs, table):
+    """A batch is a pure function of its two offsets: a FRESH reader
+    (simulated restart) planning the same offset window yields exactly
+    the same rows, including after a mor delete in the window."""
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableChangeFeedReader,
+    )
+
+    t = EncodedTable(table)
+    schema = t.schema()
+    r1 = EncodedTableChangeFeedReader(table, schema, None)
+    start = r1.latestOffset()
+    delete_job(spark, table, ("doc_id", "<", 5), mode="mor")
+    end = r1.latestOffset()
+    assert end["gen"] == start["gen"] + 1
+
+    def rows_of(reader):
+        out = []
+        for p in reader.partitions(start, end):
+            for b in reader.read(p):
+                out.extend(zip(*[c.to_pylist() for c in b.columns]))
+        return sorted(out, key=str)
+
+    got1 = rows_of(r1)
+    assert len(got1) == 5  # five delete images, nothing else
+    got2 = rows_of(EncodedTableChangeFeedReader(table, schema, None))
+    assert got1 == got2
+
+
+def test_cdf_delete_tasks_touch_only_changed_chunks(spark, docs, table):
+    """The delete partition carries the changed chunk_seq allowlist, so
+    untouched chunks' payload row groups are never read."""
+    import json
+
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableChangeFeedReader,
+    )
+
+    t = EncodedTable(table)
+    r = EncodedTableChangeFeedReader(table, t.schema(), None)
+    start = r.latestOffset()
+    delete_job(spark, table, ("doc_id", "==", 3), mode="mor")
+    end = r.latestOffset()
+    tasks = [json.loads(p.value) for p in r.partitions(start, end)]
+    assert len(tasks) == 1 and tasks[0][0] == "delete"
+    seqs = tasks[0][3]
+    assert seqs is not None and len(seqs) == 1  # one row -> one chunk
+
+
+def test_cdf_batch_table_changes_between_tags(spark, docs, table):
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    spark.dataSource.register(EncodedTableDataSource)
+    t = EncodedTable(table)
+    t.create_tag("v0")
+    delete_job(spark, table, ("doc_id", "<", 3), mode="mor")
+    extra = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    encode_job(spark, extra, table, _pol(), if_exists="skip", part_base=1 << 20)
+    t.create_tag("v1")
+
+    got = (
+        spark.read.format("enctable").option("readChangeFeed", "true")
+        .option("starting_gen", "v0").option("ending_gen", "v1").load(table)
+    )
+    dels = got.where(F.col("_change_type") == "delete")
+    ins = got.where(F.col("_change_type") == "insert")
+    assert sorted(r.doc_id for r in dels.select("doc_id").collect()) == [0, 1, 2]
+    assert ins.count() == 2
+    assert ins.where(F.col("doc_id") >= 1_000_000).count() == 2
+
+    # empty delta: same tag on both bounds -> zero rows, schema intact
+    empty = (
+        spark.read.format("enctable").option("readChangeFeed", "true")
+        .option("starting_gen", "v1").load(table)
+    )
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_cdf_option_misuse_raises(spark, table):
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    spark.dataSource.register(EncodedTableDataSource)
+    with pytest.raises(Exception, match="starting_gen"):
+        (
+            spark.read.format("enctable").option("readChangeFeed", "true")
+            .load(table).collect()
+        )
+    ds = EncodedTableDataSource(
+        options={
+            "path": table, "readchangefeed": "true", "ignoredeletes": "true",
+        }
+    )
+    with pytest.raises(ValueError, match="append stream"):
+        ds.streamReader(EncodedTable(table).schema())
