@@ -251,6 +251,41 @@ class EncodedTableReader(EncodedTablePlainReader):
             yield f
 
 
+def _capped_next(
+    parts: set[int], hwm_next: int | None, k: int | None, true_next: int
+) -> int:
+    """Admission control for the stream readers (``maxPartsPerTrigger``):
+    the ``next`` watermark the current trigger may advance to, covering at
+    most ``k`` pending parts past the last planned offset. ``hwm_next``
+    None means the reader (re)started and has not yet seen an offset --
+    the first trigger stays uncapped: the Python stream API calls
+    latestOffset BEFORE initialOffset (fresh) or partitions (restart), so
+    capping blind could plan an offset BEHIND a restarted checkpoint and
+    regress it, re-shipping delivered rows. The cap therefore bounds every
+    trigger AFTER the first -- the ongoing tail and any backlog past
+    batch 0 -- which keeps steady-state micro-batches small; the one
+    uncapped batch is the (re)start catch-up, same caveat as Delta's
+    maxFilesPerTrigger being best-effort."""
+    if k is None or hwm_next is None:
+        return true_next
+    pending = sorted(p for p in parts if p >= hwm_next)
+    if len(pending) <= k:
+        return true_next
+    return pending[k - 1] + 1
+
+
+def _max_ppt_option(options) -> int | None:
+    raw = options.get(
+        "maxpartspertrigger", options.get("maxPartsPerTrigger")
+    )
+    if raw is None:
+        return None
+    k = int(raw)
+    if k <= 0:
+        raise ValueError("enctable: maxPartsPerTrigger must be positive")
+    return k
+
+
 def _prepare_fields(schema: StructType, columns: list[str] | None):
     """(fields, names) shared by the batch and stream readers: pa.DataType
     pickles, so the arrow projection computed once on the driver ships to
@@ -303,6 +338,12 @@ class EncodedTableStreamReader(DataSourceStreamReader):
     lineage. A copy-on-write rewrite or compaction retires ids and still
     fails loudly, because its replacement parts would re-ship rows this
     stream already delivered.
+
+    ``.option("maxPartsPerTrigger", k)`` (Delta maxFilesPerTrigger
+    analogue): every micro-batch after the first admits at most k pending
+    parts, keeping steady-state batches small on a high-commit-rate
+    table. The first trigger after a (re)start is uncapped -- the Python
+    stream API shows latestOffset no anchor before it (see _capped_next).
     """
 
     def __init__(
@@ -311,10 +352,13 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         schema: StructType,
         columns: list[str] | None,
         ignore_deletes: bool = False,
+        max_parts_per_trigger: int | None = None,
     ):
         from .tables import EncodedTable
 
         self._path = path
+        self._max_ppt = max_parts_per_trigger
+        self._hwm_next: int | None = None
         self._fields, names = _prepare_fields(schema, columns)
         self._gen = EncodedTable(path).manifest().get("parts_gen", 0)
         # resolved ONCE here -- read() runs per partition per micro-batch
@@ -370,13 +414,20 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         return t
 
     def initialOffset(self) -> dict:
+        self._hwm_next = 0  # fresh checkpoint: cap from here on
         return {"gen": self._gen, "next": 0}
 
     def latestOffset(self) -> dict:
         parts = self._table().completed_parts()
-        return {"gen": self._gen, "next": (max(parts) + 1) if parts else 0}
+        true_next = (max(parts) + 1) if parts else 0
+        nxt = _capped_next(parts, self._hwm_next, self._max_ppt, true_next)
+        self._hwm_next = max(self._hwm_next or 0, nxt)
+        return {"gen": self._gen, "next": nxt}
 
     def partitions(self, start: dict, end: dict):
+        # a restarted stream learns its checkpointed position here: cap
+        # subsequent triggers from it
+        self._hwm_next = max(self._hwm_next or 0, int(end.get("next", 0)))
         start_gen = int(start.get("gen", 0))
         if start_gen != self._gen and start_gen not in self._adopted:
             # a restarted stream re-inits the reader at the CURRENT gen; the
@@ -603,14 +654,25 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
     First batch on a fresh checkpoint = the table's current LIVE rows as
     inserts (initial snapshot), mirroring the append-stream's from-zero
     semantics; start change-only consumption by letting batch 0 drain.
+    ``.option("maxPartsPerTrigger", k)`` bounds every trigger after the
+    first to k pending INSERT parts (delete deltas are metadata-sized and
+    never capped); see _capped_next for the first-trigger caveat.
     """
 
     _CACHE_GENS = 8  # witnessed-generation LRU: (lineage, part_dv) pairs
 
-    def __init__(self, path: str, schema: StructType, columns: list[str] | None):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        columns: list[str] | None,
+        max_parts_per_trigger: int | None = None,
+    ):
         from .tables import EncodedTable
 
         self._path = path
+        self._max_ppt = max_parts_per_trigger
+        self._hwm_next: int | None = None
         meta = {f.name for f in CDF_FIELDS}
         data_schema = StructType([f for f in schema.fields if f.name not in meta])
         want = [c for c in columns if c not in meta] if columns else None
@@ -621,16 +683,36 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
         self._cache: dict[int, tuple[set[int], dict]] = {}
         self._gen0 = self._observe(t)
 
+    def __getstate__(self):
+        # executors only run read(); the witnessed-generation cache is
+        # driver-only state and can hold megabytes of vector bitmaps --
+        # never ship it with the per-task reader pickle
+        state = dict(self.__dict__)
+        state["_cache"] = {}
+        return state
+
     def _observe(self, t) -> int:
         """Cache (lineage ids, delete vectors) of the table's CURRENT
         generation so a running feed never depends on snapshot retention
-        for generations it witnessed live."""
-        gen = int(t.manifest().get("parts_gen", 0))
-        if gen not in self._cache:
-            self._cache[gen] = (set(t.completed_parts()), t.part_dv())
+        for generations it witnessed live. Re-reads the generation pointer
+        AFTER capturing the state and retries on a concurrent flip: caching
+        generation g+1's vectors under g would silently swallow g+1's
+        deletes from the next batch's delta."""
+        for _ in range(5):
+            gen = int(t.manifest().get("parts_gen", 0))
+            if gen in self._cache:
+                return gen
+            state = (set(t.completed_parts()), t.part_dv())
+            if int(t.manifest().get("parts_gen", 0)) != gen:
+                continue  # flipped under us: state may be mixed, retry
+            self._cache[gen] = state
             while len(self._cache) > self._CACHE_GENS:
                 self._cache.pop(min(self._cache))
-        return gen
+            return gen
+        raise RuntimeError(
+            "enctable change feed: table is flipping generations faster "
+            "than the offset snapshot can be captured; retry the batch"
+        )
 
     def _state(self, gen: int) -> tuple[set[int], dict]:
         cached = self._cache.get(gen)
@@ -652,6 +734,7 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
         return state
 
     def initialOffset(self) -> dict:
+        self._hwm_next = 0  # fresh checkpoint: cap from the very start
         return {"gen": self._gen0, "next": 0}
 
     def latestOffset(self) -> dict:
@@ -660,9 +743,13 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
         t = EncodedTable(self._path)
         gen = self._observe(t)
         parts = self._cache[gen][0]
-        return {"gen": gen, "next": (max(parts) + 1) if parts else 0}
+        true_next = (max(parts) + 1) if parts else 0
+        nxt = _capped_next(parts, self._hwm_next, self._max_ppt, true_next)
+        self._hwm_next = max(self._hwm_next or 0, nxt)
+        return {"gen": gen, "next": nxt}
 
     def partitions(self, start: dict, end: dict):
+        self._hwm_next = max(self._hwm_next or 0, int(end.get("next", 0)))
         g0, n0 = int(start.get("gen", 0)), int(start.get("next", 0))
         g1, n1 = int(end.get("gen", 0)), int(end.get("next", 0))
         lin1, dv1 = self._state(g1)
@@ -1145,15 +1232,19 @@ class EncodedTableDataSource(DataSource):
                 "ignoredeletes", self.options.get("ignoreDeletes", "")
             )
         ).lower() == "true"
+        max_ppt = _max_ppt_option(self.options)
         if self._change_feed():
             if ignore:
                 raise ValueError(
                     "enctable: readChangeFeed already surfaces deletes as "
                     "rows; ignoreDeletes applies to the append stream only"
                 )
-            return EncodedTableChangeFeedReader(self._path(), schema, want)
+            return EncodedTableChangeFeedReader(
+                self._path(), schema, want, max_parts_per_trigger=max_ppt
+            )
         return EncodedTableStreamReader(
-            self._path(), schema, want, ignore_deletes=ignore
+            self._path(), schema, want, ignore_deletes=ignore,
+            max_parts_per_trigger=max_ppt,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> EncodedTableArrowWriter:

@@ -255,3 +255,78 @@ def test_cdf_option_misuse_raises(spark, table):
     )
     with pytest.raises(ValueError, match="append stream"):
         ds.streamReader(EncodedTable(table).schema())
+
+
+def test_cdf_max_parts_per_trigger_bounds_every_batch(spark, docs, table):
+    """Admission control: with maxPartsPerTrigger=2 each offset advance
+    covers at most 2 parts, yet the walk reaches the true end -- the
+    10^6-part fresh-start snapshot drains as many small committed
+    batches, not one giant one."""
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableChangeFeedReader,
+    )
+
+    t = EncodedTable(table)
+    parts = sorted(t.completed_parts())
+    assert len(parts) >= 3  # the cap must actually bite
+    r = EncodedTableChangeFeedReader(
+        table, t.schema(), None, max_parts_per_trigger=2
+    )
+    offs = [r.initialOffset()]
+    for _ in range(len(parts) + 2):
+        o = r.latestOffset()
+        if o == offs[-1]:
+            break
+        r.partitions(offs[-1], o)
+        offs.append(o)
+    for a, b in zip(offs, offs[1:]):
+        covered = [p for p in parts if a["next"] <= p < b["next"]]
+        assert 1 <= len(covered) <= 2, (a, b)
+    assert offs[-1]["next"] == max(parts) + 1
+    assert len(offs) >= 3
+
+
+def test_append_stream_max_parts_per_trigger_e2e(spark, docs, table):
+    """The plain append stream honors the cap end-to-end from the second
+    trigger on (batch 0 is structurally uncapped: the Python stream API
+    calls latestOffset before any anchor exists): an appended multi-part
+    wave arriving mid-stream drains across SEVERAL micro-batches, totals
+    exact."""
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    spark.dataSource.register(EncodedTableDataSource)
+    n = docs.count()
+    q = (
+        spark.readStream.format("enctable")
+        .option("maxPartsPerTrigger", "1").load(table)
+        .writeStream.format("memory").queryName("captest").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+        assert spark.table("captest").count() == n
+        b0 = q.lastProgress["batchId"]
+        # a >=3-part wave lands while the stream runs; cap 1 forces it to
+        # drain across at least 3 further micro-batches
+        extra = docs.limit(200).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+        encode_job(
+            spark, extra, table, _pol(), if_exists="skip", part_base=1 << 20
+        )
+        from embulk_output_s3_parquet_spark.sources.tables import (
+            EncodedTable as _ET,
+        )
+
+        new_parts = sum(
+            1 for p in _ET(table).completed_parts() if p >= 1 << 20
+        )
+        assert new_parts >= 3
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+        assert spark.table("captest").count() == n + 200
+        assert q.lastProgress["batchId"] - b0 >= new_parts
+    finally:
+        q.stop()

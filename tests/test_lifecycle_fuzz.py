@@ -94,6 +94,57 @@ def _check(spark, path: str, model: pd.DataFrame) -> None:
     assert q["lb"] <= true_med <= q["ub"], (q, true_med)
 
 
+def _rows_ms(df: pd.DataFrame):
+    """Multiset of rows as NaN-normalized tuples (NaN != NaN would make
+    every null-bearing row unique)."""
+    from collections import Counter
+
+    return Counter(
+        tuple(None if pd.isna(x) else x for x in row)
+        for row in df.itertuples(index=False)
+    )
+
+
+def _cdf_check(spark, path: str, g0: int, before: pd.DataFrame,
+               after: pd.DataFrame, ctx) -> None:
+    """Universal change-feed oracle for one walk step: batch
+    table_changes(g0 -> now) must EITHER reproduce the model's row-level
+    multiset delta exactly, OR fail loudly for a declared reason (copy-on-
+    write rewrite / rollback / snapshot no longer retained). A silently
+    wrong delta -- the CDC failure mode that corrupts downstream mirrors --
+    is the one outcome this forbids."""
+    t = EncodedTable(path)
+    g1 = t.manifest().get("parts_gen", 0)
+    if g1 == g0:
+        return  # no generation flip: nothing was fed
+    try:
+        pdf = (
+            spark.read.format("enctable").option("readChangeFeed", "true")
+            .option("starting_gen", str(g0)).option("ending_gen", str(g1))
+            .load(path).toPandas()
+        )
+    except Exception as e:
+        msg = str(e)
+        assert (
+            "rewritten away" in msg or "fresh checkpoint" in msg
+            or "rolled back" in msg or "not on disk" in msg
+            or "no longer retained" in msg or "expired" in msg
+        ), (ctx, msg)
+        return
+    assert ((pdf["_commit_gen"] > g0) & (pdf["_commit_gen"] <= g1)).all(), ctx
+    if set(before.columns) != set(after.columns):
+        # metadata-only schema evolution flips the generation with zero
+        # row changes: the feed must drain empty
+        assert len(pdf) == 0, (ctx, pdf)
+        return
+    cols = list(before.columns)
+    dels = _rows_ms(pdf[pdf["_change_type"] == "delete"][cols])
+    ins = _rows_ms(pdf[pdf["_change_type"] == "insert"][cols])
+    b, a = _rows_ms(before), _rows_ms(after[cols])
+    assert dels == b - a, (ctx, "change feed deletes drifted from the model")
+    assert ins == a - b, (ctx, "change feed inserts drifted from the model")
+
+
 def _frames_equal(got: pd.DataFrame, want: pd.DataFrame) -> None:
     assert set(got.columns) == set(want.columns)
     g = got.set_index("doc_id").sort_index()
@@ -155,6 +206,8 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
     ]
     for step in range(14):
         op = rng.choice(ops)
+        gen_before = t.manifest().get("parts_gen", 0)
+        model_before = model.copy()
         if op in ("delete_cow", "delete_mor"):
             pred, mask = rand_pred()
             if int(mask.sum()) >= len(model):  # never empty the table
@@ -276,6 +329,9 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
             model = pd.concat([model, app_pd], ignore_index=True)
 
         _check(spark, path, model)
+        # change-feed oracle: the step's batch table_changes either equals
+        # the model's row-level delta or fails loudly -- never silently off
+        _cdf_check(spark, path, gen_before, model_before, model, (step, op))
         if tags:  # one pinned snapshot re-checked per step, full values
             name = rng.choice(sorted(tags))
             frame, idx = tags[name]
