@@ -46,7 +46,13 @@ from pyspark.sql.datasource import (
     StringStartsWith,
     WriterCommitMessage,
 )
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 _FILTER_OPS = {
     EqualTo: "==",
@@ -503,9 +509,14 @@ class EncodedTableStreamReader(DataSourceStreamReader):
 
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_GEN_COL = "_commit_gen"
+COMMIT_TS_COL = "_commit_ts"
 CDF_FIELDS = (
     StructField(CHANGE_TYPE_COL, StringType(), False),
     StructField(COMMIT_GEN_COL, LongType(), False),
+    # commit wall clock of the closing generation (Delta's
+    # _commit_timestamp); null for generations committed before the
+    # engine stamped flip clocks
+    StructField(COMMIT_TS_COL, TimestampType(), True),
 )
 
 
@@ -574,6 +585,7 @@ def _cdf_tasks(
     path: str,
     start: tuple[int, int, set[int], dict],
     end: tuple[int, int, set[int], dict],
+    ts1: float | None = None,
 ) -> list[list]:
     """Plan the row-level delta between two table states as independent
     per-part decode tasks -- shared by the streaming change feed (offsets)
@@ -605,11 +617,11 @@ def _cdf_tasks(
     for p in sorted(lin1):
         d = os.path.join(path, "data", f"part_id={p}")
         if n0 <= p < n1:
-            out.append(["insert", d, dv1.get(p), None, g1])
+            out.append(["insert", d, dv1.get(p), None, g1, ts1])
         elif p in seen0:
             delta = _dv_delta(dv0.get(p), dv1.get(p))
             if delta is not None:
-                out.append(["delete", d, delta[0], delta[1], g1])
+                out.append(["delete", d, delta[0], delta[1], g1, ts1])
     return out
 
 
@@ -677,6 +689,7 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
         data_schema = StructType([f for f in schema.fields if f.name not in meta])
         want = [c for c in columns if c not in meta] if columns else None
         self._fields, names = _prepare_fields(data_schema, want)
+        self._meta_fields = _cdf_meta_fields()
         t = EncodedTable(path)
         self._fillable = frozenset(t.added_columns()) & names
         self._aliases = t.stored_aliases()
@@ -754,35 +767,50 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
         g1, n1 = int(end.get("gen", 0)), int(end.get("next", 0))
         lin1, dv1 = self._state(g1)
         lin0, dv0 = (lin1, dv1) if g0 == g1 else self._state(g0)
+        from .tables import EncodedTable
+
+        ts1 = EncodedTable(self._path).gen_timestamps().get(g1)
         tasks = _cdf_tasks(
-            self._path, (g0, n0, lin0, dv0), (g1, n1, lin1, dv1)
+            self._path, (g0, n0, lin0, dv0), (g1, n1, lin1, dv1), ts1=ts1
         )
         return [InputPartition(json.dumps(task)) for task in tasks]
 
     def read(self, partition):
         yield from _cdf_read(
-            partition.value, self._fields, self._fillable, self._aliases
+            partition.value, self._fields, self._fillable, self._aliases,
+            self._meta_fields,
         )
 
     def commit(self, end: dict) -> None:
         pass  # parts and dv sidecars are immutable per generation
 
 
-def _cdf_read(partition_value: str, fields, fillable, aliases):
+def _cdf_meta_fields() -> list[tuple[str, "object"]]:
+    """Arrow (name, type) pairs for the CDF metadata columns, derived from
+    the SAME to_arrow_schema conversion as the data fields so the emitted
+    batches match the schema Spark planned (timestamp tz included)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    ms = to_arrow_schema(StructType(list(CDF_FIELDS)))
+    return [(f.name, f.type) for f in ms]
+
+
+def _cdf_read(partition_value: str, fields, fillable, aliases, meta_fields):
     """Executor-side decode of one change-feed task (stream and batch
     share it): an ``insert`` task is the ordinary masked part decode, a
     ``delete`` task decodes ONLY the chunks whose vector grew, inverted so
-    exactly the newly-deleted rows come back. Appends the two CDF metadata
+    exactly the newly-deleted rows come back. Appends the CDF metadata
     columns to every Arrow batch."""
     import pyarrow as pa
 
     from .chunkscan import iter_part_tables
 
-    kind, part_dir, dv, seqs, gen = json.loads(partition_value)
+    kind, part_dir, dv, seqs, gen, ts = json.loads(partition_value)
     files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"committed part missing: {part_dir}")
-    names = [n for n, _ in fields] + [CHANGE_TYPE_COL, COMMIT_GEN_COL]
+    names = [n for n, _ in fields] + [n for n, _ in meta_fields]
+    ts_us = None if ts is None else int(ts * 1_000_000)
     for tbl in iter_part_tables(
         files, fields, [], fillable=fillable, aliases=aliases, dv=dv,
         only_chunks=frozenset(seqs) if seqs is not None else None,
@@ -792,8 +820,9 @@ def _cdf_read(partition_value: str, fields, fillable, aliases):
             yield pa.RecordBatch.from_arrays(
                 list(batch.columns)
                 + [
-                    pa.array([kind] * n, pa.string()),
-                    pa.array([gen] * n, pa.int64()),
+                    pa.array([kind] * n, meta_fields[0][1]),
+                    pa.array([gen] * n, meta_fields[1][1]),
+                    pa.array([ts_us] * n, meta_fields[2][1]),
                 ],
                 names=names,
             )
@@ -831,6 +860,7 @@ class EncodedTableChangesReader(DataSourceReader):
         data_schema = StructType([f for f in schema.fields if f.name not in meta])
         want = [c for c in columns if c not in meta] if columns else None
         self._fields, names = _prepare_fields(data_schema, want)
+        self._meta_fields = _cdf_meta_fields()
         t = EncodedTable(path)
         self._fillable = frozenset(t.added_columns()) & names
         self._aliases = t.stored_aliases()
@@ -853,7 +883,10 @@ class EncodedTableChangesReader(DataSourceReader):
         )
         n0 = (max(lin0) + 1) if lin0 else 0
         n1 = (max(lin1) + 1) if lin1 else 0
-        self._tasks = _cdf_tasks(path, (g0, n0, lin0, dv0), (g1, n1, lin1, dv1))
+        self._tasks = _cdf_tasks(
+            path, (g0, n0, lin0, dv0), (g1, n1, lin1, dv1),
+            ts1=t.gen_timestamps().get(g1),
+        )
 
     def partitions(self):
         return [InputPartition(json.dumps(t)) for t in self._tasks]
@@ -862,7 +895,8 @@ class EncodedTableChangesReader(DataSourceReader):
         if partition is None or getattr(partition, "value", None) is None:
             return  # empty delta: pyspark plans one None partition
         yield from _cdf_read(
-            partition.value, self._fields, self._fillable, self._aliases
+            partition.value, self._fields, self._fillable, self._aliases,
+            self._meta_fields,
         )
 
 

@@ -226,6 +226,8 @@ def test_cdf_batch_table_changes_between_tags(spark, docs, table):
     ins = got.where(F.col("_change_type") == "insert")
     assert sorted(r.doc_id for r in dels.select("doc_id").collect()) == [0, 1, 2]
     assert ins.count() == 2
+    # every change carries the closing generation's commit wall clock
+    assert got.where(F.col("_commit_ts").isNull()).count() == 0
     assert ins.where(F.col("doc_id") >= 1_000_000).count() == 2
 
     # empty delta: same tag on both bounds -> zero rows, schema intact
