@@ -360,3 +360,35 @@ def _arrow_type(spark_type) -> pa.DataType:
             _arrow_type(spark_type["keyType"]), _arrow_type(spark_type["valueType"])
         )
     raise NotImplementedError(f"no arrow mapping for spark type {spark_type!r}")
+
+
+def changes_table(
+    path: str,
+    from_ref,
+    to_ref=None,
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Spark-free batch change feed: the row-level delta between two
+    retained generation snapshots (numbers or tag names; ``to_ref`` None =
+    live), as one arrow Table with the ``_change_type`` / ``_commit_gen``
+    / ``_commit_ts`` metadata columns -- the cron-shell twin of
+    ``spark.read.format("enctable").option("readChangeFeed", "true")``.
+    Same planner and decode path as the Catalyst reader
+    (sources/datasource.py ``EncodedTableChangesReader``), so semantics --
+    appends as inserts, merge-on-read vector growth as row-exact deletes,
+    loud failure on copy-on-write rewrites between the bounds -- are
+    identical; tag-after-drain makes incremental consumption need no
+    running Spark at all."""
+    from .datasource import EncodedTableChangesReader
+    from .tables import EncodedTable
+
+    rdr = EncodedTableChangesReader(
+        path, EncodedTable(path).schema(), columns, from_ref, to_ref
+    )
+    batches = []
+    for p in rdr.partitions():
+        batches.extend(rdr.read(p))
+    schema = pa.schema(
+        [(n, t) for n, t in rdr._fields] + [(n, t) for n, t in rdr._meta_fields]
+    )
+    return pa.Table.from_batches(batches, schema=schema)

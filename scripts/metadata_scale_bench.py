@@ -254,6 +254,32 @@ def main() -> int:
             out["zone_prune_distributed_s"] = round(time.time() - t0, 3)
             assert sel == surv
 
+        # -- change-feed planning at full part count -----------------------
+        # batch table_changes(tag -> live) after one appended wave: the
+        # driver pays two lineage loads + an O(parts) id sweep + (here
+        # empty) dv sidecar loads, then plans O(changed parts) tasks. The
+        # 100 TB claim: incremental consumption of a 10^5-part table costs
+        # seconds of planning for a wave-sized delta, and scales linearly.
+        t._append_parts(
+            {
+                pid: lineage_row(pid, args.part_rows, None, None)
+                for pid in range(args.parts, args.parts + args.wave)
+            }
+        )
+        t0 = time.time()
+        from embulk_output_s3_parquet_spark.sources.datasource import (
+            EncodedTableChangesReader,
+        )
+
+        rdr = EncodedTableChangesReader(t.path, SCHEMA, None, "bench", None)
+        out["cdf_plan_s"] = round(time.time() - t0, 3)
+        out["cdf_plan_tasks"] = len(rdr._tasks)
+        assert len(rdr._tasks) == args.wave, len(rdr._tasks)
+        assert all(task[0] == "insert" for task in rdr._tasks)
+        out["extrapolated_1e6_cdf_plan_s"] = round(
+            out["cdf_plan_s"] * 1e6 / args.parts, 1
+        )
+
         # -- bloom table (realistic sidecar bytes, shard-streamed probes) --
         tb, _ = build_table(root, args.bloom_parts, args.wave, args.part_rows, True)
         sidecars = [

@@ -332,3 +332,31 @@ def test_append_stream_max_parts_per_trigger_e2e(spark, docs, table):
         assert q.lastProgress["batchId"] - b0 >= new_parts
     finally:
         q.stop()
+
+
+def test_changes_table_sparkfree_matches_catalyst(spark, docs, table):
+    """pyreader.changes_table is the Spark-free twin: identical rows to
+    the Catalyst batch CDF between the same tag bounds."""
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+    from embulk_output_s3_parquet_spark.sources.pyreader import changes_table
+
+    spark.dataSource.register(EncodedTableDataSource)
+    t = EncodedTable(table)
+    t.create_tag("p0")
+    delete_job(spark, table, ("doc_id", "<", 4), mode="mor")
+    extra = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    encode_job(spark, extra, table, _pol(), if_exists="skip", part_base=1 << 20)
+
+    free = changes_table(table, "p0").to_pandas()
+    via_spark = (
+        spark.read.format("enctable").option("readChangeFeed", "true")
+        .option("starting_gen", "p0").load(table).toPandas()
+    )
+    key = ["_change_type", "doc_id"]
+    assert sorted(map(tuple, free[key].values.tolist())) == sorted(
+        map(tuple, via_spark[key].values.tolist())
+    )
+    assert len(free) == 4 + 3
+    assert free["_commit_ts"].notna().all()
