@@ -875,14 +875,26 @@ class EncodedTableChangesReader(DataSourceReader):
                 f"enctable change feed: starting_gen {g0} is newer than "
                 f"ending_gen {g1}"
             )
-        lin1, dv1 = set(t.lineage_at(g1)), t.part_dv(gen=g1)
-        lin0, dv0 = (
-            (lin1, dv1)
-            if g0 == g1
-            else (set(t.lineage_at(g0)), t.part_dv(gen=g0))
-        )
-        n0 = (max(lin0) + 1) if lin0 else 0
-        n1 = (max(lin1) + 1) if lin1 else 0
+        states = None
+        self.plan_stats: dict = {}
+        if g0 != g1 and os.environ.get("SPARK_ENCTABLE_CDF_FULLPLAN") != "1":
+            # stat-diff fast path: parse only shards whose lineage JSON or
+            # dv sidecar changed between the two snapshots (hard-linked
+            # unchanged shards share inodes) -- O(shards + changed parts)
+            # planning instead of two full lineage loads. None = legacy
+            # inline lineage; fall through to the full parse below.
+            states = t.cdf_states(g0, g1)
+        if states is not None:
+            (n0, lin0, dv0), (n1, lin1, dv1), self.plan_stats = states
+        else:
+            lin1, dv1 = set(t.lineage_at(g1)), t.part_dv(gen=g1)
+            lin0, dv0 = (
+                (lin1, dv1)
+                if g0 == g1
+                else (set(t.lineage_at(g0)), t.part_dv(gen=g0))
+            )
+            n0 = (max(lin0) + 1) if lin0 else 0
+            n1 = (max(lin1) + 1) if lin1 else 0
         self._tasks = _cdf_tasks(
             path, (g0, n0, lin0, dv0), (g1, n1, lin1, dv1),
             ts1=t.gen_timestamps().get(g1),

@@ -1717,6 +1717,113 @@ class EncodedTable:
                 out[int(pid_s)] = dv
         return out
 
+    def cdf_states(
+        self, g0: int, g1: int
+    ) -> tuple[tuple, tuple, dict] | None:
+        """Change-feed planning states between two retained generations,
+        computed by STAT-DIFFING shard files instead of parsing every
+        lineage shard of both snapshots.
+
+        Every generation flip hard-links the shard files it did not touch
+        (``_update_parts``) and rewrites touched ones via temp+rename
+        (``_write_shard_file``), so two generations' copies of a shard are
+        byte-identical exactly when they share an inode. A shard whose
+        lineage JSON *and* dv sidecar are inode-equal across [g0, g1]
+        contributes nothing to the delta -- its part-id set and delete
+        vectors are unchanged -- so the planner parses only CHANGED shards:
+        plan cost is O(shards + changed parts), not O(total parts). (A
+        cross-device link fallback copies instead of linking; those shards
+        stat as changed and merely get parsed -- never a wrong plan.)
+
+        Returns ``((n0, lin0, dv0), (n1, lin1, dv1), stats)`` where lin/dv
+        are RESTRICTED to changed shards -- sound for ``_cdf_tasks``
+        because an inode-equal shard can produce no insert (all its pids
+        predate n0), no retired/resurrected id (identical pid sets), and
+        no dv growth (identical vectors) -- and n0/n1 are the TRUE part-id
+        watermarks (max pid + 1, read from each generation's highest
+        shard only). Returns None for legacy inline-lineage tables
+        (no shard files to diff); callers fall back to the full parse."""
+        m = self._core_manifest()
+        if m.get("parts"):
+            return None  # legacy inline lineage: nothing to stat-diff
+        self.validate_gen(int(g0))
+        self.validate_gen(int(g1))
+        d0 = os.path.join(self.path, f"parts-{g0}")
+        d1 = os.path.join(self.path, f"parts-{g1}")
+
+        def scan(d: str) -> tuple[dict[int, str], dict[int, str]]:
+            lin: dict[int, str] = {}
+            dv: dict[int, str] = {}
+            if os.path.isdir(d):
+                for name in os.listdir(d):
+                    if _is_lineage_shard(name):
+                        sid = int(name[len("shard-") : -len(".json")])
+                        lin[sid] = os.path.join(d, name)
+                    elif name.startswith("shard-") and name.endswith(
+                        DV_SIDECAR_SUFFIX
+                    ):
+                        sid = int(name[len("shard-") : -len(DV_SIDECAR_SUFFIX)])
+                        dv[sid] = os.path.join(d, name)
+            return lin, dv
+
+        def ino(p: str | None) -> tuple | None:
+            if p is None:
+                return None
+            try:
+                st = os.stat(p)
+            except OSError:
+                return None
+            return (st.st_dev, st.st_ino)
+
+        def watermark(lin_files: dict[int, str]) -> int:
+            if not lin_files:
+                return 0
+            rows = _load_shard_cached(lin_files[max(lin_files)])
+            if rows is None:
+                raise ConfigException(
+                    f"lineage shard of {self.path} vanished mid-plan "
+                    "(concurrent rewrite); retry"
+                )
+            return max((int(k) for k in rows), default=-1) + 1
+
+        lin0f, dv0f = scan(d0)
+        lin1f, dv1f = scan(d1)
+        changed: set[int] = set()
+        for sid in set(lin0f) | set(lin1f) | set(dv0f) | set(dv1f):
+            if ino(lin0f.get(sid)) != ino(lin1f.get(sid)) or ino(
+                dv0f.get(sid)
+            ) != ino(dv1f.get(sid)):
+                changed.add(sid)
+
+        def load(
+            d: str, lin_files: dict[int, str]
+        ) -> tuple[set[int], dict[int, dict]]:
+            lin: set[int] = set()
+            dv: dict[int, dict] = {}
+            for sid in sorted(changed):
+                p = lin_files.get(sid)
+                if p is not None:
+                    rows = _load_shard_cached(p)
+                    if rows is None:
+                        raise ConfigException(
+                            f"lineage shard of {self.path} vanished "
+                            "mid-plan (concurrent rewrite); retry"
+                        )
+                    lin.update(int(k) for k in rows)
+                for pid_s, v in _read_dv_sidecar(d, sid).items():
+                    dv[int(pid_s)] = v
+            return lin, dv
+
+        n0, n1 = watermark(lin0f), watermark(lin1f)
+        lin0, dv0 = load(d0, lin0f)
+        lin1, dv1 = load(d1, lin1f)
+        stats = {
+            "changed_shards": len(changed),
+            "total_shards": len(set(lin0f) | set(lin1f)),
+            "parsed_parts": len(lin0 | lin1),
+        }
+        return (n0, lin0, dv0), (n1, lin1, dv1), stats
+
     def surviving_parts(
         self, conjuncts: list[tuple], spark=None
     ) -> set[int]:

@@ -266,18 +266,33 @@ def main() -> int:
                 for pid in range(args.parts, args.parts + args.wave)
             }
         )
-        t0 = time.time()
         from embulk_output_s3_parquet_spark.sources.datasource import (
             EncodedTableChangesReader,
         )
 
+        os.environ["SPARK_ENCTABLE_CDF_FULLPLAN"] = "1"
+        t0 = time.time()
         rdr = EncodedTableChangesReader(t.path, SCHEMA, None, "bench", None)
-        out["cdf_plan_s"] = round(time.time() - t0, 3)
+        out["cdf_plan_full_s"] = round(time.time() - t0, 3)
+        del os.environ["SPARK_ENCTABLE_CDF_FULLPLAN"]
         out["cdf_plan_tasks"] = len(rdr._tasks)
         assert len(rdr._tasks) == args.wave, len(rdr._tasks)
         assert all(task[0] == "insert" for task in rdr._tasks)
+        # stat-diff planner (the default): unchanged shards are inode-equal
+        # hard links from the tag's freeze-flip, so only the shards the
+        # appended wave touched are parsed -- O(shards + changed parts)
+        t0 = time.time()
+        fast = EncodedTableChangesReader(t.path, SCHEMA, None, "bench", None)
+        out["cdf_plan_s"] = round(time.time() - t0, 3)
+        assert fast._tasks == rdr._tasks
+        out["cdf_changed_shards"] = fast.plan_stats.get("changed_shards")
+        out["cdf_total_shards"] = fast.plan_stats.get("total_shards")
+        # full plan parses every shard of both snapshots: linear in parts.
+        # The stat-diff plan is O(shards) stats + O(changed parts) parse,
+        # so its 1e6 extrapolation scales only the stat sweep (shards
+        # grow 1e6/parts-fold; the wave-sized parse cost is constant).
         out["extrapolated_1e6_cdf_plan_s"] = round(
-            out["cdf_plan_s"] * 1e6 / args.parts, 1
+            out["cdf_plan_full_s"] * 1e6 / args.parts, 1
         )
 
         # -- bloom table (realistic sidecar bytes, shard-streamed probes) --

@@ -360,3 +360,98 @@ def test_changes_table_sparkfree_matches_catalyst(spark, docs, table):
     )
     assert len(free) == 4 + 3
     assert free["_commit_ts"].notna().all()
+
+
+def test_cdf_statdiff_matches_fullplan(spark, docs, table, monkeypatch):
+    """The stat-diff planner (EncodedTable.cdf_states: parse only shards
+    whose lineage JSON or dv sidecar changed inode between the two
+    snapshots) must produce byte-identical task lists to the full
+    two-snapshot parse, and must actually SKIP untouched shards."""
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableChangesReader,
+    )
+
+    t = EncodedTable(table)
+    t.create_tag("s0")
+    delete_job(spark, table, ("doc_id", "<", 5), mode="mor")  # dv in shard 0
+    extra = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    encode_job(spark, extra, table, _pol(), if_exists="skip", part_base=1 << 20)
+    t.create_tag("s1")
+    # second wave touching ONLY shard 256: s1 -> live must skip shard 0
+    extra2 = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    encode_job(
+        spark, extra2, table, _pol(), if_exists="skip", part_base=(1 << 20) + 64
+    )
+
+    sch = t.schema()
+    for bounds in (("s0", None), ("s0", "s1"), ("s1", None)):
+        fast = EncodedTableChangesReader(table, sch, None, *bounds)
+        monkeypatch.setenv("SPARK_ENCTABLE_CDF_FULLPLAN", "1")
+        full = EncodedTableChangesReader(table, sch, None, *bounds)
+        monkeypatch.delenv("SPARK_ENCTABLE_CDF_FULLPLAN")
+        assert fast._tasks == full._tasks, bounds
+        assert fast._tasks, bounds  # every window has a real delta
+        assert full.plan_stats == {}  # full path records no stat-diff
+    # the s1 -> live window touched only shard 256; shard 0 (original
+    # parts + their dv sidecar) is an inode-equal hard link and is skipped
+    fast = EncodedTableChangesReader(table, sch, None, "s1", None)
+    assert fast.plan_stats["changed_shards"] == 1
+    assert fast.plan_stats["total_shards"] >= 2
+    assert [k[0] for k in fast._tasks] == ["insert"] * len(fast._tasks)
+
+
+def test_cdf_states_synthetic_multishard(tmp_path):
+    """Spark-free unit test of the stat-diff planner across three lineage
+    shards: appends in one shard and dv growth in another parse exactly
+    those two shards; the untouched middle shard is never loaded."""
+    import base64
+
+    from pyspark.sql import types as T
+
+    from embulk_output_s3_parquet_spark.sources.datasource import _cdf_tasks
+    from embulk_output_s3_parquet_spark.sources.tables import SHARD_SIZE
+
+    sch = T.StructType([T.StructField("x", T.LongType())])
+    t = EncodedTable.create(str(tmp_path / "syn"), sch, CodecPolicy())
+    t.set_snapshot_retention(4)
+
+    def row(pid):
+        return {"rows": 8, "chunks": 1, "raw_bytes": 64, "enc_bytes": 32}
+
+    pids0 = [1, 2, SHARD_SIZE + 1, 2 * SHARD_SIZE + 1]
+    t._append_parts({p: row(p) for p in pids0})
+    g0 = t.create_tag("base")
+
+    # dv growth in shard 0 (via the same _update_parts path delete_job
+    # mode='mor' uses) and a fresh append in shard 2
+    dv = {
+        "n": 1,
+        "chunks": {"0": {"n": 1, "bm": base64.b64encode(b"\x80").decode()}},
+    }
+    t._update_parts(set(), {1: {**row(1), "dv": dv}})
+    t._append_parts({2 * SHARD_SIZE + 2: row(0)})
+    g1 = int(t.manifest()["parts_gen"])
+
+    (n0, lin0, dv0), (n1, lin1, dv1), stats = t.cdf_states(g0, g1)
+    assert stats["changed_shards"] == 2 and stats["total_shards"] == 3
+    assert SHARD_SIZE + 1 not in lin0 | lin1  # untouched shard never parsed
+    assert n0 == 2 * SHARD_SIZE + 2 and n1 == 2 * SHARD_SIZE + 3
+
+    # task equivalence vs the full two-snapshot parse
+    flin0, fdv0 = set(t.lineage_at(g0)), t.part_dv(gen=g0)
+    flin1, fdv1 = set(t.lineage_at(g1)), t.part_dv(gen=g1)
+    fn0, fn1 = max(flin0) + 1, max(flin1) + 1
+    assert (fn0, fn1) == (n0, n1)
+    fast = _cdf_tasks(t.path, (g0, n0, lin0, dv0), (g1, n1, lin1, dv1))
+    full = _cdf_tasks(t.path, (g0, fn0, flin0, fdv0), (g1, fn1, flin1, fdv1))
+    assert fast == full
+    kinds = sorted(k[0] for k in fast)
+    assert kinds == ["delete", "insert"]
+
+    # a copy-on-write retire between the bounds still fails loudly through
+    # the restricted sets (the rewritten shard stats as changed)
+    t._update_parts({2}, {})
+    g2 = int(t.manifest()["parts_gen"])
+    (n0, lin0, dv0), (n1, lin1, dv1), _ = t.cdf_states(g0, g2)
+    with pytest.raises(RuntimeError, match="rewritten away"):
+        _cdf_tasks(t.path, (g0, n0, lin0, dv0), (g2, n1, lin1, dv1))
