@@ -694,6 +694,7 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
         self._fillable = frozenset(t.added_columns()) & names
         self._aliases = t.stored_aliases()
         self._cache: dict[int, tuple[set[int], dict]] = {}
+        self._live_fp: dict[int, tuple] = {}
         self._gen0 = self._observe(t)
 
     def __getstate__(self):
@@ -702,25 +703,62 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
         # never ship it with the per-task reader pickle
         state = dict(self.__dict__)
         state["_cache"] = {}
+        state["_live_fp"] = {}
         return state
+
+    @staticmethod
+    def _dir_fingerprint(path: str, gen: int) -> tuple:
+        """Stat fingerprint of one generation's shard dir (lineage JSON +
+        dv sidecars). Appends commit into the LIVE generation WITHOUT
+        flipping ``parts_gen`` (``_append_parts`` rewrites touched shard
+        files in place via temp+rename), so the generation number alone
+        does not identify the live generation's part set -- the cached
+        observe state must be refreshed whenever any shard file's
+        (inode, mtime, size) changed. O(shards) stats per poll, no
+        parses. Superseded generations' dirs are immutable; only the
+        live one needs this."""
+        d = os.path.join(path, f"parts-{gen}")
+        out = []
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return ()
+        for name in names:
+            if not name.startswith("shard-") or not name.endswith(".json"):
+                continue
+            try:
+                st = os.stat(os.path.join(d, name))
+            except OSError:
+                continue  # racing rewrite; the post-capture recheck retries
+            out.append((name, st.st_ino, st.st_mtime_ns, st.st_size))
+        return tuple(sorted(out))
 
     def _observe(self, t) -> int:
         """Cache (lineage ids, delete vectors) of the table's CURRENT
         generation so a running feed never depends on snapshot retention
         for generations it witnessed live. Re-reads the generation pointer
-        AFTER capturing the state and retries on a concurrent flip: caching
-        generation g+1's vectors under g would silently swallow g+1's
-        deletes from the next batch's delta."""
+        AND the shard-dir fingerprint AFTER capturing the state and
+        retries on a concurrent change: caching generation g+1's vectors
+        under g would silently swallow g+1's deletes from the next batch's
+        delta, and a same-generation append landing mid-capture could pin
+        a stale part set (appends do not flip ``parts_gen``)."""
         for _ in range(5):
             gen = int(t.manifest().get("parts_gen", 0))
-            if gen in self._cache:
+            fp = self._dir_fingerprint(self._path, gen)
+            if gen in self._cache and self._live_fp.get(gen) == fp:
                 return gen
             state = (set(t.completed_parts()), t.part_dv())
-            if int(t.manifest().get("parts_gen", 0)) != gen:
-                continue  # flipped under us: state may be mixed, retry
+            if (
+                int(t.manifest().get("parts_gen", 0)) != gen
+                or self._dir_fingerprint(self._path, gen) != fp
+            ):
+                continue  # flipped/appended under us: state may be mixed
             self._cache[gen] = state
+            self._live_fp[gen] = fp
             while len(self._cache) > self._CACHE_GENS:
-                self._cache.pop(min(self._cache))
+                dropped = min(self._cache)
+                self._cache.pop(dropped)
+                self._live_fp.pop(dropped, None)
             return gen
         raise RuntimeError(
             "enctable change feed: table is flipping generations faster "

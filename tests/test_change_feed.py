@@ -455,3 +455,44 @@ def test_cdf_states_synthetic_multishard(tmp_path):
     (n0, lin0, dv0), (n1, lin1, dv1), _ = t.cdf_states(g0, g2)
     with pytest.raises(RuntimeError, match="rewritten away"):
         _cdf_tasks(t.path, (g0, n0, lin0, dv0), (g2, n1, lin1, dv1))
+
+
+def test_cdf_running_feed_sees_same_gen_appends(spark, docs, table):
+    """Appends commit into the LIVE generation without flipping parts_gen,
+    so a RUNNING feed's witnessed-generation cache must refresh on the
+    shard-dir stat fingerprint, not the generation number alone -- a
+    long-running CDF stream over an append-only table must deliver new
+    parts promptly, not stall until an unrelated generation flip."""
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    spark.dataSource.register(EncodedTableDataSource)
+    n = docs.count()
+    q = (
+        spark.readStream.format("enctable")
+        .option("readChangeFeed", "true").load(table)
+        .writeStream.format("memory").queryName("cdflive").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+        assert spark.table("cdflive").count() == n
+        # same-generation append while the stream is RUNNING (no flip)
+        g_before = EncodedTable(table).manifest().get("parts_gen", 0)
+        extra = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        encode_job(
+            spark, extra, table, _pol(), if_exists="skip", part_base=1 << 20
+        )
+        assert EncodedTable(table).manifest().get("parts_gen", 0) == g_before
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+        got = spark.table("cdflive")
+        assert got.count() == n + 5
+        fresh = got.where(F.col("doc_id") >= 1_000_000)
+        assert fresh.count() == 5
+        assert (
+            fresh.select("_change_type").distinct().collect()[0][0] == "insert"
+        )
+    finally:
+        q.stop()
