@@ -1277,8 +1277,16 @@ class EncodedTable:
         out: dict[str, dict] = {}
         for name in os.listdir(d):
             if _is_lineage_shard(name):
-                with open(os.path.join(d, name)) as f:
-                    out.update(json.load(f))
+                # snapshot dirs are immutable, so the stat-keyed cache hits
+                # across repeated snapshot reads (time travel, CDF restart)
+                rows = _load_shard_cached(os.path.join(d, name))
+                if rows is None:
+                    raise ConfigException(
+                        f"generation {gen} of {self.path} was expired "
+                        "while being read (concurrent vacuum); raise "
+                        "snapshot-retention or re-pin with a tag"
+                    )
+                out.update(rows)
         return {int(k): v for k, v in out.items()}
 
     def note_part_extent(self, max_id: int) -> None:

@@ -134,7 +134,47 @@ def main() -> int:
         "may-match contract -- rows are pre-filtered by chunk zones, the "
         "exact filter is applied after decode)",
     )
+    ap.add_argument(
+        "--changes-from", metavar="GEN_OR_TAG",
+        help="Spark-free batch change feed (pyreader.changes_table): the "
+        "row-level delta from this generation/tag to --changes-to (default "
+        "live) as parquet at --out, with _change_type/_commit_gen/"
+        "_commit_ts; tag-after-drain makes this an incremental consumer "
+        "with no running Spark",
+    )
+    ap.add_argument(
+        "--changes-to", metavar="GEN_OR_TAG", default=None,
+        help="closing bound for --changes-from (default: live table)",
+    )
     args = ap.parse_args()
+
+    if args.changes_from is not None:
+        import pyarrow.parquet as pq
+
+        from embulk_output_s3_parquet_spark.sources.pyreader import (
+            changes_table,
+        )
+
+        t0 = time.time()
+        cols = args.columns.split(",") if args.columns else None
+        tbl = changes_table(
+            args.table, args.changes_from, args.changes_to, columns=cols
+        )
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(tbl.column("_change_type"))
+        rep = {
+            "rows": tbl.num_rows,
+            "by_change_type": {
+                str(e["values"]): int(e["counts"]) for e in vc.to_pylist()
+            },
+            "wall_s": round(time.time() - t0, 2),
+        }
+        if args.out:
+            pq.write_table(tbl, args.out)
+            rep["out"] = args.out
+        print(json.dumps(rep))
+        return 0
 
     if args.at_ts:
         if args.at_gen is not None:
