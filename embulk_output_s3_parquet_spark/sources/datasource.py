@@ -761,8 +761,9 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
                 self._live_fp.pop(dropped, None)
             return gen
         raise RuntimeError(
-            "enctable change feed: table is flipping generations faster "
-            "than the offset snapshot can be captured; retry the batch"
+            "enctable change feed: table is committing (flips or appends) "
+            "faster than the offset snapshot can be captured; retry the "
+            "batch"
         )
 
     def _state(self, gen: int) -> tuple[set[int], dict]:
