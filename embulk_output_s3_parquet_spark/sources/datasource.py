@@ -804,8 +804,38 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
         self._hwm_next = max(self._hwm_next or 0, int(end.get("next", 0)))
         g0, n0 = int(start.get("gen", 0)), int(start.get("next", 0))
         g1, n1 = int(end.get("gen", 0)), int(end.get("next", 0))
-        lin1, dv1 = self._state(g1)
-        lin0, dv0 = (lin1, dv1) if g0 == g1 else self._state(g0)
+        states = None
+        if (
+            g0 != g1
+            and (g0 not in self._cache or g1 not in self._cache)
+            and os.environ.get("SPARK_ENCTABLE_CDF_FULLPLAN") != "1"
+        ):
+            # restart across generations: neither snapshot was witnessed
+            # live, so instead of two full lineage loads, stat-diff the
+            # retained shard dirs (EncodedTable.cdf_states) -- O(shards +
+            # changed parts) replay planning. The restricted states are
+            # PAIR-specific and must never enter self._cache (a shard
+            # unchanged across [g0,g1] may differ across another pair).
+            # Any failure falls back to _state, whose errors carry the
+            # retention guidance.
+            from .tables import EncodedTable
+
+            try:
+                states = EncodedTable(self._path).cdf_states(g0, g1)
+            except Exception:
+                states = None
+            if states is not None and states[0][0] > n0:
+                # the start offset was CAPPED below g0's true watermark
+                # (maxPartsPerTrigger backlog): parts in [n0, watermark)
+                # live in shards that may be inode-equal across the pair
+                # and would be missing from the restricted sets -- replay
+                # them through the full snapshot load instead
+                states = None
+        if states is not None:
+            (_, lin0, dv0), (_, lin1, dv1), _stats = states
+        else:
+            lin1, dv1 = self._state(g1)
+            lin0, dv0 = (lin1, dv1) if g0 == g1 else self._state(g0)
         from .tables import EncodedTable
 
         ts1 = EncodedTable(self._path).gen_timestamps().get(g1)

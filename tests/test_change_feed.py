@@ -496,3 +496,44 @@ def test_cdf_running_feed_sees_same_gen_appends(spark, docs, table):
         )
     finally:
         q.stop()
+
+
+def test_cdf_restart_capped_backlog_replays_fully(spark, docs, table):
+    """Restart planning may stat-diff the two snapshots ONLY when the
+    start offset has no backlog: with maxPartsPerTrigger the checkpointed
+    ``next`` can lag the start generation's true watermark, and those
+    undelivered parts live in shards that are inode-equal across the
+    window -- the planner must fall back to the full snapshot load and
+    deliver them."""
+    import json
+
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableChangeFeedReader,
+    )
+
+    t = EncodedTable(table)
+    sch = t.schema()
+    r = EncodedTableChangeFeedReader(table, sch, None, max_parts_per_trigger=2)
+    r.initialOffset()
+    o1 = r.latestOffset()  # capped: covers only the first parts
+    parts = sorted(t.completed_parts())
+    assert o1["next"] <= parts[-1]  # a real backlog remains
+    # delete a row that lives in a DELIVERED part (< o1.next): its image
+    # must come back as a delete task; rows vectored in backlog parts are
+    # simply excluded from their insert (never delivered, no retraction)
+    victim = t.part_zones()[parts[0]]["doc_id"]["mm"][0]
+    delete_job(spark, table, ("doc_id", "==", victim), mode="mor")
+
+    r2 = EncodedTableChangeFeedReader(table, sch, None)  # restart
+    end = r2.latestOffset()
+    assert end["gen"] == o1["gen"] + 1
+    tasks = [json.loads(p.value) for p in r2.partitions(o1, end)]
+    got_inserts = sorted(
+        int(task[1].rsplit("part_id=", 1)[1])
+        for task in tasks
+        if task[0] == "insert"
+    )
+    assert got_inserts == [p for p in parts if p >= o1["next"]]
+    dels = [task for task in tasks if task[0] == "delete"]
+    assert len(dels) == 1
+    assert int(dels[0][1].rsplit("part_id=", 1)[1]) == parts[0]
