@@ -1664,6 +1664,67 @@ def compact_job(
     return table
 
 
+def rewrite_small_parts(
+    spark: SparkSession,
+    table_path: str,
+    min_part_bytes: int | None = None,
+    policy: CodecPolicy | None = None,
+    max_parts: int | None = None,
+) -> dict:
+    """Selective compaction (Iceberg ``rewrite_data_files`` with a file-size
+    threshold / Delta ``OPTIMIZE`` analogue): rewrite ONLY the parts whose
+    encoded payload sits below ``min_part_bytes`` (default: half the
+    policy's target partition bytes), merging a streaming/trickle-append
+    tail into target-size parts while every healthy part keeps its bytes,
+    lineage mtime, and zone stats untouched.
+
+    Cost is O(selected parts) decode+encode plus a partial generation flip
+    (``_update_parts``: unchanged shards hard-linked, removed ids
+    tombstoned), versus ``compact_job``'s full-table rewrite -- the
+    100 TB maintenance shape, where a day of micro-batches leaves thousands
+    of kilobyte parts under terabytes of healthy ones. ``max_parts`` bounds
+    one run to the smallest N selected parts (wave-sized maintenance).
+    Merge-on-read delete vectors of selected parts materialize away; like
+    every copy-on-write rewrite the retired ids fail a live change feed
+    loudly, so run it between feed drains."""
+    table = EncodedTable(table_path)
+    policy = policy or table.policy()
+    if min_part_bytes is None:
+        min_part_bytes = int(policy.target_partition_bytes) // 2
+    lineage = table.lineage()
+    sizes = {p: int(r.get("enc_bytes", 0)) for p, r in lineage.items()}
+    selected = {p for p, b in sizes.items() if b < min_part_bytes}
+    if max_parts is not None and len(selected) > max_parts:
+        selected = set(
+            sorted(selected, key=lambda p: (sizes[p], p))[:max_parts]
+        )
+    report = {
+        "parts_total": len(lineage),
+        "min_part_bytes": int(min_part_bytes),
+        "parts_selected": len(selected),
+        "bytes_selected": sum(sizes[p] for p in selected),
+        "parts_rewritten": 0,
+        "parts_written": 0,
+    }
+    if len(selected) < 2:
+        # nothing to merge: one small part would be rewritten 1:1 (use
+        # compact_job / delete-vector materialization for that)
+        report["parts_selected"] = 0
+        return report
+    from .operators.decode import decode_table_scan
+
+    df = decode_table_scan(spark, table, parts=selected)
+    new_lineage = _swap_in_rewrite(spark, table, selected, df, policy)
+    report["parts_rewritten"] = len(selected)
+    report["parts_written"] = len(new_lineage)
+    report["bytes_written"] = sum(
+        int(r.get("enc_bytes", 0)) for r in new_lineage.values()
+    )
+    report["rows"] = sum(int(r.get("rows", 0)) for r in new_lineage.values())
+    table.log_op("rewrite_small_parts", dict(report))
+    return report
+
+
 # chunk files are laid out for the two-pass pruning scan
 # (sources/chunkscan.py): rows sorted by (col, chunk_seq) make parquet
 # row-group min/max stats on those two columns tight, so a projected or

@@ -106,6 +106,23 @@ def main() -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--cluster-by", help="comma-separated re-cluster columns")
 
+    p = sub.add_parser(
+        "optimize",
+        help="selective small-part compaction (Iceberg rewrite_data_files "
+        "size threshold / Delta OPTIMIZE): merge only parts below "
+        "--min-part-bytes, healthy parts untouched",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument(
+        "--min-part-bytes", type=int, default=None,
+        help="rewrite parts with encoded bytes below this (default: half "
+        "the table policy's target partition bytes)",
+    )
+    p.add_argument(
+        "--max-parts", type=int, default=None,
+        help="bound one run to the N smallest selected parts",
+    )
+
     p = sub.add_parser("vacuum", help="remove orphans + expired snapshots")
     p.add_argument("--table", required=True)
     p.add_argument("--dry-run", action="store_true")
@@ -309,6 +326,15 @@ def main() -> int:
             cb = args.cluster_by.split(",") if args.cluster_by else None
             t = compact_job(spark, args.table, cluster_by=cb)
             rep = {"parts": len(t.lineage())}
+        elif args.cmd == "optimize":
+            from embulk_output_s3_parquet_spark.jobs import (
+                rewrite_small_parts,
+            )
+
+            rep = rewrite_small_parts(
+                spark, args.table, min_part_bytes=args.min_part_bytes,
+                max_parts=args.max_parts,
+            )
         elif args.cmd == "diff":
             from embulk_output_s3_parquet_spark.jobs import (
                 diff_job, diff_summary,
