@@ -29,6 +29,7 @@ from embulk_output_s3_parquet_spark.jobs import (
     delete_job,
     encode_job,
     merge_job,
+    rewrite_small_parts,
     rollback_job,
     update_job,
     vacuum_job,
@@ -202,7 +203,7 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
     ops = [
         "delete_cow", "delete_mor", "delete_mor", "update_cow", "update_mor",
         "rename", "add", "drop", "tag", "tag", "compact", "vacuum", "rollback",
-        "merge_cow", "merge_mor", "drop_tag", "append",
+        "merge_cow", "merge_mor", "drop_tag", "append", "optimize",
     ]
     for step in range(14):
         op = rng.choice(ops)
@@ -256,6 +257,20 @@ def test_lifecycle_random_walk(spark, tmp_path, seed):
             # no explicit policy: compaction inherits the table's recorded
             # one, which rename_column must have re-keyed (bloom/ndv cols)
             compact_job(spark, path)
+        elif op == "optimize":
+            # selective small-part merge: rows must be invariant, the CDF
+            # oracle below sees either an exact delta (only post-window
+            # parts merged) or the declared loud CoW failure
+            sizes = sorted(
+                int(r["enc_bytes"]) for r in t.lineage().values()
+            )
+            if len(sizes) < 3:
+                continue
+            thr = sizes[len(sizes) // 2] + 1  # merge the smaller half
+            rewrite_small_parts(
+                spark, path, min_part_bytes=thr,
+                max_parts=rng.choice([None, 3]),
+            )
         elif op == "vacuum":
             vacuum_job(path)
         elif op == "rollback":
