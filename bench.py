@@ -307,6 +307,39 @@ def main() -> int:
     extra["mor_parts_rewritten"] = int(rep_m["parts_rewritten"])
     extra["cow_parts_rewritten"] = int(rep_c["parts_rewritten"])
 
+    # --- selective small-part compaction (r5 rewrite_small_parts) ----------
+    # trickle-append 8 tiny waves onto the cloned table, then merge ONLY
+    # them: wall must scale with the selected kilobytes, not the table --
+    # the healthy parts' bytes are never read (Delta OPTIMIZE shape).
+    from embulk_output_s3_parquet_spark.jobs import rewrite_small_parts
+    from embulk_output_s3_parquet_spark.sources.tables import EncodedTable
+
+    tbl = EncodedTable(dml_table)
+    pol_t = tbl.policy()
+    base_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    for i in range(8):
+        sl = base_docs.limit(64).select(
+            F.concat(F.lit(f"trickle{i}:"), F.col("text").substr(1, 40)).alias("repo"),
+            F.lit("t.py").alias("path"),
+            F.sha1(F.concat(F.lit(str(i)), "text")).alias("commit"),
+            F.lit("python").alias("lang"),
+            F.col("text").alias("content"),
+        )
+        encode_job(
+            spark, sl, dml_table, pol_t, if_exists="skip",
+            part_base=2_000_000 + 1000 * i,
+        )
+    sizes = sorted(
+        int(r["enc_bytes"]) for r in tbl.lineage().values()
+    )
+    thr = sizes[8] + 1 if len(sizes) > 9 else sizes[len(sizes) // 2]
+    os.sync()
+    t0 = time.time()
+    rep_o = rewrite_small_parts(spark, dml_table, min_part_bytes=thr)
+    extra["optimize_sec"] = round(time.time() - t0, 3)
+    extra["optimize_parts_merged"] = int(rep_o["parts_rewritten"])
+    extra["optimize_bytes_selected"] = int(rep_o["bytes_selected"])
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
