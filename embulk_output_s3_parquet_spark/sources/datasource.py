@@ -1303,19 +1303,44 @@ class EncodedTableDataSource(DataSource):
             start = self.options.get(
                 "starting_gen", self.options.get("startinggen")
             )
-            if start is None:
+            end = self.options.get(
+                "ending_gen", self.options.get("endinggen")
+            )
+            start_ts = self.options.get(
+                "starting_ts", self.options.get("startingts")
+            )
+            end_ts = self.options.get(
+                "ending_ts", self.options.get("endingts")
+            )
+            if (start is not None) == (start_ts is not None):
                 raise ValueError(
-                    "enctable: batch readChangeFeed requires "
-                    ".option('starting_gen', <generation or tag>)"
+                    "enctable: batch readChangeFeed requires exactly one "
+                    "of .option('starting_gen', <generation or tag>) or "
+                    ".option('starting_ts', <epoch or ISO-8601>) (Delta's "
+                    "startingVersion/startingTimestamp)"
+                )
+            if end is not None and end_ts is not None:
+                raise ValueError(
+                    "enctable: ending_gen and ending_ts are mutually "
+                    "exclusive"
                 )
             if self._at_gen() is not None:
                 raise ValueError(
                     "enctable: use starting_gen/ending_gen (not at_gen) "
                     "to bound a change-feed read"
                 )
+            if start_ts is not None or end_ts is not None:
+                from .tables import EncodedTable
+
+                t = EncodedTable(self._path())
+                if start_ts is not None:
+                    # the state AS OF that instant is the exclusive floor,
+                    # matching starting_gen's exclusive-of-start semantics
+                    start = str(t.resolve_at_ts(start_ts))
+                if end_ts is not None:
+                    end = str(t.resolve_at_ts(end_ts))
             return EncodedTableChangesReader(
-                self._path(), schema, want, start,
-                self.options.get("ending_gen", self.options.get("endinggen")),
+                self._path(), schema, want, start, end,
             )
         # availability over pruning: only expose pushFilters when the session
         # actually allows it (Spark hard-errors on the hook otherwise).

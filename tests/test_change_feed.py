@@ -537,3 +537,49 @@ def test_cdf_restart_capped_backlog_replays_fully(spark, docs, table):
     dels = [task for task in tasks if task[0] == "delete"]
     assert len(dels) == 1
     assert int(dels[0][1].rsplit("part_id=", 1)[1]) == parts[0]
+
+
+def test_cdf_timestamp_bounds(spark, docs, table):
+    """Delta startingTimestamp parity: starting_ts/ending_ts resolve via
+    the manifest's flip clocks to the same window as generation bounds;
+    mixing the two spellings for one bound raises."""
+    import time as _time
+
+    from embulk_output_s3_parquet_spark.sources.datasource import (
+        EncodedTableDataSource,
+    )
+
+    spark.dataSource.register(EncodedTableDataSource)
+    t = EncodedTable(table)
+    g0 = t.create_tag("ts0")  # freeze-flip stamps the generation clock
+    _time.sleep(0.05)
+    ts0 = _time.time()
+    _time.sleep(0.05)
+    delete_job(spark, table, ("doc_id", "<", 6), mode="mor")
+
+    by_ts = (
+        spark.read.format("enctable").option("readChangeFeed", "true")
+        .option("starting_ts", str(ts0)).load(table).toPandas()
+    )
+    by_gen = (
+        spark.read.format("enctable").option("readChangeFeed", "true")
+        .option("starting_gen", str(g0)).load(table).toPandas()
+    )
+    key = ["_change_type", "doc_id"]
+    assert sorted(map(tuple, by_ts[key].values.tolist())) == sorted(
+        map(tuple, by_gen[key].values.tolist())
+    )
+    assert len(by_ts) == 6 and set(by_ts["_change_type"]) == {"delete"}
+
+    with pytest.raises(Exception, match="exactly one"):
+        (
+            spark.read.format("enctable").option("readChangeFeed", "true")
+            .option("starting_gen", "0").option("starting_ts", str(ts0))
+            .load(table).collect()
+        )
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.read.format("enctable").option("readChangeFeed", "true")
+            .option("starting_ts", str(ts0)).option("ending_gen", "1")
+            .option("ending_ts", str(ts0)).load(table).collect()
+        )
