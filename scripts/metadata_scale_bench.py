@@ -291,6 +291,28 @@ def main() -> int:
         # The stat-diff plan is O(shards) stats + O(changed parts) parse,
         # so its 1e6 extrapolation scales only the stat sweep (shards
         # grow 1e6/parts-fold; the wave-sized parse cost is constant).
+        # streaming feed poll cost at full part count: steady-state
+        # latestOffset is the O(shards) liveness fingerprint (nothing
+        # parses); a same-generation append pays one stat-diff recapture
+        from embulk_output_s3_parquet_spark.sources.datasource import (
+            EncodedTableChangeFeedReader,
+        )
+
+        feed = EncodedTableChangeFeedReader(t.path, SCHEMA, None)
+        feed.latestOffset()
+        t0 = time.time()
+        for _ in range(10):
+            feed.latestOffset()
+        out["cdf_poll_steady_ms"] = round((time.time() - t0) * 100, 1)
+        t._append_parts(
+            {args.parts + args.wave: lineage_row(args.parts + args.wave,
+                                                 args.part_rows, None)}
+        )
+        t0 = time.time()
+        o = feed.latestOffset()
+        out["cdf_poll_recapture_ms"] = round((time.time() - t0) * 1000, 1)
+        assert o["next"] == args.parts + args.wave + 1, o
+
         out["extrapolated_1e6_cdf_plan_s"] = round(
             out["cdf_plan_full_s"] * 1e6 / args.parts, 1
         )
