@@ -1670,6 +1670,7 @@ def rewrite_small_parts(
     min_part_bytes: int | None = None,
     policy: CodecPolicy | None = None,
     max_parts: int | None = None,
+    max_delete_ratio: float | None = None,
 ) -> dict:
     """Selective compaction (Iceberg ``rewrite_data_files`` with a file-size
     threshold / Delta ``OPTIMIZE`` analogue): rewrite ONLY the parts whose
@@ -1684,9 +1685,15 @@ def rewrite_small_parts(
     100 TB maintenance shape, where a day of micro-batches leaves thousands
     of kilobyte parts under terabytes of healthy ones. ``max_parts`` bounds
     one run to the smallest N selected parts (wave-sized maintenance).
-    Merge-on-read delete vectors of selected parts materialize away; like
-    every copy-on-write rewrite the retired ids fail a live change feed
-    loudly, so run it between feed drains."""
+
+    ``max_delete_ratio`` additionally selects parts whose merge-on-read
+    delete-vector fraction EXCEEDS the ratio regardless of size --
+    Iceberg's ``rewrite_position_delete_files`` / Delta purge analogue:
+    trickle deletes accumulate vectors, every read pays the mask, and
+    this materializes exactly the heavily-deleted parts. Merge-on-read
+    vectors of all selected parts materialize away; like every
+    copy-on-write rewrite the retired ids fail a live change feed loudly,
+    so run it between feed drains."""
     table = EncodedTable(table_path)
     policy = policy or table.policy()
     if min_part_bytes is None:
@@ -1694,6 +1701,15 @@ def rewrite_small_parts(
     lineage = table.lineage()
     sizes = {p: int(r.get("enc_bytes", 0)) for p, r in lineage.items()}
     selected = {p for p, b in sizes.items() if b < min_part_bytes}
+    vectored_selected: set[int] = set()
+    if max_delete_ratio is not None:
+        for p, dv in table.part_dv().items():
+            rows = int(lineage.get(p, {}).get("rows", 0)) or 1
+            if int(dv.get("n", 0)) / rows > float(max_delete_ratio):
+                vectored_selected.add(p)
+        # a single heavily-vectored part is worth rewriting 1:1 (vector
+        # materialization is the point), unlike the size-only merge below
+        selected |= vectored_selected
     if max_parts is not None and len(selected) > max_parts:
         selected = set(
             sorted(selected, key=lambda p: (sizes[p], p))[:max_parts]
@@ -1702,13 +1718,14 @@ def rewrite_small_parts(
         "parts_total": len(lineage),
         "min_part_bytes": int(min_part_bytes),
         "parts_selected": len(selected),
+        "parts_vectored_selected": len(vectored_selected),
         "bytes_selected": sum(sizes[p] for p in selected),
         "parts_rewritten": 0,
         "parts_written": 0,
     }
-    if len(selected) < 2:
-        # nothing to merge: one small part would be rewritten 1:1 (use
-        # compact_job / delete-vector materialization for that)
+    if len(selected) < 2 and not vectored_selected:
+        # nothing to merge: one small UNVECTORED part would be rewritten
+        # 1:1 for no gain (a vectored one is worth it: materialization)
         report["parts_selected"] = 0
         return report
     from .operators.decode import decode_table_scan

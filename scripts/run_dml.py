@@ -122,6 +122,11 @@ def main() -> int:
         "--max-parts", type=int, default=None,
         help="bound one run to the N smallest selected parts",
     )
+    p.add_argument(
+        "--max-delete-ratio", type=float, default=None,
+        help="also rewrite parts whose merge-on-read deleted fraction "
+        "exceeds this (Iceberg rewrite_position_delete_files analogue)",
+    )
 
     p = sub.add_parser("vacuum", help="remove orphans + expired snapshots")
     p.add_argument("--table", required=True)
@@ -334,6 +339,7 @@ def main() -> int:
             rep = rewrite_small_parts(
                 spark, args.table, min_part_bytes=args.min_part_bytes,
                 max_parts=args.max_parts,
+                max_delete_ratio=args.max_delete_ratio,
             )
         elif args.cmd == "diff":
             from embulk_output_s3_parquet_spark.jobs import (

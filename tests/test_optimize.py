@@ -128,3 +128,37 @@ def test_optimize_noop_below_two_parts(spark, tmp_path):
     rep = rewrite_small_parts(spark, path, min_part_bytes=1)
     assert rep["parts_selected"] == 0 and rep["parts_rewritten"] == 0
     assert t.manifest().get("parts_gen", 0) == gen  # no flip, no-op
+
+
+def test_optimize_purges_heavily_vectored_parts(spark, tmp_path):
+    """max_delete_ratio (Iceberg rewrite_position_delete_files / Delta
+    purge): a part whose merge-on-read deleted fraction exceeds the ratio
+    is rewritten regardless of size, its vector materializes away, and
+    lightly-vectored healthy parts keep their vectors and bytes."""
+    path, _thr = _mixed_table(spark, tmp_path)
+    t = EncodedTable(path)
+    # hammer one healthy part's keys: docs ids 0..499 spread over the big
+    # parts; delete most of the 0..249 range -> some parts cross 40%
+    delete_job(spark, path, ("doc_id", "<", 220), mode="mor")
+    n_live = count_job(spark, path)
+    dv = t.part_dv()
+    assert dv
+    rows_of = {p: int(r["rows"]) for p, r in t.lineage().items()}
+    heavy = {
+        p for p, e in dv.items() if int(e["n"]) / rows_of[p] > 0.4
+    }
+    light = set(dv) - heavy
+    assert heavy, "predicate did not produce a >40%-deleted part"
+
+    rep = rewrite_small_parts(
+        spark, path, min_part_bytes=1, max_delete_ratio=0.4
+    )
+    assert rep["parts_vectored_selected"] == len(heavy)
+    assert rep["parts_rewritten"] == len(heavy)  # size selected nothing
+
+    assert count_job(spark, path) == n_live  # live rows invariant
+    assert heavy <= t.retired_parts()
+    dv_after = t.part_dv()
+    assert not (heavy & set(dv_after))  # vectors materialized
+    assert light <= set(dv_after)  # light parts keep theirs, untouched
+    assert verify_table(spark, path) == []
