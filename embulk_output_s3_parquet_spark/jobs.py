@@ -1265,7 +1265,12 @@ def quantile_job(
         return {"n": 0, "quantiles": {q: None for q in qs}, "deleted": deleted}
     live_min = int(live_min or 0)
     live_max = int(live_max)
-    parsed = parsed.filter(F.col("lo").isNotNull())
+    # drop chunks that cannot hold a live row (c_max == 0: fully deleted
+    # by merge-on-read vectors). They were excluded from gmin/gmax above,
+    # so their zones can lie OUTSIDE [gmin, gmax] and would produce bin
+    # indices past the histogram arrays; their live count is zero, so
+    # they contribute nothing to any histogram anyway (fuzz seed 1106).
+    parsed = parsed.filter(F.col("lo").isNotNull() & (c_max > 0))
     if gmin == gmax:
         v = gmin
         return {

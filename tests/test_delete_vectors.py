@@ -622,3 +622,33 @@ def test_mor_diff_changelog_sees_vector_changes(spark, docs, table):
     assert d23[0]["_change"] == "delete" and d23[0]["doc_id"] == 30
     s23 = diff_summary(table, g2, g3)
     assert s23["rows_delta"] == -1
+
+
+def test_mor_quantile_survives_fully_deleted_extreme_chunks(spark, tmp_path):
+    """A chunk whose every row is vectored away is excluded from the live
+    global bounds, so its zone range can sit entirely OUTSIDE [gmin, gmax]
+    -- it must also be excluded from the histograms (its live count is
+    zero) instead of producing an out-of-range bin index (fuzz seed 1106:
+    IndexError in quantile_job after deleting the whole top value range)."""
+    from embulk_output_s3_parquet_spark.jobs import quantile_job as qj
+
+    n0 = 1024
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(n0)], "k long, v double"
+    )
+    path = str(tmp_path / "fq")
+    encode_job(
+        spark, df, path, _pol(chunk_rows=128), if_exists="error",
+        cluster_by=["v"],
+    )
+    # kill the ENTIRE top range (the max-side chunks die completely) and
+    # the entire bottom chunk (min-side), leaving live rows in the middle
+    delete_job(spark, path, ("v", ">=", 700.0), mode="mor")
+    delete_job(spark, path, ("v", "<", 128.0), mode="mor")
+    rep = qj(spark, path, "v", [0.0, 0.5, 1.0])
+    live = list(range(128, 700))
+    assert rep["n"] == len(live)
+    for q in (0.0, 0.5, 1.0):
+        true = float(live[round(q * (len(live) - 1))])
+        b = rep["quantiles"][q]
+        assert b["lb"] <= true <= b["ub"], (q, b, true)

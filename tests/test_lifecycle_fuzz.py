@@ -155,7 +155,7 @@ def _frames_equal(got: pd.DataFrame, want: pd.DataFrame) -> None:
     )
 
 
-@pytest.mark.parametrize("seed", [3, 7, 23, 42])
+@pytest.mark.parametrize("seed", [3, 7, 23, 42, 1106])
 def test_lifecycle_random_walk(spark, tmp_path, seed):
     from embulk_output_s3_parquet_spark.sources.datasource import (
         EncodedTableDataSource,
