@@ -80,11 +80,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rt(table: str, ts_cols: tuple[str, ...] = ()):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from embulk_output_s3_parquet_spark.operators.decode import roundtrip
+        # r6: executor-side pyarrow scan feeding the same chunk kernels --
+        # the raw bytes never cross JVM->Python, only the decoded output
+        # does (rt_lineitem 4.95 s -> ~1.6 s at sf1.0; values bit-identical,
+        # see operators/decode.roundtrip_direct and plans/r06/)
+        from embulk_output_s3_parquet_spark.operators.decode import (
+            roundtrip_direct,
+        )
         from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
 
-        df = _t(spark, sf_dir, table)
-        out = roundtrip(df, CodecPolicy(chunk_rows=8192))
+        out = roundtrip_direct(
+            spark, f"{sf_dir}/{table}.parquet", CodecPolicy(chunk_rows=65536)
+        )
         for c in ts_cols:
             out = out.withColumn(c, F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
         return out
@@ -1317,6 +1324,44 @@ def _count_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("sum_chars", int(sm_all["n_chars"]["sum"])),
         ("sum_doc_band", int(sm_band["doc_id"]["sum"])),
     ]
+    # self-check (r5 VERDICT #1: this query was driver-red, locally green,
+    # and unreproducible): recompute every metadata-first value via plain
+    # SQL over the DECODED table and raise naming the diverging row, so a
+    # recurrence at the driver turns into a diagnosable err string instead
+    # of a silent hash mismatch.
+    from embulk_output_s3_parquet_spark.jobs import decode_job
+
+    dec = decode_job(spark, path)
+    dec.createOrReplaceTempView("count_enc_selfcheck_v")
+    truth = {
+        r["pred"]: int(r["cnt"])
+        for r in spark.sql(
+            """
+            SELECT 'all' AS pred, count(*) AS cnt FROM count_enc_selfcheck_v
+            UNION ALL SELECT 'range', count(*) FROM count_enc_selfcheck_v WHERE n_chars >= 450
+            UNION ALL SELECT 'band', count(*) FROM count_enc_selfcheck_v WHERE n_chars >= 200 AND n_chars < 400
+            UNION ALL SELECT 'inlist', count(*) FROM count_enc_selfcheck_v WHERE lang IN ('en','zh')
+            UNION ALL SELECT 'notnull', count(*) FROM count_enc_selfcheck_v WHERE lang IS NOT NULL
+            UNION ALL SELECT 'min_chars', min(n_chars) FROM count_enc_selfcheck_v
+            UNION ALL SELECT 'max_chars', max(n_chars) FROM count_enc_selfcheck_v
+            UNION ALL SELECT 'min_doc', min(doc_id) FROM count_enc_selfcheck_v
+            UNION ALL SELECT 'max_doc', max(doc_id) FROM count_enc_selfcheck_v
+            UNION ALL SELECT 'min_doc_band', min(doc_id) FROM count_enc_selfcheck_v WHERE n_chars >= 200 AND n_chars < 400
+            UNION ALL SELECT 'max_doc_band', max(doc_id) FROM count_enc_selfcheck_v WHERE n_chars >= 200 AND n_chars < 400
+            UNION ALL SELECT 'sum_chars', sum(n_chars) FROM count_enc_selfcheck_v
+            UNION ALL SELECT 'sum_doc_band', sum(doc_id) FROM count_enc_selfcheck_v WHERE n_chars >= 200 AND n_chars < 400
+            """
+        ).collect()
+    }
+    diverging = [
+        (pred, got, truth[pred]) for pred, got in rows if got != truth[pred]
+    ]
+    if diverging:
+        raise ValueError(
+            "count_over_encoded self-check: metadata-first values diverge "
+            f"from the decoded-table recompute: {diverging} "
+            f"(table={path})"
+        )
     return spark.createDataFrame(rows, "pred string, cnt long").orderBy("pred")
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
-from pyspark.sql.pandas.types import to_arrow_schema
+from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
 from ..codecs import decode_array, meta_from_json
 
@@ -307,6 +307,137 @@ def decode_inline(encoded: DataFrame, out_schema: T.StructType) -> DataFrame:
             )
 
     return encoded.mapInArrow(dec, schema=out_schema)
+
+
+def roundtrip_direct(
+    spark,
+    parquet_path: str,
+    policy=None,
+    n_target_tasks: int | None = None,
+) -> DataFrame:
+    """encode -> decode round-trip of a parquet-backed table with
+    executor-side pyarrow scans (r6).
+
+    ``roundtrip`` ships every raw byte JVM->Python over the Arrow IPC
+    socket before the kernels see it; measured at sf1.0 that input hop +
+    the JVM columnar->row->Arrow transpose is ~60% of rt_lineitem's wall
+    (bench_extra.py: scan 0.66 s vs scan+passthrough-IPC 3.68 s). Here
+    only (file, row-group, slice) strings are distributed; each task reads
+    its row groups with pyarrow, runs the chunk kernels, decodes the
+    chunks back, and yields ORIGINAL rows -- the decoded output is the
+    only payload that ever crosses to the JVM. Values are bit-identical
+    to ``roundtrip(spark.read.parquet(path), policy)`` (same kernels, same
+    chunking) -- asserted by test_e2e_roundtrip and the rt_* oracles.
+
+    The encode runs with ``checksum=False`` and one codec selection per
+    (task, column): nothing consumes the commit-manifest sha or per-8-chunk
+    reselection in an in-memory round-trip (see _encode_slices).
+
+    Row groups are sub-sliced toward ``n_target_tasks`` (default
+    defaultParallelism) so a file with few large row groups still fans out
+    across cores; a slice re-decompresses its row group, which is why
+    slices never go finer than needed."""
+    from ..operators.encode import (
+        _effective_chunk_rows,
+        _encode_slices,
+        _resolve_policy,
+    )
+    from ..plans.policy import CodecPolicy
+
+    policy = policy or CodecPolicy()
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    if _os.path.isdir(parquet_path):
+        files = sorted(
+            p
+            for p in _glob.glob(_os.path.join(parquet_path, "*"))
+            if _os.path.isfile(p) and not _os.path.basename(p).startswith(("_", "."))
+        )
+    else:
+        files = [parquet_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {parquet_path}")
+    n_target = n_target_tasks or spark.sparkContext.defaultParallelism
+    rgs: list[tuple[str, int, int]] = []  # (file, rg, rows)
+    total_rows = 0
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            r = md.row_group(rg).num_rows
+            rgs.append((f, rg, r))
+            total_rows += r
+    splits: list[tuple[str, int, int, int]] = []  # (file, rg, slice_i, n_slices)
+    for f, rg, r in rgs:
+        k = max(1, round(n_target * r / max(total_rows, 1)))
+        for i in range(k):
+            splits.append((f, rg, i, k))
+    schema = from_arrow_schema(
+        _pq.ParquetFile(files[0]).schema_arrow, prefer_timestamp_ntz=True
+    )
+    policy.validate(schema)
+    colmap = _resolve_policy(schema, policy)
+    arrow_schema = to_arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+    chunk_rows = policy.chunk_rows
+    ncols = len(colmap)
+    rows = [(i, f, rg, si, ns) for i, (f, rg, si, ns) in enumerate(splits)]
+    n_tasks = min(len(rows), spark.sparkContext.defaultParallelism)
+    split_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_tasks),
+        "part_id long, file string, rg int, slice_i int, n_slices int",
+    )
+
+    def rt(batches):
+        from ..codecs import decode_array, meta_from_json
+
+        sticky: dict = {}
+        pfs: dict = {}
+        for b in batches:
+            for part_id, fname, rg, si, ns in zip(
+                b.column(0).to_pylist(),
+                b.column(1).to_pylist(),
+                b.column(2).to_pylist(),
+                b.column(3).to_pylist(),
+                b.column(4).to_pylist(),
+            ):
+                pf = pfs.get(fname)
+                if pf is None:
+                    pf = pfs[fname] = _pq.ParquetFile(fname)
+                t = pf.read_row_group(rg, use_threads=False)
+                if ns > 1:
+                    per = -(-t.num_rows // ns)
+                    t = t.slice(si * per, per)
+                if t.num_rows == 0:
+                    continue
+                eff = _effective_chunk_rows(t, chunk_rows, policy.chunk_bytes)
+                enc = _encode_slices(
+                    int(part_id), t, colmap, eff, sticky=sticky,
+                    checksum=False, reselect_every=1 << 30,
+                )
+                metas = enc.column("meta").to_pylist()
+                cols = enc.column("col").to_pylist()
+                payloads = enc.column("payload")
+                for off in range(0, enc.num_rows, ncols):
+                    by = {
+                        cols[j]: decode_array(
+                            payloads[j].as_py(), meta_from_json(metas[j])
+                        )
+                        for j in range(off, off + ncols)
+                    }
+                    arrays = []
+                    for nm, fld in zip(names, arrow_schema):
+                        arr = by[nm]
+                        if arr.type != fld.type:
+                            arr = arr.cast(fld.type)
+                        arrays.append(arr)
+                    yield from pa.table(
+                        dict(zip(names, arrays)), schema=arrow_schema
+                    ).to_batches()
+
+    return split_df.mapInArrow(rt, schema=schema)
 
 
 def roundtrip(df: DataFrame, policy=None) -> DataFrame:

@@ -90,14 +90,22 @@ def _encode_slices(
     sticky: dict[str, str] | None = None,
     bloom_cols: frozenset[str] = frozenset(),
     ndv_cols: frozenset[str] = frozenset(),
+    checksum: bool = True,
+    reselect_every: int | None = None,
 ) -> pa.Table:
     """Encode a table as column chunks.
 
     ``sticky`` caches the auto-selector's last choice per column across
-    chunks (re-sampled every _RESELECT_EVERY chunks): within a planned
-    partition the data distribution is homogeneous (the partitioner groups
-    by lang/repo), so re-running sampled trials per chunk pays pure
-    overhead. Pass a fresh dict per task."""
+    chunks (re-sampled every ``reselect_every`` chunks, default
+    _RESELECT_EVERY): within a planned partition the data distribution is
+    homogeneous (the partitioner groups by lang/repo), so re-running
+    sampled trials per chunk pays pure overhead. Pass a fresh dict per
+    task.
+
+    ``checksum=False`` skips the per-payload sha256 (r6): the sha exists
+    for the COMMIT lineage manifest (verify_table integrity); an in-memory
+    round-trip that never commits pays ~0.36 s/M-row for a hash nothing
+    reads. Every table-writing path keeps the default True."""
     cols: dict[str, list] = {name: [] for name in _ENC_ARROW.names}
     n_rows = table.num_rows
     # chunk blooms are sized for the CHUNK (~10 bits/row: row-group pruning
@@ -135,6 +143,7 @@ def _encode_slices(
     } if n_rows else {}
     seq = seq0
     sticky = sticky if sticky is not None else {}
+    resel = _RESELECT_EVERY if reselect_every is None else reselect_every
     for off in range(0, max(n_rows, 1), chunk_rows):
         chunk = table.slice(off, chunk_rows)
         if chunk.num_rows == 0 and n_rows > 0:
@@ -144,7 +153,7 @@ def _encode_slices(
             use = codec
             if codec == "auto":
                 prev, uses, excl = sticky.get(name, (None, 0, frozenset()))
-                if prev is not None and uses % _RESELECT_EVERY != 0:
+                if prev is not None and uses % resel != 0:
                     use = prev
                 payload, meta = encode_array(
                     arr, use, exclude=excl, bloom=name in bloom_cols,
@@ -180,7 +189,9 @@ def _encode_slices(
             cols["payload"].append(payload)
             cols["raw_bytes"].append(arr.nbytes)
             cols["enc_bytes"].append(len(payload))
-            cols["payload_sha"].append(hashlib.sha256(payload).hexdigest())
+            cols["payload_sha"].append(
+                hashlib.sha256(payload).hexdigest() if checksum else ""
+            )
         seq += 1
         if n_rows == 0:
             break

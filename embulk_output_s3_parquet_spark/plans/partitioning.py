@@ -24,10 +24,26 @@ checkpoint manifest's part_ids stable across resume runs.
 
 from __future__ import annotations
 
+import math
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# group-count ceiling for the driver-side bin-packing fast path (r6): the
+# plan input is ONE aggregated row per (k1, k2) group -- metadata, never
+# data -- so up to this many groups the cumsum/bin layout runs in plain
+# Python on the driver instead of two window passes + a collect. This
+# removes two exchanges from every encode_job plan AND the single-partition
+# WindowExec that Catalyst creates when a constant (foldable) group key is
+# folded out of the window spec (BENCH_r05 "No Partition Defined for
+# Window" warnings, VERDICT r5 #2). Above the ceiling the original
+# distributed window path runs unchanged (the 10^8-group scale shape).
+DRIVER_PLAN_MAX_GROUPS = int(
+    os.environ.get("SPARK_GRAFT_PLAN_DRIVER_GROUPS", "262144")
+)
 
 
 @dataclass
@@ -88,65 +104,115 @@ def assign_partitions(
     # split count, +splits) -- hot ranges never overlap packed bins or each
     # other. A small group straddling a bin boundary may push one merged part
     # to < 2x target; that is the cost of packing without splitting groups.
-    w_prev = Window.partitionBy(k1).orderBy(k2).rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.partitionBy(k1)
-    hot = F.col("gbytes") > F.lit(target_bytes)
-    sizes = (
-        sizes.withColumn(
-            "splits",
-            F.greatest(F.lit(1), F.ceil(F.col("gbytes") / F.lit(target_bytes))).cast("int"),
+    #
+    # Fast path (r6): the group table is one aggregated row per (k1, k2) --
+    # pure metadata. Up to DRIVER_PLAN_MAX_GROUPS rows the cumsum layout is
+    # computed on the driver in plain Python (bit-identical to the window
+    # formulas: Spark's `/` on long is double division, mirrored with float
+    # ceil/floor; groups sort by UTF-8 binary order == Python's code-point
+    # order). This removes two window exchanges from every encode plan and
+    # never plans the single-partition WindowExec a foldable group key
+    # produced. Past the ceiling, the distributed window path is unchanged.
+    head = sizes.limit(DRIVER_PLAN_MAX_GROUPS + 1).collect()
+    if len(head) <= DRIVER_PLAN_MAX_GROUPS:
+        by_lang: dict[str, list[tuple[str, int]]] = {}
+        for r in head:
+            by_lang.setdefault(r[k1], []).append((r[k2], int(r["gbytes"])))
+        plan_rows: list[tuple[str, str, int, int, int]] = []
+        base = 0
+        n_groups = len(head)
+        for lang in sorted(by_lang):
+            grps = sorted(by_lang[lang])  # k2 distinct per lang: key order
+            total_small = sum(g for _, g in grps if g <= target_bytes)
+            b_small = int(math.ceil(total_small / target_bytes))
+            prev_small = 0
+            prev_hot_splits = 0
+            bins = 0
+            for k2v, g in grps:
+                splits = max(1, int(math.ceil(g / target_bytes)))
+                if g > target_bytes:
+                    start_bin = b_small + prev_hot_splits
+                    prev_hot_splits += splits
+                else:
+                    start_bin = int(math.floor(prev_small / target_bytes))
+                    prev_small += g
+                plan_rows.append((lang, k2v, g, base + start_bin, splits))
+                bins = max(bins, start_bin + splits)
+            base += bins
+        n_parts = max(base, 1)
+        spark = df.sparkSession
+        groups = spark.createDataFrame(
+            plan_rows,
+            T.StructType(
+                [
+                    T.StructField(k1, T.StringType()),
+                    T.StructField(k2, T.StringType()),
+                    T.StructField("gbytes", T.LongType()),
+                    T.StructField("start_part", T.IntegerType()),
+                    T.StructField("splits", T.IntegerType()),
+                ]
+            ),
         )
-        .withColumn(
-            "prev_small",
-            F.coalesce(F.sum(F.when(hot, 0).otherwise(F.col("gbytes"))).over(w_prev), F.lit(0)),
+    else:
+        w_prev = Window.partitionBy(k1).orderBy(k2).rowsBetween(Window.unboundedPreceding, -1)
+        w_all = Window.partitionBy(k1)
+        hot = F.col("gbytes") > F.lit(target_bytes)
+        sizes = (
+            sizes.withColumn(
+                "splits",
+                F.greatest(F.lit(1), F.ceil(F.col("gbytes") / F.lit(target_bytes))).cast("int"),
+            )
+            .withColumn(
+                "prev_small",
+                F.coalesce(F.sum(F.when(hot, 0).otherwise(F.col("gbytes"))).over(w_prev), F.lit(0)),
+            )
+            .withColumn(
+                "prev_hot_splits",
+                F.coalesce(F.sum(F.when(hot, F.col("splits"))).over(w_prev), F.lit(0)),
+            )
+            .withColumn(
+                "b_small",
+                F.ceil(
+                    F.sum(F.when(hot, 0).otherwise(F.col("gbytes"))).over(w_all)
+                    / F.lit(target_bytes)
+                ).cast("int"),
+            )
+            .withColumn(
+                "start_bin",
+                F.when(hot, F.col("b_small") + F.col("prev_hot_splits"))
+                .otherwise(F.floor(F.col("prev_small") / F.lit(target_bytes)))
+                .cast("int"),
+            )
+            .drop("prev_small", "prev_hot_splits", "b_small")
         )
-        .withColumn(
-            "prev_hot_splits",
-            F.coalesce(F.sum(F.when(hot, F.col("splits"))).over(w_prev), F.lit(0)),
-        )
-        .withColumn(
-            "b_small",
-            F.ceil(
-                F.sum(F.when(hot, 0).otherwise(F.col("gbytes"))).over(w_all)
-                / F.lit(target_bytes)
-            ).cast("int"),
-        )
-        .withColumn(
-            "start_bin",
-            F.when(hot, F.col("b_small") + F.col("prev_hot_splits"))
-            .otherwise(F.floor(F.col("prev_small") / F.lit(target_bytes)))
-            .cast("int"),
-        )
-        .drop("prev_small", "prev_hot_splits", "b_small")
-    )
 
-    # lang base offsets: |langs| rows -> driver
-    lang_tot = (
-        sizes.groupBy(k1)
-        .agg(
-            F.max(F.col("start_bin") + F.col("splits")).alias("bins"),
-            F.count("*").alias("ng"),
+        # lang base offsets: |langs| rows -> driver
+        lang_tot = (
+            sizes.groupBy(k1)
+            .agg(
+                F.max(F.col("start_bin") + F.col("splits")).alias("bins"),
+                F.count("*").alias("ng"),
+            )
+            .orderBy(k1)
+            .collect()
         )
-        .orderBy(k1)
-        .collect()
-    )
-    base, bases, n_groups = 0, {}, 0
-    for row in lang_tot:
-        bases[row[k1]] = base
-        base += row["bins"]
-        n_groups += row["ng"]
-    n_parts = max(base, 1)
+        base, bases, n_groups = 0, {}, 0
+        for row in lang_tot:
+            bases[row[k1]] = base
+            base += row["bins"]
+            n_groups += row["ng"]
+        n_parts = max(base, 1)
 
-    if bases:
-        base_map = F.create_map(
-            *[x for lang, b in sorted(bases.items()) for x in (F.lit(lang), F.lit(b))]
+        if bases:
+            base_map = F.create_map(
+                *[x for lang, b in sorted(bases.items()) for x in (F.lit(lang), F.lit(b))]
+            )
+            start_part = base_map[F.col(k1)] + F.col("start_bin")
+        else:  # empty input: no groups at all
+            start_part = F.col("start_bin")
+        groups = sizes.withColumn("start_part", start_part).select(
+            k1, k2, "gbytes", "start_part", "splits"
         )
-        start_part = base_map[F.col(k1)] + F.col("start_bin")
-    else:  # empty input: no groups at all
-        start_part = F.col("start_bin")
-    groups = sizes.withColumn("start_part", start_part).select(
-        k1, k2, "gbytes", "start_part", "splits"
-    )
 
     salt = F.pmod(
         F.xxhash64(*[_hash_safe(df, c) for c in salt_keys]),

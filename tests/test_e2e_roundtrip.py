@@ -2842,3 +2842,62 @@ def test_decode_chunks_fills_added_columns(spark, corpus, tmp_path):
     # added column as stored nulls
     compact_job(spark, path, _policy())
     assert decode_job(spark, path).where(F.col("note").isNull()).count() == ROWS
+
+
+def test_roundtrip_direct_matches_plain_scan(spark):
+    """r6 fast path: roundtrip_direct (executor-side pyarrow scan feeding
+    the chunk kernels, checksum-free) must be value-identical to the plain
+    spark.read.parquet scan -- full outer comparison, not just a hash."""
+    from pyspark.sql import functions as F
+
+    from embulk_output_s3_parquet_spark.operators.decode import roundtrip_direct
+    from embulk_output_s3_parquet_spark.plans.policy import CodecPolicy
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    got = roundtrip_direct(spark, path, CodecPolicy(chunk_rows=512))
+    want = spark.read.parquet(path)
+    assert got.schema == want.schema
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus:
+    # compare as multisets of full rows
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == want.count()
+
+
+def test_minhash_md5_arrow_matches_jvm_formula(spark):
+    """r6 fast path: the mapInArrow md5 signature stage must reproduce the
+    JVM expression pipeline (portable_hash32 double-hashing + min agg)
+    value-for-value, including the sample_mod shingle filter."""
+    from pyspark.sql import functions as F
+
+    from embulk_output_s3_parquet_spark.functions.dedup import (
+        minhash_signatures,
+        portable_hash32,
+        shingle_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = minhash_signatures(
+        docs, num_hashes=16, k=5, hasher="md5", sample_mod=2
+    )
+    # the pre-r6 JVM construction, inlined
+    m = 2**31
+    ex = shingle_stream(docs, 5, "text", "doc_id", dedupe=False).withColumnRenamed(
+        "shingle", "s"
+    )
+    ex = ex.where(F.pmod(portable_hash32(F.col("s"), 13), F.lit(2)) == 0)
+    ex = ex.withColumn(
+        "h1", F.pmod(portable_hash32(F.col("s"), 0), F.lit(m))
+    ).withColumn("h2", F.pmod(portable_hash32(F.col("s"), 7), F.lit(m)) + 1)
+    mins = [
+        F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(m))).alias(f"m{i}")
+        for i in range(16)
+    ]
+    slow = (
+        ex.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"m{i}") for i in range(16)]).alias("sig"))
+    )
+    a = {r["id"]: r["sig"] for r in fast.collect()}
+    b = {r["id"]: r["sig"] for r in slow.collect()}
+    assert a == b and len(a) > 100

@@ -125,3 +125,45 @@ def test_hot_group_bins_are_exclusive(planned):
                 assert ohi <= lo or olo >= hi, (
                     f"bin overlap: hot [{lo},{hi}) vs [{olo},{ohi})"
                 )
+
+
+def test_driver_plan_matches_window_plan(spark, monkeypatch):
+    """r6 fast path: the driver-side bin-packing layout must assign every
+    row the SAME part_id as the distributed window layout (resume
+    determinism across the threshold, and across engine versions)."""
+    import embulk_output_s3_parquet_spark.plans.partitioning as P
+
+    df = repos_df(spark, 1500).cache()
+    out_fast, plan_fast = assign_partitions(df, target_bytes=TARGET)
+    monkeypatch.setattr(P, "DRIVER_PLAN_MAX_GROUPS", 0)  # force window path
+    out_win, plan_win = assign_partitions(df, target_bytes=TARGET)
+    assert plan_fast.n_parts == plan_win.n_parts
+    key = ["repo", "path", "commit"]
+    diff = (
+        out_fast.select(*key, "part_id")
+        .join(out_win.select(*key, F.col("part_id").alias("p2")), key)
+        .filter(F.col("part_id") != F.col("p2"))
+        .count()
+    )
+    assert diff == 0
+    gf = sorted(map(tuple, plan_fast.groups.collect()))
+    gw = sorted(map(tuple, plan_win.groups.collect()))
+    assert gf == gw
+
+
+def test_constant_group_key_no_unpartitioned_window(spark):
+    """The BENCH_r05 warning shape: a frame whose lang/path are literal
+    constants (foldable) must still plan and assign correctly through the
+    driver path (no WindowExec involved at all)."""
+    docs = spark.createDataFrame(
+        [(f"r{i % 7}", f"t{i}.py", f"c{i}", "python", "z" * (50 + i % 99)) for i in range(400)],
+        "repo string, path string, commit string, lang string, content string",
+    ).select(
+        "repo", F.lit("t.py").alias("path"), "commit",
+        F.lit("python").alias("lang"), "content",
+    )
+    out, plan = assign_partitions(docs, target_bytes=4096)
+    assert out.filter(F.col("part_id").isNull()).count() == 0
+    assert out.count() == 400
+    ids = {r["part_id"] for r in out.select("part_id").distinct().collect()}
+    assert min(ids) >= 0 and max(ids) < plan.n_parts
