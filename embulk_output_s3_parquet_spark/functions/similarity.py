@@ -42,11 +42,101 @@ def cosine_topk(
     """Exact brute-force top-k by cosine vs a literal query vector.
 
     Scan-parallel, then a k-row final ordering -- the baseline ANN answers
-    are measured against."""
-    q = F.array(*[F.lit(float(x)) for x in query])
-    sim = F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4)
+    are measured against.
+
+    r6: the dot/norm folds run in one mapInArrow stage instead of
+    interpreted ``aggregate``/``zip_with`` lambdas (higher-order functions
+    are CodegenFallback: ~130 interpreted evals per row dominated the
+    query). The numpy accumulation is ORDER-IDENTICAL to the JVM fold --
+    one vectorized ``acc = acc + x_j * q_j`` pass per dimension is the
+    same left-to-right double-rounding sequence every row ran before, so
+    sims are bit-equal, not just close (rounding and the final top-k
+    ordering stay in the JVM). Rows with nulls or a width mismatch fall
+    back to an explicit per-element Python fold with identical order."""
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("sim_raw", T.DoubleType()),
+        ]
+    )
+    qd = [float(x) for x in query]
+
+    def sims(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        qv = np.asarray(qd, dtype=np.float64)
+        d = len(qd)
+        nq = 0.0
+        for x in qd:  # same sequential fold as norm(q) in the JVM
+            nq = nq + x * x
+        nq = float(np.sqrt(nq))
+        for b in batches:
+            ids = b.column(0)
+            emb = b.column(1)
+            n = b.num_rows
+            out = np.full(n, np.nan, dtype=np.float64)
+            ok = np.zeros(n, dtype=bool)
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            valid_row = (
+                np.ones(n, dtype=bool)
+                if emb.null_count == 0
+                else ~np.asarray(emb.is_null())
+            )
+            vals = emb.values
+            elem_ok = vals.null_count == 0
+            if elem_ok and valid_row.all() and (widths == d).all():
+                # offsets of a sliced batch need not start at 0: take
+                # exactly this batch's value range before reshaping
+                X = vals.to_numpy(zero_copy_only=False)[
+                    offs[0] : offs[-1]
+                ].astype(np.float64).reshape(n, d)
+                acc = np.zeros(n, dtype=np.float64)
+                nx = np.zeros(n, dtype=np.float64)
+                for j in range(d):  # per-dimension: the JVM fold order
+                    xj = X[:, j]
+                    acc = acc + xj * qv[j]
+                    nx = nx + xj * xj
+                out = acc / (np.sqrt(nx) * nq)
+                ok = valid_row
+            else:
+                py = emb.to_pylist()
+                for i in range(n):
+                    row = py[i]
+                    if row is None or any(v is None for v in row):
+                        continue
+                    acc = 0.0
+                    nx = 0.0
+                    for xj, qj in zip(
+                        (float(v) for v in row), qd
+                    ):
+                        acc = acc + xj * qj
+                        nx = nx + xj * xj
+                    if len(row) == d:
+                        out[i] = acc / (float(np.sqrt(nx)) * nq)
+                        ok[i] = True
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(
+                        [float(v) if o else None for v, o in zip(out, ok)],
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["id", "sim_raw"],
+            )
+
+    scored = df.select(F.col(id_col).alias("id"), F.col(vec_col)).mapInArrow(
+        sims, schema=out_schema
+    )
     return (
-        df.select(F.col(id_col), sim.alias("sim"))
+        scored.select(
+            F.col("id").alias(id_col), F.round("sim_raw", 4).alias("sim")
+        )
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )

@@ -31,6 +31,18 @@ def get_spark(
         # pushdown into Python data sources is opt-in in Spark 4.1
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows))
+        # scan-split sizing (guide section 6): the 4 MB openCostInBytes
+        # default packs a whole small file into 1-2 splits, so a 5 MB
+        # parquet table scans on 2 of 32 cores. 256 KB lets small-file
+        # scans fan out (measured r6 at sf1.0: encode_documents -11%,
+        # decode_documents -17%, minhash -13%); large files are governed
+        # by maxPartitionBytes / bytes-per-core either way, so cluster
+        # behaviour at scale is unchanged. Parameterised for production
+        # (object stores with higher per-open latency may want it back up).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "262144"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
