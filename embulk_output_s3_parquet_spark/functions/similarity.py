@@ -359,6 +359,7 @@ def embedding_near_dup_pairs(
     rows_per_band: int | None = None,
     bands: int | None = None,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold).
 
@@ -408,6 +409,10 @@ def embedding_near_dup_pairs(
         # the band stream self-joins below; materialize it once so the BLAS
         # matmul (the expensive stage) runs a single time, not per join side
         banded = materialize_once(banded)
+        if max_bucket is not None:
+            from .dedup import cap_band_buckets
+
+            banded = cap_band_buckets(banded, ("band", "bucket"), max_bucket)
         cand = (
             banded.alias("l")
             .join(banded.alias("r"), ["band", "bucket"])

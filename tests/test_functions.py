@@ -527,3 +527,64 @@ def test_resize_media_real_kernel_via_same_seam(spark):
             ).tobytes()
         ).hexdigest()
         assert out[i * 3] == want
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """r6 (r5 VERDICT #4): a boilerplate-heavy corpus -- thousands of
+    identical docs -- must not go quadratic in one band bucket when the
+    opt-in cap is on; docs outside the degenerate bucket keep their
+    candidates."""
+    from pyspark.sql import functions as F
+
+    from embulk_output_s3_parquet_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_dup_candidates,
+    )
+
+    boiler = [(i, "license header apache foo bar baz quux " * 4) for i in range(2000)]
+    # a near-dup pair distinct from the boilerplate (one token changed)
+    distinct = [
+        (100001, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (100002, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+    ]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    capped = minhash_lsh_candidates(
+        df, num_hashes=32, bands=8, hasher="md5", max_bucket=64
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in capped}
+    # the 2000-doc bucket (2M pairs uncapped) is dropped entirely...
+    assert len(ids) < 100
+    assert all(a > 100000 for a, _ in ids) or len(ids) == 0
+    # ...while the distinct near-dup pair still surfaces through its bands
+    assert (100001, 100002) in ids
+
+    sim_capped = simhash_near_dup_candidates(
+        df, hasher="md5", max_bucket=64
+    ).collect()
+    assert len(sim_capped) < 100
+    assert (100001, 100002) in {
+        (r["id_a"], r["id_b"]) for r in sim_capped
+    }
+
+
+def test_lsh_bucket_cap_no_change_on_normal_corpus(spark):
+    """A cap far above any real bucket must not change the candidate set."""
+    from embulk_output_s3_parquet_spark.functions.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=32, bands=8, hasher="md5", sample_mod=2
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=32, bands=8, hasher="md5", sample_mod=2,
+            max_bucket=10_000,
+        ).collect()
+    }
+    assert base == capped and len(base) > 0
