@@ -1716,9 +1716,17 @@ def rewrite_small_parts(
         # materialization is the point), unlike the size-only merge below
         selected |= vectored_selected
     if max_parts is not None and len(selected) > max_parts:
+        # vectored parts lead the trim order (r6, advisor finding): they
+        # are the reason max_delete_ratio selected them -- a size-sorted
+        # trim could evict every vectored part and leave the wave
+        # rewriting one unvectored tiny part 1:1 (pure churn)
         selected = set(
-            sorted(selected, key=lambda p: (sizes[p], p))[:max_parts]
+            sorted(
+                selected,
+                key=lambda p: (p not in vectored_selected, sizes[p], p),
+            )[:max_parts]
         )
+        vectored_selected = vectored_selected & selected
     report = {
         "parts_total": len(lineage),
         "min_part_bytes": int(min_part_bytes),
@@ -1732,6 +1740,8 @@ def rewrite_small_parts(
         # nothing to merge: one small UNVECTORED part would be rewritten
         # 1:1 for no gain (a vectored one is worth it: materialization)
         report["parts_selected"] = 0
+        report["parts_vectored_selected"] = 0
+        report["bytes_selected"] = 0
         return report
     from .operators.decode import decode_table_scan
 

@@ -420,7 +420,10 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         return t
 
     def initialOffset(self) -> dict:
-        self._hwm_next = 0  # fresh checkpoint: cap from here on
+        # monotonic (r6, advisor finding): latestOffset may run first on a
+        # fresh start; never discard an already-reported watermark
+        if self._hwm_next is None:
+            self._hwm_next = 0
         return {"gen": self._gen, "next": 0}
 
     def latestOffset(self) -> dict:
@@ -783,10 +786,23 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
                 "gaps, or restart from a fresh checkpoint"
             ) from e
         self._cache[gen] = state
+        # same LRU bound as _observe (r6, advisor finding): checkpoint-
+        # restart snapshots land here too, and a long-lived feed over a
+        # frequently-flipping table would otherwise accumulate unbounded
+        # lineage sets + vector bitmaps on the driver
+        while len(self._cache) > self._CACHE_GENS:
+            dropped = min(self._cache)
+            self._cache.pop(dropped)
+            self._live_fp.pop(dropped, None)
         return state
 
     def initialOffset(self) -> dict:
-        self._hwm_next = 0  # fresh checkpoint: cap from the very start
+        # monotonic: the engine may call latestOffset before initialOffset
+        # on a fresh start (see latestOffset's cap comment); resetting an
+        # already-reported watermark could hand back a lower offset than
+        # one the engine has seen (r6, advisor finding)
+        if self._hwm_next is None:
+            self._hwm_next = 0
         return {"gen": self._gen0, "next": 0}
 
     def latestOffset(self) -> dict:
@@ -910,10 +926,19 @@ class EncodedTableChangesReader(DataSourceReader):
     one: appended parts surface as ``insert`` rows, merge-on-read vector
     growth as row-exact ``delete`` rows (same planner as the streaming
     feed; copy-on-write rewrites between the bounds raise). Both bounds
-    accept generation numbers or snapshot tag names, so
-    ``create_tag`` + batch CDF is an incremental-consumer protocol with
-    no running stream: tag after each drain, next drain reads
-    changes(tag_prev -> live)."""
+    accept generation numbers or snapshot tag names.
+
+    Incremental-consumer protocol (r6, advisor finding): TAG FIRST, then
+    drain ``changes(tag_prev -> tag_new)``. With both bounds freeze-
+    flipped immutable dirs, a same-generation append can never land
+    between a drain's planning snapshot and the next tag -- the
+    lost-delta window the drain-then-tag ordering leaves open (appends do
+    not flip ``parts_gen``, so a part committed after a live-end plan but
+    before the tag belongs to the tagged generation and would be covered
+    by the next window's watermark without ever being delivered). A
+    live-ended read (``ending_gen`` unset) additionally captures its
+    snapshot under an _observe-style fingerprint-stability retry, so the
+    planned state is at least never a torn mid-append read."""
 
     def __init__(
         self,
@@ -934,36 +959,58 @@ class EncodedTableChangesReader(DataSourceReader):
         self._fillable = frozenset(t.added_columns()) & names
         self._aliases = t.stored_aliases()
         g0 = t.resolve_ref(str(start_ref))
-        g1 = (
-            t.resolve_ref(str(end_ref))
-            if end_ref is not None
-            else int(t.manifest().get("parts_gen", 0))
-        )
-        if g0 > g1:
-            raise ValueError(
-                f"enctable change feed: starting_gen {g0} is newer than "
-                f"ending_gen {g1}"
-            )
-        states = None
         self.plan_stats: dict = {}
-        if g0 != g1 and os.environ.get("SPARK_ENCTABLE_CDF_FULLPLAN") != "1":
-            # stat-diff fast path: parse only shards whose lineage JSON or
-            # dv sidecar changed between the two snapshots (hard-linked
-            # unchanged shards share inodes) -- O(shards + changed parts)
-            # planning instead of two full lineage loads. None = legacy
-            # inline lineage; fall through to the full parse below.
-            states = t.cdf_states(g0, g1)
-        if states is not None:
-            (n0, lin0, dv0), (n1, lin1, dv1), self.plan_stats = states
-        else:
-            lin1, dv1 = set(t.lineage_at(g1)), t.part_dv(gen=g1)
-            lin0, dv0 = (
-                (lin1, dv1)
-                if g0 == g1
-                else (set(t.lineage_at(g0)), t.part_dv(gen=g0))
+        # live-ended reads: capture under the _observe fingerprint-retry so
+        # a same-generation append landing mid-plan can't produce a torn
+        # snapshot (r6, advisor finding; tag-first consumption -- see class
+        # docstring -- closes the remaining append-after-plan window)
+        for attempt in range(5):
+            g1 = (
+                t.resolve_ref(str(end_ref))
+                if end_ref is not None
+                else int(t.manifest().get("parts_gen", 0))
             )
-            n0 = (max(lin0) + 1) if lin0 else 0
-            n1 = (max(lin1) + 1) if lin1 else 0
+            live_end = end_ref is None
+            fp = (
+                EncodedTableChangeFeedReader._dir_fingerprint(path, g1)
+                if live_end
+                else None
+            )
+            if g0 > g1:
+                raise ValueError(
+                    f"enctable change feed: starting_gen {g0} is newer than "
+                    f"ending_gen {g1}"
+                )
+            states = None
+            if g0 != g1 and os.environ.get("SPARK_ENCTABLE_CDF_FULLPLAN") != "1":
+                # stat-diff fast path: parse only shards whose lineage JSON or
+                # dv sidecar changed between the two snapshots (hard-linked
+                # unchanged shards share inodes) -- O(shards + changed parts)
+                # planning instead of two full lineage loads. None = legacy
+                # inline lineage; fall through to the full parse below.
+                states = t.cdf_states(g0, g1)
+            if states is not None:
+                (n0, lin0, dv0), (n1, lin1, dv1), self.plan_stats = states
+            else:
+                lin1, dv1 = set(t.lineage_at(g1)), t.part_dv(gen=g1)
+                lin0, dv0 = (
+                    (lin1, dv1)
+                    if g0 == g1
+                    else (set(t.lineage_at(g0)), t.part_dv(gen=g0))
+                )
+                n0 = (max(lin0) + 1) if lin0 else 0
+                n1 = (max(lin1) + 1) if lin1 else 0
+            if not live_end or (
+                int(t.manifest().get("parts_gen", 0)) == g1
+                and EncodedTableChangeFeedReader._dir_fingerprint(path, g1) == fp
+            ):
+                break
+        else:
+            raise RuntimeError(
+                "enctable change feed: table is committing faster than the "
+                "live-end snapshot can be captured; pass ending_gen (tag "
+                "first, then drain) or retry"
+            )
         self._tasks = _cdf_tasks(
             path, (g0, n0, lin0, dv0), (g1, n1, lin1, dv1),
             ts1=t.gen_timestamps().get(g1),
@@ -1270,7 +1317,14 @@ class EncodedTableDataSource(DataSource):
             fields = list(full.fields)
         else:
             want = [c.strip() for c in columns.split(",")]
-            missing = set(want) - {f.name for f in full.fields}
+            known = {f.name for f in full.fields}
+            if self._change_feed():
+                # the reader itself exposes the CDF metadata names, so a
+                # projection naming them is legal (r6, advisor finding);
+                # they are appended below regardless, as for the
+                # unprojected read
+                known |= {f.name for f in CDF_FIELDS}
+            missing = set(want) - known
             if missing:
                 raise ValueError(f"unknown columns: {sorted(missing)}")
             fields = [f for f in full.fields if f.name in want]

@@ -162,3 +162,44 @@ def test_optimize_purges_heavily_vectored_parts(spark, tmp_path):
     assert not (heavy & set(dv_after))  # vectors materialized
     assert light <= set(dv_after)  # light parts keep theirs, untouched
     assert verify_table(spark, path) == []
+
+
+def test_optimize_max_parts_trim_prefers_vectored(spark, tmp_path):
+    """r6 (advisor finding): a size-sorted max_parts trim must not evict
+    the ratio-selected heavily-vectored parts -- they lead the trim order,
+    and a single surviving vectored part is still rewritten (vector
+    materialization is the point)."""
+    path, thr = _mixed_table(spark, tmp_path)
+    t = EncodedTable(path)
+    delete_job(spark, path, ("doc_id", "<", 220), mode="mor")
+    dv = t.part_dv()
+    rows_of = {p: int(r["rows"]) for p, r in t.lineage().items()}
+    heavy = {p for p, e in dv.items() if int(e["n"]) / rows_of[p] > 0.4}
+    assert heavy
+    n_live = count_job(spark, path)
+    # max_parts=1 with tiny unvectored parts present: the old sort by size
+    # picked a tiny append part and early-returned with inconsistent
+    # counters; now the vectored part wins the slot
+    rep = rewrite_small_parts(
+        spark, path, min_part_bytes=thr, max_delete_ratio=0.4, max_parts=1
+    )
+    assert rep["parts_selected"] == 1
+    assert rep["parts_vectored_selected"] == 1
+    assert rep["parts_rewritten"] == 1
+    assert count_job(spark, path) == n_live
+    assert verify_table(spark, path) == []
+
+
+def test_optimize_noop_report_is_consistent(spark, tmp_path):
+    """The early-return no-op must zero ALL selection counters, not just
+    parts_selected (advisor finding: bytes_selected stayed nonzero)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "one")
+    encode_job(
+        spark, docs, path,
+        CodecPolicy(target_partition_bytes=1 << 30, chunk_rows=512),
+    )
+    rep = rewrite_small_parts(spark, path, min_part_bytes=1 << 40)
+    if rep["parts_rewritten"] == 0 and rep["parts_selected"] == 0:
+        assert rep["bytes_selected"] == 0
+        assert rep["parts_vectored_selected"] == 0
