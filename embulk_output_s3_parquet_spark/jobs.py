@@ -1743,10 +1743,34 @@ def rewrite_small_parts(
         report["parts_vectored_selected"] = 0
         report["bytes_selected"] = 0
         return report
-    from .operators.decode import decode_table_scan
-
-    df = decode_table_scan(spark, table, parts=selected)
-    new_lineage = _swap_in_rewrite(spark, table, selected, df, policy)
+    # r6: fused task-local compaction. The selection is driver-side
+    # metadata (lineage enc_bytes), so the merge GROUPS can be bin-packed
+    # on the driver too: each task decodes its group's parts with pyarrow
+    # and writes ONE merged part in place -- zero payload bytes through
+    # the JVM or the network, same shape as _delete_cow_inplace (the
+    # previous generic tail decoded to JVM rows, re-planned, re-shipped
+    # and shuffled: measured 2.8-16 s driver samples for ~220 KB of
+    # selected bytes). Bucketed tables group within one bucket only, so
+    # part/bucket purity is preserved by construction.
+    groups: list[list[int]] = []
+    by_bucket: dict[object, list[int]] = {}
+    for p in sorted(selected):
+        by_bucket.setdefault(lineage[p].get("bucket"), []).append(p)
+    target = int(policy.target_partition_bytes)
+    for _bkt, pids in sorted(
+        by_bucket.items(), key=lambda kv: (kv[0] is None, str(kv[0]))
+    ):
+        cur: list[int] = []
+        acc = 0
+        for p in pids:
+            cur.append(p)
+            acc += max(sizes[p], 1)
+            if acc >= target:
+                groups.append(cur)
+                cur, acc = [], 0
+        if cur:
+            groups.append(cur)
+    new_lineage = _merge_parts_local(spark, table, groups, selected, policy)
     report["parts_rewritten"] = len(selected)
     report["parts_written"] = len(new_lineage)
     report["bytes_written"] = sum(
@@ -2146,15 +2170,266 @@ def delete_job(
         int(dv_before[p].get("n", 0)) for p in affected if p in dv_before
     )
 
-    schema = table.schema()
-    df = decode_table_scan(spark, table, parts=affected)
-    keep = df.filter(~_conjunct_condition(conjuncts, schema))
-    new_lineage = _swap_in_rewrite(spark, table, affected, keep, policy)
+    new_lineage = _delete_cow_inplace(spark, table, conjuncts, affected, policy)
     rows_after = sum(r["rows"] for r in new_lineage.values())
     report["parts_rewritten"] = len(new_lineage)
     report["rows_deleted"] = rows_before - rows_after
     table.log_op("delete", dict(report))
     return report
+
+
+def _delete_cow_inplace(
+    spark: SparkSession,
+    table: EncodedTable,
+    conjuncts: list[tuple],
+    affected: set[int],
+    policy: CodecPolicy | None,
+) -> dict[int, dict]:
+    """Fused task-local copy-on-write DELETE (r6).
+
+    The generic rewrite tail (_swap_in_rewrite) decodes the affected
+    parts into JVM rows, persists them, re-plans partitions, ships every
+    byte back into Python to re-encode, shuffles chunks, and runs a
+    separate lineage job -- measured 8.6 s for an 18-part trickle delete
+    whose kernels cost ~2 core-seconds. A DELETE never changes a row, so
+    each part can rewrite 1:1 where it sits: one task decodes its part
+    with pyarrow, drops matching rows, re-applies the recorded
+    write-order, re-encodes through the same chunk kernels, writes the
+    (col, chunk_seq)-sorted chunk parquet, and returns the lineage row --
+    ZERO payload bytes cross the JVM boundary or the network, the Iceberg
+    rewrite-files shape (1.5 s for the same delete). Bucket purity is
+    preserved by construction (rows never move between parts; the old
+    part's bucket tag is copied). UPDATE/MERGE keep the generic tail:
+    their SET expressions are SQL, evaluated by Spark.
+
+    Row semantics are identical to the previous
+    ``decode.filter(~condition)``: a row whose predicate evaluates to
+    NULL is dropped (Spark's strict filter), unlike merge-on-read's
+    fill-false marking -- preserved bit-for-bit so existing results never
+    change. A part whose rows all match yields no replacement part (its
+    id is simply retired)."""
+    lineage = table.lineage()
+    groups = [
+        ([pid], lineage[pid].get("bucket")) for pid in sorted(affected)
+    ]
+    return _local_parts_rewrite(
+        spark, table, groups, affected, conjuncts, policy
+    )
+
+
+def _merge_parts_local(
+    spark: SparkSession,
+    table: EncodedTable,
+    groups: list[list[int]],
+    selected: set[int],
+    policy: CodecPolicy | None,
+) -> dict[int, dict]:
+    """Fused task-local compaction: each group of small parts merges into
+    ONE part written in place by its task (see _delete_cow_inplace for
+    the shape and why). Groups are bin-packed per bucket on the driver
+    from lineage byte counts, so bucket purity is preserved."""
+    lineage = table.lineage()
+    gs = [(pids, lineage[pids[0]].get("bucket")) for pids in groups]
+    return _local_parts_rewrite(spark, table, gs, selected, [], policy)
+
+
+def _local_parts_rewrite(
+    spark: SparkSession,
+    table: EncodedTable,
+    groups: list[tuple[list[int], object]],
+    affected: set[int],
+    conjuncts: list[tuple],
+    policy: CodecPolicy | None,
+) -> dict[int, dict]:
+    """Shared fused rewrite core (r6): ``groups`` is a list of
+    ([old part ids], bucket_tag_or_None); each group becomes one task that
+    decodes its parts with pyarrow (delete vectors applied), optionally
+    drops rows matching ``conjuncts`` (strict-filter semantics, see
+    _delete_cow_inplace), re-applies the recorded write-order, re-encodes
+    through the chunk kernels, writes one (col, chunk_seq)-sorted chunk
+    parquet into staging, and reports its lineage row. The driver then
+    moves the staged dirs in and flips the generation once
+    (_update_parts). No payload byte ever crosses the JVM boundary or the
+    network."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .sources.tables import staging_heartbeat
+
+    policy = policy or table.policy()
+    schema = table.schema()
+    arrow_schema = to_arrow_schema(schema)
+    fields = [(f.name, f.type) for f in arrow_schema]
+    names_now = {f.name for f in schema.fields}
+    props = table.properties()
+    cluster = tuple(
+        c for c in (props.get("write-order") or []) if c in names_now
+    )
+    zorder = bool(props.get("write-order-zorder", False))
+    fillable = frozenset(table.added_columns()) & names_now
+    aliases = table.stored_aliases()
+    dv_all = table.part_dv()
+    first_col = schema.fields[0].name
+
+    offset = table.next_part_base()
+    table.note_part_extent(offset + len(groups) - 1)
+    staging = table.new_staging()
+    chunk_rows = policy.chunk_rows
+    chunk_bytes = policy.chunk_bytes
+    bloom_cols = frozenset(policy.bloom_columns)
+    ndv_cols = frozenset(getattr(policy, "ndv_columns", ()) or ())
+    from .operators.encode import _resolve_policy
+
+    colmap = _resolve_policy(schema, policy)
+    work = [
+        (
+            int(offset + i),
+            _json.dumps(
+                [
+                    [
+                        os.path.join(table.data_dir, f"part_id={pid}"),
+                        dv_all.get(pid) or None,
+                    ]
+                    for pid in pids
+                ]
+            ),
+            -1 if bucket is None else int(bucket),
+        )
+        for i, (pids, bucket) in enumerate(groups)
+    ]
+    par = min(len(work), spark.sparkContext.defaultParallelism * 2)
+    src = spark.createDataFrame(
+        work, "new_pid long, dirs string, bucket int"
+    ).repartition(par)
+    cjs = conjuncts
+
+    def rewrite(it):
+        import glob as _glob
+        import uuid as _uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        from embulk_output_s3_parquet_spark.operators.encode import (
+            _effective_chunk_rows,
+            _encode_slices,
+            _zorder_take,
+        )
+        from embulk_output_s3_parquet_spark.sources.chunkscan import (
+            _match_mask,
+            iter_part_tables,
+        )
+
+        for pdf in it:
+            out_rows = []
+            for new_pid, dirs_json, bucket in zip(
+                pdf["new_pid"], pdf["dirs"], pdf["bucket"]
+            ):
+                tw0 = time.time()
+                tables = []
+                for d, dv in _json.loads(dirs_json):
+                    files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+                    if not files:
+                        raise FileNotFoundError(f"committed part missing: {d}")
+                    tables.extend(
+                        iter_part_tables(
+                            files, fields, [], fillable=fillable,
+                            aliases=aliases, dv=dv,
+                        )
+                    )
+                if not tables:
+                    out_rows.append((int(new_pid), ""))
+                    continue
+                whole = pa.concat_tables(tables).combine_chunks()
+                if cjs:
+                    mask = None
+                    for c, op, v in cjs:
+                        m = _match_mask(whole.column(c).combine_chunks(), op, v)
+                        mask = m if mask is None else pc.and_kleene(mask, m)
+                    # Spark strict-filter parity: keep rows where NOT(pred)
+                    # is TRUE; a NULL predicate drops the row
+                    keep = pc.fill_null(pc.invert(mask), False)
+                    whole = whole.filter(keep)
+                if whole.num_rows == 0:
+                    out_rows.append((int(new_pid), ""))
+                    continue
+                if cluster and zorder:
+                    whole = _zorder_take(whole, cluster)
+                elif cluster:
+                    whole = whole.sort_by([(c, "ascending") for c in cluster])
+                eff = _effective_chunk_rows(whole, chunk_rows, chunk_bytes)
+                enc = _encode_slices(
+                    int(new_pid), whole, colmap, eff,
+                    bloom_cols=bloom_cols, ndv_cols=ndv_cols,
+                )
+                enc = enc.drop_columns(["part_id"]).sort_by(
+                    [("col", "ascending"), ("chunk_seq", "ascending")]
+                )
+                part_dir = os.path.join(staging, f"part_id={int(new_pid)}")
+                os.makedirs(part_dir, exist_ok=True)
+                rows_per_group = max(
+                    1,
+                    int(4 * 1024 * 1024 * enc.num_rows // max(enc.nbytes, 1)),
+                )
+                _pq.write_table(
+                    enc,
+                    os.path.join(
+                        part_dir, f"part-{_uuid.uuid4().hex[:12]}.parquet"
+                    ),
+                    row_group_size=rows_per_group,
+                    compression="none",
+                )
+                row = lineage_row_from_chunks(
+                    enc.column("chunk_seq").to_pylist(),
+                    enc.column("col").to_pylist(),
+                    enc.column("meta").to_pylist(),
+                    enc.column("payload_sha").to_pylist(),
+                    enc.column("raw_bytes").to_pylist(),
+                    enc.column("enc_bytes").to_pylist(),
+                    enc.column("n").to_pylist(),
+                    first_col,
+                )
+                row["wall_s"] = round(time.time() - tw0, 3)
+                if int(bucket) >= 0:
+                    row["bucket"] = int(bucket)
+                out_rows.append((int(new_pid), _json.dumps(row)))
+            yield pd.DataFrame(out_rows, columns=["new_pid", "lineage"])
+
+    with staging_heartbeat(staging):
+        got = src.mapInPandas(rewrite, schema="new_pid long, lineage string").collect()
+    new_lineage: dict[int, dict] = {}
+    for r in got:
+        if r["lineage"]:
+            new_lineage[int(r["new_pid"])] = _json.loads(r["lineage"])
+    if len(got) != len(work):
+        raise RuntimeError(
+            f"local rewrite incomplete: {len(got)}/{len(work)} groups reported"
+        )
+    for pid in sorted(new_lineage):
+        dst = os.path.join(table.data_dir, f"part_id={pid}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)  # uncommitted leftover of a killed run
+        os.rename(os.path.join(staging, f"part_id={pid}"), dst)
+    table._update_parts(remove=set(affected), add=new_lineage)
+    # same post-flip hygiene as _swap_in_rewrite: at retention 0 only
+    # tag-pinned superseded parts survive
+    if table.snapshot_retention() == 0:
+        pinned = _tag_referenced_parts(table)
+        if pinned is not None:
+            for p in affected:
+                if p in pinned:
+                    continue
+                shutil.rmtree(
+                    os.path.join(table.data_dir, f"part_id={p}"),
+                    ignore_errors=True,
+                )
+    shutil.rmtree(staging, ignore_errors=True)
+    return new_lineage
 
 
 def _delete_mor(
