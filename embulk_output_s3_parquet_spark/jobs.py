@@ -2203,11 +2203,16 @@ def _delete_cow_inplace(
     their SET expressions are SQL, evaluated by Spark.
 
     Row semantics are identical to the previous
-    ``decode.filter(~condition)``: a row whose predicate evaluates to
-    NULL is dropped (Spark's strict filter), unlike merge-on-read's
-    fill-false marking -- preserved bit-for-bit so existing results never
-    change. A part whose rows all match yields no replacement part (its
-    id is simply retired)."""
+    ``filter(~coalesce(condition, False))``: a row whose predicate
+    evaluates to NULL is NOT deleted (same as merge-on-read's fill-false
+    marking) -- preserved bit-for-bit so existing results never change.
+    Literal validation also matches: _conjunct_condition is still built
+    driver-side so bad temporal/decimal literals refuse loudly before any
+    task runs. A part whose rows all match yields no replacement part
+    (its id is simply retired)."""
+    # loud literal validation (raises ConfigException on e.g. raw epoch
+    # ints against temporal columns), exactly as the Spark-filter path did
+    _conjunct_condition(conjuncts, table.schema())
     lineage = table.lineage()
     groups = [
         ([pid], lineage[pid].get("bucket")) for pid in sorted(affected)
@@ -2244,7 +2249,7 @@ def _local_parts_rewrite(
     """Shared fused rewrite core (r6): ``groups`` is a list of
     ([old part ids], bucket_tag_or_None); each group becomes one task that
     decodes its parts with pyarrow (delete vectors applied), optionally
-    drops rows matching ``conjuncts`` (strict-filter semantics, see
+    drops rows matching ``conjuncts`` (NULL predicate = kept, see
     _delete_cow_inplace), re-applies the recorded write-order, re-encodes
     through the chunk kernels, writes one (col, chunk_seq)-sorted chunk
     parquet into staging, and reports its lineage row. The driver then
@@ -2351,9 +2356,11 @@ def _local_parts_rewrite(
                     for c, op, v in cjs:
                         m = _match_mask(whole.column(c).combine_chunks(), op, v)
                         mask = m if mask is None else pc.and_kleene(mask, m)
-                    # Spark strict-filter parity: keep rows where NOT(pred)
-                    # is TRUE; a NULL predicate drops the row
-                    keep = pc.fill_null(pc.invert(mask), False)
+                    # parity with the previous filter(~coalesce(cond,
+                    # False)): a NULL predicate means NOT deleted -- the
+                    # row is kept (same as merge-on-read's fill-false
+                    # marking)
+                    keep = pc.invert(pc.fill_null(mask, False))
                     whole = whole.filter(keep)
                 if whole.num_rows == 0:
                     out_rows.append((int(new_pid), ""))

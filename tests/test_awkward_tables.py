@@ -24,6 +24,7 @@ def _roundtrip_rows(spark, tmp_path, rows, schema, name):
     return df, out, path
 
 
+@pytest.mark.slow
 def test_unicode_and_empty_strings(spark, tmp_path):
     rows = [
         (0, "καλημέρα κόσμε"),

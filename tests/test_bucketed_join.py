@@ -180,6 +180,7 @@ def test_mismatched_or_unbucketed_refused(spark, tables, tmp_path):
         bucketed_join(spark, lpath, other, how="cross")
 
 
+@pytest.mark.slow
 def test_streamed_sink_keeps_buckets(spark, tables, tmp_path):
     """Two micro-batches through the streaming encode sink with
     bucket_by: every committed part stays tagged + pure, and the streamed

@@ -249,6 +249,7 @@ def test_mor_ndv_fully_vectored_part_and_exact_deltas(spark, docs, tmp_path):
     assert q["n"] == live_n and q["deleted"] == killed
 
 
+@pytest.mark.slow
 def test_mor_quantile_bounds_hold_under_composed_mutations(spark, tmp_path):
     """Adversarial sweep of the widened-threshold math: after EACH of a
     series of composed merge-on-read deletes (disjoint ranges, an
@@ -500,6 +501,7 @@ def test_mor_isnull_delete_on_added_column(spark, docs, table):
     assert read_table(table).num_rows == 0
 
 
+@pytest.mark.slow
 def test_mor_update_vectors_plus_append_one_flip(spark, docs, table):
     """update_job(mode="mor"): matched rows delete-vectored in place,
     updated images appended as new parts, one atomic generation flip --

@@ -1624,6 +1624,7 @@ def test_update_job_rewrites_only_affected_parts(spark, tmp_path):
         update_job(spark, path, None, {"lang": "'y'"})
 
 
+@pytest.mark.slow
 def test_merge_job_upsert(spark, tmp_path):
     """MERGE (r5): matched keys are replaced with source rows, unmatched
     source rows are inserted, pruning scopes the rewrite, and duplicate
@@ -2078,6 +2079,7 @@ def test_export_incremental_watermark(spark, tmp_path):
                    expect_gen=rep2["parts_gen"])
 
 
+@pytest.mark.slow
 def test_maintenance_lifecycle_cross_shard(spark, tmp_path):
     """VERDICT r4 #9: the three maintenance ops interacting on one table
     whose parts span MULTIPLE manifest shards (part_base places each wave
@@ -2742,6 +2744,7 @@ def test_quantile_job_zone_bounds(spark, tmp_path):
     assert quantile_job(spark, p2, "v", [0.5], at_gen=0) == before
 
 
+@pytest.mark.slow
 def test_diff_job_changelog(spark, tmp_path):
     """Generation-diff changelog (r5): diff_job emits row-level
     insert/delete changes between two retained snapshots, touching only
@@ -2901,3 +2904,24 @@ def test_minhash_md5_arrow_matches_jvm_formula(spark):
     a = {r["id"]: r["sig"] for r in fast.collect()}
     b = {r["id"]: r["sig"] for r in slow.collect()}
     assert a == b and len(a) > 100
+
+
+def test_delete_cow_null_predicate_rows_survive(spark, tmp_path):
+    """r6 fused cow delete: a row whose predicate evaluates to NULL is NOT
+    deleted -- parity with the previous filter(~coalesce(cond, False)) and
+    with merge-on-read marking."""
+    from embulk_output_s3_parquet_spark.jobs import decode_job, delete_job, encode_job
+
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else i * 10) for i in range(200)],
+        "id long, v long",
+    )
+    path = str(tmp_path / "nulldel")
+    encode_job(spark, df, path, _policy(chunk_rows=32), if_exists="error")
+    rep = delete_job(spark, path, ("v", ">=", 500))
+    # v >= 500 matches ids 50..199 except the null rows (every 5th)
+    expect_deleted = sum(1 for i in range(200) if i % 5 != 0 and i * 10 >= 500)
+    assert rep["rows_deleted"] == expect_deleted
+    left = decode_job(spark, path)
+    assert left.filter("v is null").count() == 40  # all null rows kept
+    assert left.count() == 200 - expect_deleted

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from embulk_output_s3_parquet_spark.jobs import (
     compact_job,
     count_job,

@@ -131,6 +131,7 @@ def test_mor_merge_composite_key_exact(spark, tmp_path):
     assert verify_table(spark, path) == []
 
 
+@pytest.mark.slow
 def test_mor_merge_composes_then_compacts(spark, docs, table):
     n = docs.count()
     src1 = docs.where(F.col("doc_id") < 20).withColumn("lang", F.lit("xx"))

@@ -15,6 +15,8 @@ from __future__ import annotations
 import random
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from embulk_output_s3_parquet_spark.jobs import (

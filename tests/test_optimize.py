@@ -11,6 +11,8 @@ and merge-on-read vectors of the selected parts materialize away.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -68,6 +70,7 @@ def _mixed_table(spark, tmp_path) -> tuple[str, int]:
     return path, (small_max + big_min) // 2
 
 
+@pytest.mark.slow
 def test_optimize_merges_only_small_parts(spark, tmp_path):
     path, thr = _mixed_table(spark, tmp_path)
     t = EncodedTable(path)
@@ -91,6 +94,7 @@ def test_optimize_merges_only_small_parts(spark, tmp_path):
     assert verify_table(spark, path) == []
 
 
+@pytest.mark.slow
 def test_optimize_materializes_vectors_and_respects_max_parts(
     spark, tmp_path
 ):
@@ -130,6 +134,7 @@ def test_optimize_noop_below_two_parts(spark, tmp_path):
     assert t.manifest().get("parts_gen", 0) == gen  # no flip, no-op
 
 
+@pytest.mark.slow
 def test_optimize_purges_heavily_vectored_parts(spark, tmp_path):
     """max_delete_ratio (Iceberg rewrite_position_delete_files / Delta
     purge): a part whose merge-on-read deleted fraction exceeds the ratio
@@ -164,6 +169,7 @@ def test_optimize_purges_heavily_vectored_parts(spark, tmp_path):
     assert verify_table(spark, path) == []
 
 
+@pytest.mark.slow
 def test_optimize_max_parts_trim_prefers_vectored(spark, tmp_path):
     """r6 (advisor finding): a size-sorted max_parts trim must not evict
     the ratio-selected heavily-vectored parts -- they lead the trim order,

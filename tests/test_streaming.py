@@ -98,6 +98,7 @@ def test_stream_restart_no_duplicates(spark, tmp_path):
 
 
 @pytest.mark.timeout(600)
+@pytest.mark.slow
 def test_compaction_after_streaming(spark, tmp_path):
     """Micro-batches leave many small parts; compact_job rewrites them into
     freshly planned parts with identical content."""
@@ -286,6 +287,7 @@ def test_running_user_totals_stateful(spark, tmp_path):
 
 
 @pytest.mark.timeout(600)
+@pytest.mark.slow
 def test_windowed_stats_into_encode_sink(spark, tmp_path):
     """The streaming composition the engine exists for: watermarked windowed
     aggregates drained straight into the columnar-encode sink, decoded back
