@@ -2383,13 +2383,19 @@ def _local_parts_rewrite(
                     1,
                     int(4 * 1024 * 1024 * enc.num_rows // max(enc.nbytes, 1)),
                 )
+                # temp + atomic replace onto a DETERMINISTIC name: a
+                # retried/speculative task re-replaces the same file
+                # instead of leaving two parquet files in one part dir
+                tmp = os.path.join(
+                    part_dir, f".tmp-{_uuid.uuid4().hex[:12]}"
+                )
                 _pq.write_table(
-                    enc,
-                    os.path.join(
-                        part_dir, f"part-{_uuid.uuid4().hex[:12]}.parquet"
-                    ),
+                    enc, tmp,
                     row_group_size=rows_per_group,
                     compression="none",
+                )
+                os.replace(
+                    tmp, os.path.join(part_dir, "part-00000.parquet")
                 )
                 row = lineage_row_from_chunks(
                     enc.column("chunk_seq").to_pylist(),

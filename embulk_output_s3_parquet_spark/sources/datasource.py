@@ -366,7 +366,7 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         self._max_ppt = max_parts_per_trigger
         self._hwm_next: int | None = None
         self._fields, names = _prepare_fields(schema, columns)
-        self._gen = EncodedTable(path).manifest().get("parts_gen", 0)
+        self._gen = EncodedTable(path)._core_manifest().get("parts_gen", 0)
         # resolved ONCE here -- read() runs per partition per micro-batch
         # on executors and must not re-read manifest state for this
         t = EncodedTable(path)
@@ -394,7 +394,7 @@ class EncodedTableStreamReader(DataSourceStreamReader):
         from .tables import EncodedTable
 
         t = EncodedTable(self._path)
-        gen = t.manifest().get("parts_gen", 0)
+        gen = t._core_manifest().get("parts_gen", 0)
         if gen != self._gen:
             if self._ignore_deletes:
                 # a flip is tolerable IFF every part id we know is still
@@ -746,13 +746,51 @@ class EncodedTableChangeFeedReader(DataSourceStreamReader):
         delta, and a same-generation append landing mid-capture could pin
         a stale part set (appends do not flip ``parts_gen``)."""
         for _ in range(5):
-            gen = int(t.manifest().get("parts_gen", 0))
+            gen = int(t._core_manifest().get("parts_gen", 0))
             fp = self._dir_fingerprint(self._path, gen)
             if gen in self._cache and self._live_fp.get(gen) == fp:
                 return gen
-            state = (set(t.completed_parts()), t.part_dv())
+            prior = self._cache.get(gen)
+            prior_fp = self._live_fp.get(gen)
+            if prior is not None and prior_fp is not None:
+                # same-generation recapture (r6, 10^6-part measurement):
+                # appends are the ONLY same-gen mutation (every
+                # delete/update/compact flips parts_gen), so the cached
+                # state can be updated incrementally from exactly the
+                # shard files whose (inode, mtime, size) changed --
+                # O(changed shards), not a full O(parts) re-union, which
+                # at 10^6 parts cost ~2 min per appended wave. Appends
+                # only ADD part ids to a lineage shard; dv sidecars are
+                # re-read defensively when their stat changed.
+                from .tables import _is_lineage_shard, _load_shard_cached
+                from .tables import _read_dv_sidecar
+
+                old_by_name = {e[0]: e for e in prior_fp}
+                changed = [
+                    e[0] for e in fp if old_by_name.get(e[0]) != e
+                ]
+                parts = set(prior[0])
+                dv = dict(prior[1])
+                d = os.path.join(self._path, f"parts-{gen}")
+                ok = True
+                for name in changed:
+                    if _is_lineage_shard(name):
+                        rows = _load_shard_cached(os.path.join(d, name))
+                        if rows is None:
+                            ok = False
+                            break
+                        parts.update(int(k) for k in rows)
+                    elif name.endswith(".dv.json"):
+                        sid = int(name[len("shard-"):-len(".dv.json")])
+                        for pid_s, v in _read_dv_sidecar(d, sid).items():
+                            dv[int(pid_s)] = v
+                state = (parts, dv) if ok else None
+            else:
+                state = None
+            if state is None:
+                state = (set(t.completed_parts()), t.part_dv())
             if (
-                int(t.manifest().get("parts_gen", 0)) != gen
+                int(t._core_manifest().get("parts_gen", 0)) != gen
                 or self._dir_fingerprint(self._path, gen) != fp
             ):
                 continue  # flipped/appended under us: state may be mixed
@@ -968,7 +1006,7 @@ class EncodedTableChangesReader(DataSourceReader):
             g1 = (
                 t.resolve_ref(str(end_ref))
                 if end_ref is not None
-                else int(t.manifest().get("parts_gen", 0))
+                else int(t._core_manifest().get("parts_gen", 0))
             )
             live_end = end_ref is None
             fp = (
@@ -1001,7 +1039,7 @@ class EncodedTableChangesReader(DataSourceReader):
                 n0 = (max(lin0) + 1) if lin0 else 0
                 n1 = (max(lin1) + 1) if lin1 else 0
             if not live_end or (
-                int(t.manifest().get("parts_gen", 0)) == g1
+                int(t._core_manifest().get("parts_gen", 0)) == g1
                 and EncodedTableChangeFeedReader._dir_fingerprint(path, g1) == fp
             ):
                 break

@@ -406,6 +406,14 @@ def main() -> int:
             out["root"] = root
         else:
             shutil.rmtree(root, ignore_errors=True)
+    # r6 (VERDICT #6): driver RSS alongside wall -- a super-linear driver
+    # memory curve at 10^6 parts would invalidate the O(metadata) story
+    # even with flat walls
+    import resource
+
+    out["driver_maxrss_mb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+    )
     print(json.dumps(out))
     return 0
 
