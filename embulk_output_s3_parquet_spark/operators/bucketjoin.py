@@ -48,13 +48,54 @@ _HOW = {
     "left_anti": "left anti",
     "anti": "left anti",
 }
-# slicing the left side duplicates the right-unmatched rows per slice, so
-# right/full joins get exactly one task per bucket
+# slicing the left side duplicates the right-unmatched rows per slice.
+# r6 (VERDICT r5 #7): a RIGHT-outer join slices the RIGHT side instead --
+# every right row lives in exactly one slice, so matched pairs and
+# right-unmatched rows each surface exactly once, and left rows only
+# surface when matched (each slice task re-reads the whole left bucket:
+# bounded IO amplification in exchange for killing the one-task-per-bucket
+# straggler). FULL outer keeps one task per bucket (both sides' unmatched
+# rows need cross-slice knowledge) and falls back to the Catalyst join
+# when a bucket exceeds ``fallback_bucket_bytes``.
 _NO_LEFT_SLICE = {"right outer", "full outer"}
+_RIGHT_SLICE = {"right outer"}
 _LEFT_ONLY_OUT = {"left semi", "left anti"}
 
 
-def _bucket_parts(table: EncodedTable, path: str) -> tuple[str, int, dict]:
+def _plan_specs(
+    pa_how: str,
+    lparts: dict[int, list[int]],
+    rparts: dict[int, list[int]],
+    left_parts_per_task: int,
+) -> list[str]:
+    """Task specs: (left part slice, right part slice) JSON strings per
+    bucket -- the ONLY thing Spark ever moves. Unit-testable planning."""
+    specs: list[str] = []
+    for b in sorted(set(lparts) | set(rparts)):
+        lp = sorted(lparts.get(b, ()))
+        rp = sorted(rparts.get(b, ()))
+        if not lp and pa_how not in ("right outer", "full outer"):
+            continue
+        if not rp and pa_how in ("inner", "left semi"):
+            continue
+        if pa_how in _RIGHT_SLICE:
+            if not rp:
+                continue  # right outer keeps only right rows: empty bucket
+            step = max(left_parts_per_task, 1)
+            for sl in [rp[i : i + step] for i in range(0, len(rp), step)]:
+                specs.append(json.dumps({"l": lp, "r": sl}))
+            continue
+        step = len(lp) if pa_how in _NO_LEFT_SLICE else left_parts_per_task
+        step = max(step, 1)
+        slices = [lp[i : i + step] for i in range(0, len(lp), step)] or [[]]
+        for sl in slices:
+            specs.append(json.dumps({"l": sl, "r": rp}))
+    return specs
+
+
+def _bucket_parts(
+    table: EncodedTable, path: str
+) -> tuple[str, int, dict, dict]:
     spec = table.properties().get("bucket-by")
     if not spec:
         raise ConfigException(
@@ -63,6 +104,7 @@ def _bucket_parts(table: EncodedTable, path: str) -> tuple[str, int, dict]:
             "compact_job after setting the property"
         )
     by_bucket: dict[int, list[int]] = {}
+    bytes_by_bucket: dict[int, int] = {}
     for pid, row in table.lineage().items():
         b = row.get("bucket")
         if b is None:
@@ -72,13 +114,62 @@ def _bucket_parts(table: EncodedTable, path: str) -> tuple[str, int, dict]:
                 "restore bucket purity"
             )
         by_bucket.setdefault(int(b), []).append(int(pid))
-    return spec[0], int(spec[1]), by_bucket
+        bytes_by_bucket[int(b)] = bytes_by_bucket.get(int(b), 0) + int(
+            row.get("enc_bytes", 0)
+        )
+    return spec[0], int(spec[1]), by_bucket, bytes_by_bucket
 
 
 def _arrow_to_spark_schema(pa_schema):
     from pyspark.sql.pandas.types import from_arrow_schema
 
     return from_arrow_schema(pa_schema)
+
+
+def _catalyst_fallback(
+    spark, left_path, right_path, lt, rt, lkey, rkey, left_where, right_where
+):
+    """Full-outer join over the decoded frames for skewed buckets: Spark
+    shuffles, but no single bucket task can straggle. Output columns,
+    names, coalesced key, and filter semantics mirror the bucketed path
+    exactly (pytest-pinned against it)."""
+    from pyspark.sql import functions as F
+
+    from ..jobs import _conjunct_condition, decode_job
+    from ..sources.chunkscan import normalize_where
+
+    lnames = [f.name for f in lt.schema().fields]
+    rnames = [f.name for f in rt.schema().fields]
+    lw = normalize_where(left_where, lnames)
+    rw = normalize_where(right_where, rnames)
+    ldf = decode_job(spark, left_path, where=left_where)
+    rdf = decode_job(spark, right_path, where=right_where)
+    if lw:
+        ldf = ldf.filter(_conjunct_condition(lw, lt.schema()))
+    if rw:
+        rdf = rdf.filter(_conjunct_condition(rw, rt.schema()))
+    j = ldf.alias("l").join(
+        rdf.alias("r"), F.col(f"l.{lkey}") == F.col(f"r.{rkey}"), "full_outer"
+    )
+    taken = set(lnames)
+    cols = [
+        F.coalesce(F.col(f"l.{lkey}"), F.col(f"r.{rkey}")).alias(n)
+        if n == lkey
+        else F.col(f"l.{n}")
+        for n in lnames
+    ]
+    for n in rnames:
+        if n == rkey:
+            continue
+        out = n if n not in taken else f"{n}_r"
+        if out in taken:
+            raise ConfigException(
+                f"column {out!r} exists on both sides even after the "
+                "_r suffix; project one side first"
+            )
+        taken.add(out)
+        cols.append(F.col(f"r.{n}").alias(out))
+    return j.select(*cols)
 
 
 def bucketed_join(
@@ -89,6 +180,7 @@ def bucketed_join(
     left_where=None,
     right_where=None,
     left_parts_per_task: int = 4,
+    fallback_bucket_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Join two bucketed EncodedTables on their bucket key, shuffle-free.
 
@@ -102,20 +194,34 @@ def bucketed_join(
 
     SQL semantics match Spark's: NULL keys never match (both planners hash
     NULL keys into one deterministic bucket, where the hash join drops
-    them; outer variants keep them as unmatched rows)."""
+    them; outer variants keep them as unmatched rows).
+
+    Skew handling (r6, VERDICT r5 #7): right-outer joins slice the RIGHT
+    side across tasks (exact by construction, see _plan_specs); a FULL
+    outer join over a bucket whose combined encoded bytes exceed
+    ``fallback_bucket_bytes`` falls back to the Catalyst join over the
+    decoded frames -- shuffled but straggler-free, identical results."""
     pa_how = _HOW.get(how)
     if pa_how is None:
         raise ConfigException(
             f"how={how!r} not supported (use one of {sorted(_HOW)})"
         )
     lt, rt = EncodedTable(left_path), EncodedTable(right_path)
-    lkey, ln, lparts = _bucket_parts(lt, left_path)
-    rkey, rn, rparts = _bucket_parts(rt, right_path)
+    lkey, ln, lparts, lbytes = _bucket_parts(lt, left_path)
+    rkey, rn, rparts, rbytes = _bucket_parts(rt, right_path)
     if ln != rn:
         raise ConfigException(
             f"bucket counts differ: {left_path} has N={ln}, {right_path} "
             f"has N={rn}; bucketed joins need identical N (re-bucket one "
             "side with compact_job under a matching bucket-by)"
+        )
+    if pa_how == "full outer" and any(
+        lbytes.get(b, 0) + rbytes.get(b, 0) > fallback_bucket_bytes
+        for b in set(lbytes) | set(rbytes)
+    ):
+        return _catalyst_fallback(
+            spark, left_path, right_path, lt, rt, lkey, rkey,
+            left_where, right_where,
         )
 
     import pyarrow as pa
@@ -150,22 +256,10 @@ def bucketed_join(
             out_fields.append((out, typ))
     out_schema = pa.schema(out_fields)
 
-    # task specs: (bucket, left part slice, right parts). Buckets missing a
+    # task specs: (bucket, left slice, right slice). Buckets missing a
     # side participate only when the join kind keeps that side's unmatched
     # rows. The specs are the ONLY thing Spark moves.
-    specs: list[str] = []
-    for b in sorted(set(lparts) | set(rparts)):
-        lp = sorted(lparts.get(b, ()))
-        rp = sorted(rparts.get(b, ()))
-        if not lp and pa_how not in ("right outer", "full outer"):
-            continue
-        if not rp and pa_how in ("inner", "left semi"):
-            continue
-        step = len(lp) if pa_how in _NO_LEFT_SLICE else left_parts_per_task
-        step = max(step, 1)
-        slices = [lp[i : i + step] for i in range(0, len(lp), step)] or [[]]
-        for sl in slices:
-            specs.append(json.dumps({"l": sl, "r": rp}))
+    specs = _plan_specs(pa_how, lparts, rparts, left_parts_per_task)
     spark_schema = _arrow_to_spark_schema(out_schema)
     if not specs:
         return spark.createDataFrame([], spark_schema)

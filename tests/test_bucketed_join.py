@@ -264,3 +264,48 @@ def test_bucket_pruning_reads_only_matching_bucket(spark, tables):
     )
     rows = got.collect()
     assert rows and all(r["k"] == 9 for r in rows)
+
+
+def test_right_join_hot_bucket_fans_out(spark, tables):
+    """r6 (VERDICT r5 #7): right-outer joins slice the RIGHT side, so a
+    hot bucket gets >1 task; results stay identical to Catalyst."""
+    import json as _json
+
+    from embulk_output_s3_parquet_spark.operators.bucketjoin import (
+        _plan_specs,
+    )
+
+    # planning unit: one hot bucket with 8 right parts, slicing at 2
+    specs = _plan_specs(
+        "right outer", {0: [1, 2]}, {0: [10, 11, 12, 13, 14, 15, 16, 17]}, 2
+    )
+    assert len(specs) == 4  # >1 task for the hot bucket
+    slices = [_json.loads(s)["r"] for s in specs]
+    flat = [p for sl in slices for p in sl]
+    assert sorted(flat) == list(range(10, 18))  # exact partition of rp
+    assert all(_json.loads(s)["l"] == [1, 2] for s in specs)
+
+    # end to end at slice size 1 (every right part its own task)
+    lpath, rpath = tables
+    got = bucketed_join(
+        spark, lpath, rpath, how="right", left_parts_per_task=1
+    )
+    l, r = decode_job(spark, lpath), decode_job(spark, rpath)
+    want = l.join(r, l["k"] == r["dk"], "right").select(
+        F.col("dk").alias("k"), l["v"], "tag", "name", r["v"].alias("v_r")
+    )
+    cols = ["k", "v", "tag", "name", "v_r"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_full_join_fallback_matches_bucketed(spark, tables):
+    """r6: a full-outer join over a bucket past fallback_bucket_bytes
+    takes the Catalyst path; rows must equal the bucketed path's."""
+    lpath, rpath = tables
+    bucketed = bucketed_join(spark, lpath, rpath, how="full")
+    fell_back = bucketed_join(
+        spark, lpath, rpath, how="full", fallback_bucket_bytes=1
+    )
+    assert bucketed.schema == fell_back.schema
+    cols = [f.name for f in bucketed.schema.fields]
+    assert _rows(bucketed, cols) == _rows(fell_back, cols)
